@@ -1,0 +1,150 @@
+"""PDSCH transmit processor: TB bits -> resource-grid contribution.
+
+Counterpart of the reference's pdsch_processor_impl.cpp:30-183 (segment+CRC ->
+LDPC encode -> rate match -> scramble -> modulate -> RE map -> DM-RS) and its
+concurrent codeblock-forking variant (pdsch_processor_concurrent_impl.cpp:239)
+— here codeblock parallelism is just the batch dimension of the encoder, and
+multi-UE parallelism is vmap/sharding at the slot-pipeline level.
+
+Static configuration (allocation, MCS, DM-RS layout) lives in PdschConfig;
+`process` is jit-traceable with payload bits as the only runtime input.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import dmrs as dmrs_mod
+from ..ops import modulation, sequences
+from ..ops.ldpc import encoder, rate_match, segmenter
+from ..ran.numerology import N_SC_PER_PRB
+
+
+@dataclasses.dataclass(frozen=True)
+class PdschConfig:
+    """Static per-UE PDSCH parameters for one slot."""
+
+    rnti: int
+    nof_prb: int                      # allocation width
+    start_prb: int                    # within the grid
+    first_symbol: int = 2             # data+dmrs span start
+    nof_symbols: int = 12             # span length
+    dmrs_symbols: tuple[int, ...] = (2, 11)   # absolute symbol indices
+    modulation: str = "qam64"
+    target_rate: float = 0.5          # code rate for TBS derivation
+    n_id: int = 1                     # scrambling / DM-RS identity
+    n_scid: int = 0
+    slot: int = 0
+    tbs: int | None = None            # explicit TBS (bits); derived if None
+
+    @property
+    def data_symbols(self) -> tuple[int, ...]:
+        return tuple(s for s in range(self.first_symbol,
+                                      self.first_symbol + self.nof_symbols)
+                     if s not in self.dmrs_symbols)
+
+    @property
+    def qm(self) -> int:
+        return modulation.QM[self.modulation]
+
+    @property
+    def nof_data_re(self) -> int:
+        return len(self.data_symbols) * self.nof_prb * N_SC_PER_PRB
+
+    @property
+    def g_total(self) -> int:
+        """Total rate-matched bits G."""
+        return self.nof_data_re * self.qm
+
+    def derived_tbs(self) -> int:
+        """TBS (payload bits) — explicit, or naive rate*G rounded to bytes.
+
+        (TS 38.214 table-based TBS lives in ran.tbs; this fallback keeps
+        standalone configs simple and always CB-aligned.)
+        """
+        if self.tbs is not None:
+            return self.tbs
+        raw = int(self.g_total * self.target_rate) - 24
+        tbs = (raw // 8) * 8
+        # Keep (TBS + TB CRC) divisible by the CB count like real TBS values.
+        for cand in range(tbs, 0, -8):
+            try:
+                segmenter.get_segment_plan(
+                    cand, segmenter.select_base_graph(cand, self.target_rate),
+                    self.g_total, self.qm)
+                return cand
+            except AssertionError:
+                continue
+        raise ValueError("no valid TBS found")
+
+
+@functools.lru_cache(maxsize=None)
+def _plans(cfg: PdschConfig, rv: int = 0):
+    tbs = cfg.derived_tbs()
+    bg = segmenter.select_base_graph(tbs, cfg.target_rate)
+    seg = segmenter.get_segment_plan(tbs, bg, cfg.g_total, cfg.qm)
+    rms = tuple(rate_match.get_rate_match_plan(seg.bg, seg.zc, e, rv, cfg.qm,
+                                               seg.k_prime)
+                for e in sorted(set(seg.e)))
+    return seg, rms
+
+
+def scrambling_c_init(rnti: int, n_id: int, q: int = 0) -> int:
+    """TS 38.211 §7.3.1.1: c_init = rnti*2^15 + q*2^14 + n_id."""
+    return (rnti << 15) + (q << 14) + n_id
+
+
+def encode_transport_block(payload: jnp.ndarray, cfg: PdschConfig,
+                           rv: int = 0) -> jnp.ndarray:
+    """(1, TBS) payload bits -> (1, G) scrambled codeword bits."""
+    seg, rms = _plans(cfg, rv)
+    cbs = segmenter.segment_tb(payload, seg)          # (C, K)
+    cw = encoder.encode(cbs, seg.bg, seg.zc)          # (C, cols*Zc)
+    if len(rms) == 1:
+        bits = rate_match.rate_match(cw, rms[0]).reshape(1, -1)
+    else:  # unequal E split: short CBs first (TS 38.212 §5.4.2.1)
+        parts, idx = [], 0
+        for e in seg.e:
+            plan = next(p for p in rms if p.e == e)
+            parts.append(rate_match.rate_match(cw[idx:idx + 1], plan))
+            idx += 1
+        bits = jnp.concatenate([p.reshape(-1) for p in parts])[None, :]
+    ci = jnp.asarray([scrambling_c_init(cfg.rnti, cfg.n_id)], dtype=jnp.uint32)
+    return sequences.scramble_bits(bits, ci)
+
+
+def map_to_grid(symbols: jnp.ndarray, cfg: PdschConfig, nsymb: int,
+                nsubc: int, amplitude: float = 1.0) -> jnp.ndarray:
+    """(1, nof_data_re) symbols -> (nsymb, nsubc) grid contribution.
+
+    Frequency-first mapping across the allocation, symbols in time order,
+    plus DM-RS pilots on the configured symbols.
+    """
+    sc0 = cfg.start_prb * N_SC_PER_PRB
+    width = cfg.nof_prb * N_SC_PER_PRB
+    grid = jnp.zeros((nsymb, nsubc), jnp.complex64)
+    data = symbols.reshape(len(cfg.data_symbols), width) * jnp.float32(amplitude)
+    sym_idx = jnp.asarray(np.asarray(cfg.data_symbols, dtype=np.int32))
+    grid = grid.at[sym_idx, sc0:sc0 + width].set(data.astype(jnp.complex64))
+
+    pat = dmrs_mod.dmrs_pattern(1, cfg.nof_prb, port=0)
+    for l in cfg.dmrs_symbols:
+        ci = jnp.asarray([dmrs_mod.dmrs_c_init(cfg.slot, l, cfg.n_id, cfg.n_scid)],
+                         dtype=jnp.uint32)
+        pil = dmrs_mod.dmrs_sequence(ci, len(pat.subcarriers),
+                                     skip_pilots=6 * cfg.start_prb)[0]
+        vals = pil * jnp.asarray(pat.wf) * jnp.float32(amplitude)
+        grid = grid.at[l, jnp.asarray(pat.subcarriers + sc0)].set(vals)
+    return grid
+
+
+def process(payload: jnp.ndarray, cfg: PdschConfig, nsymb: int, nsubc: int,
+            rv: int = 0, amplitude: float = 1.0) -> jnp.ndarray:
+    """Full PDSCH: (1, TBS) payload -> (nsymb, nsubc) grid contribution."""
+    bits = encode_transport_block(payload, cfg, rv)
+    syms = modulation.modulate(bits, cfg.modulation)
+    return map_to_grid(syms, cfg, nsymb, nsubc, amplitude)

@@ -1,0 +1,108 @@
+"""PUSCH receive processor: rx resource grid -> decoded TB + CSI.
+
+Counterpart of the reference's pusch_processor_impl.cpp:115-298 /
+pusch_demodulator_impl.cpp:129-260 / pusch_decoder_impl.cpp: DM-RS channel
+estimation -> MMSE equalization -> max-log soft demap -> descramble -> rate
+dematch (with HARQ soft combining) -> layered min-sum LDPC decode -> TB CRC.
+
+Configuration shares PdschConfig's allocation geometry (the zmq loopback uses
+symmetric DL/UL shapes); `process` is jit-traceable over the received grid
+and an optional HARQ soft buffer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import channel_est, dmrs as dmrs_mod, equalizer, modulation, sequences
+from ..ops.ldpc import decoder, rate_match, segmenter
+from ..ran.numerology import N_SC_PER_PRB
+from .pdsch import PdschConfig, _plans, scrambling_c_init
+
+
+@dataclasses.dataclass
+class PuschResult:
+    payload: jnp.ndarray        # (1, TBS) decoded bits
+    tb_crc_ok: jnp.ndarray      # (1,) bool
+    cb_crc_ok: jnp.ndarray      # (C,) bool per-codeblock parity
+    soft_buffer: jnp.ndarray    # (C, N_cb) accumulated LLRs (HARQ state)
+    noise_var: jnp.ndarray      # scalar estimated noise variance
+    cfo_hz: jnp.ndarray         # scalar estimated CFO
+    evm_sinr_db: jnp.ndarray    # scalar post-equalization SINR estimate
+
+
+def channel_estimate(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
+                     symbol_times: np.ndarray):
+    """Estimate the allocation's channel from the configured DM-RS symbols.
+
+    rx_grid: (nsymb, nsubc).  Returns (h (width,), noise_var (), cfo ()).
+    """
+    sc0 = cfg.start_prb * N_SC_PER_PRB
+    width = cfg.nof_prb * N_SC_PER_PRB
+    pat = dmrs_mod.dmrs_pattern(1, cfg.nof_prb, port=0)
+    rx_p, ref_p = [], []
+    for l in cfg.dmrs_symbols:
+        ci = jnp.asarray([dmrs_mod.dmrs_c_init(cfg.slot, l, cfg.n_id, cfg.n_scid)],
+                         dtype=jnp.uint32)
+        pil = dmrs_mod.dmrs_sequence(ci, len(pat.subcarriers),
+                                     skip_pilots=6 * cfg.start_prb)[0]
+        ref_p.append(pil * jnp.asarray(pat.wf))
+        rx_p.append(rx_grid[l, jnp.asarray(pat.subcarriers + sc0)])
+    rx_pilots = jnp.stack(rx_p)[None]      # (1, ndmrs, npil)
+    ref_pilots = jnp.stack(ref_p)[None]
+    times = np.asarray([symbol_times[l] for l in cfg.dmrs_symbols])
+    h, nv, cfo = channel_est.estimate_port(
+        rx_pilots, ref_pilots, pat.subcarriers, width,
+        dmrs_symbol_times_s=times if len(cfg.dmrs_symbols) > 1 else None)
+    return h[0], nv[0], cfo[0]
+
+
+def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
+            symbol_times: np.ndarray, rv: int = 0,
+            soft_buffer: jnp.ndarray | None = None,
+            num_iters: int = decoder.DEFAULT_ITERS) -> PuschResult:
+    """Full PUSCH receive for one UE from an (nsymb, nsubc) rx grid."""
+    seg, rms = _plans(cfg, rv)
+    sc0 = cfg.start_prb * N_SC_PER_PRB
+    width = cfg.nof_prb * N_SC_PER_PRB
+
+    h, nv, cfo = channel_estimate(rx_grid, cfg, srate, symbol_times)
+
+    sym_idx = jnp.asarray(np.asarray(cfg.data_symbols, dtype=np.int32))
+    y = rx_grid[sym_idx, sc0:sc0 + width]             # (ndata_sym, width)
+    hh = jnp.broadcast_to(h, y.shape)
+    x_hat, nv_out = equalizer.equalize_mmse_1xn(
+        y[None], hh[None], nv[None, None])            # port axis added
+
+    # Soft demap with per-RE noise variance, then descramble.
+    llr = modulation.demodulate_soft(x_hat.reshape(1, -1), nv_out.reshape(1, -1),
+                                     cfg.modulation, quantize=False)
+    ci = jnp.asarray([scrambling_c_init(cfg.rnti, cfg.n_id)], dtype=jnp.uint32)
+    llr = sequences.scramble_llrs(llr, ci)            # (1, G)
+
+    # Split G into per-codeblock E spans and rate-dematch each.
+    per_cb = []
+    off = 0
+    for i, e in enumerate(seg.e):
+        plan = next(p for p in rms if p.e == e)
+        cb_llr = llr[:, off:off + e]
+        prev = None if soft_buffer is None else soft_buffer[i:i + 1]
+        per_cb.append((rate_match.rate_dematch(cb_llr, plan, prev), plan))
+        off += e
+    full_llrs = jnp.concatenate([x for x, _ in per_cb], axis=0)  # (C, cols*Zc)
+    # HARQ state: the accumulated circular buffer (strip puncture/fillers tail).
+    zc = seg.zc
+    new_soft = full_llrs[:, 2 * zc:2 * zc + rms[0].n_cb]
+
+    hard, cb_ok = decoder.decode(full_llrs, seg.bg, seg.zc, num_iters=num_iters)
+    payload, tb_ok = segmenter.desegment_tb(hard, seg)
+
+    sinr = 10.0 * jnp.log10(jnp.maximum(
+        1.0 / jnp.maximum(jnp.mean(jnp.where(jnp.isfinite(nv_out), nv_out, 1.0)),
+                          1e-9), 1e-9))
+    return PuschResult(payload=payload, tb_crc_ok=tb_ok, cb_crc_ok=cb_ok,
+                       soft_buffer=new_soft, noise_var=nv, cfo_hz=cfo,
+                       evm_sinr_db=sinr)

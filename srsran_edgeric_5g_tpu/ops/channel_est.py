@@ -1,0 +1,108 @@
+"""Port channel estimation from DM-RS pilots (PUSCH/PDSCH receive side).
+
+Counterpart of the reference's
+srsRAN-5G-ER/lib/phy/upper/signal_processors/port_channel_estimator_average_impl.cpp
+(pilot conjugate-match, CFO estimate/compensate :86-112, time averaging, LSE,
+frequency interpolation) and lib/phy/support/interpolator/
+interpolator_linear_impl.cpp — re-designed as fully vectorised batched ops:
+
+  * LS at pilots: H_ls = Y * conj(P)  (unit-modulus QPSK pilots).
+  * CFO from the phase of the cross-correlation between DM-RS symbols,
+    compensated before time-averaging (enabled with >= 2 DM-RS symbols).
+  * Noise variance from the time residual across DM-RS symbols (2+ symbols)
+    or the adjacent-pilot difference (single symbol).
+  * Linear frequency interpolation/extrapolation to all subcarriers via
+    precomputed static gather + lerp weights.
+
+The reference's 4096-point IDFT time-alignment estimation and RC-filter
+frequency smoothing are tracked separately (ops.ta_estimator) and can be
+inserted between averaging and interpolation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_weights(pilot_pos: tuple, nsubc: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static linear interp: target k -> (left pilot index, frac)."""
+    pos = np.asarray(pilot_pos, dtype=np.float64)
+    npil = len(pos)
+    k = np.arange(nsubc, dtype=np.float64)
+    right = np.searchsorted(pos, k, side="left")
+    left = np.clip(right - 1, 0, npil - 2)
+    denom = pos[left + 1] - pos[left]
+    frac = (k - pos[left]) / denom          # <0 or >1 extrapolates at edges
+    return left.astype(np.int32), frac.astype(np.float32)
+
+
+def ls_estimate(rx_pilots: jnp.ndarray, ref_pilots: jnp.ndarray) -> jnp.ndarray:
+    """Least-squares estimate at pilot positions: Y * conj(P) (|P| = 1)."""
+    return rx_pilots * jnp.conj(ref_pilots)
+
+
+def cfo_estimate(h_ls: jnp.ndarray, symbol_distance_s: float) -> jnp.ndarray:
+    """CFO (Hz) from phase drift between first and last DM-RS symbols.
+
+    ``h_ls``: (..., ndmrs, npilots) with ndmrs >= 2.
+    """
+    corr = jnp.sum(h_ls[..., -1, :] * jnp.conj(h_ls[..., 0, :]), axis=-1)
+    return (jnp.angle(corr) / (2.0 * np.pi * symbol_distance_s)).astype(jnp.float32)
+
+
+def estimate_port(rx_pilots: jnp.ndarray, ref_pilots: jnp.ndarray,
+                  pilot_subcarriers: np.ndarray, nsubc: int,
+                  dmrs_symbol_times_s: np.ndarray | None = None,
+                  compensate_cfo: bool = True,
+                  ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Estimate one port's channel over the whole band.
+
+    Args:
+      rx_pilots: (..., ndmrs, npilots) received DM-RS REs.
+      ref_pilots: (..., ndmrs, npilots) or (..., npilots) transmitted pilots
+        (with frequency OCC applied).
+      pilot_subcarriers: static (npilots,) positions within [0, nsubc).
+      nsubc: band width in subcarriers.
+      dmrs_symbol_times_s: static (ndmrs,) symbol start times (CFO needs >= 2).
+
+    Returns:
+      h_freq: (..., nsubc) channel estimate over every subcarrier.
+      noise_var: (...,) estimated noise variance.
+      cfo_hz: (...,) estimated CFO (0 when not estimable).
+    """
+    if ref_pilots.ndim < rx_pilots.ndim:
+        ref_pilots = ref_pilots[..., None, :]
+    h_ls = ls_estimate(rx_pilots, ref_pilots)        # (..., ndmrs, npilots)
+    ndmrs = h_ls.shape[-2]
+
+    cfo = jnp.zeros(h_ls.shape[:-2], jnp.float32)
+    if ndmrs >= 2 and dmrs_symbol_times_s is not None:
+        dt = float(dmrs_symbol_times_s[-1] - dmrs_symbol_times_s[0])
+        cfo = cfo_estimate(h_ls, dt)
+        if compensate_cfo:
+            t = jnp.asarray(np.asarray(dmrs_symbol_times_s, dtype=np.float32))
+            rot = jnp.exp(-2j * np.pi * cfo[..., None] * t).astype(jnp.complex64)
+            h_ls = h_ls * rot[..., None]
+
+    h_p = jnp.mean(h_ls, axis=-2)                    # (..., npilots)
+
+    if ndmrs >= 2:
+        resid = h_ls - h_p[..., None, :]
+        # E|resid|^2 = sigma^2 * (ndmrs-1)/ndmrs per element.
+        noise_var = (jnp.mean(jnp.abs(resid) ** 2, axis=(-2, -1))
+                     * (ndmrs / (ndmrs - 1)))
+    else:
+        # Adjacent-pilot half-difference (channel ~flat across one pilot gap).
+        d = h_p[..., 1::2] - h_p[..., 0::2]
+        noise_var = jnp.mean(jnp.abs(d) ** 2, axis=-1) / 2.0
+
+    left, frac = _interp_weights(tuple(int(p) for p in pilot_subcarriers), nsubc)
+    hl = h_p[..., jnp.asarray(left)]
+    hr = h_p[..., jnp.asarray(left + 1)]
+    fr = jnp.asarray(frac)
+    h_freq = hl + (hr - hl) * fr
+    return h_freq.astype(jnp.complex64), noise_var.astype(jnp.float32), cfo

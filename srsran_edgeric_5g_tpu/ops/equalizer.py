@@ -1,0 +1,76 @@
+"""Channel equalization: MMSE / ZF for 1 layer x N rx ports (SIMO).
+
+Replicates the reference's per-RE formulas exactly
+(srsRAN-5G-ER/lib/phy/upper/equalization/equalize_mmse_1xn.h:42-95,
+equalize_zf_1xn.h), vectorised over all REs/symbols/ports at once:
+
+    x_hat = sum_p conj(h_p) y_p * |h|^2 / (|h|^4 + sum_p |h_p|^2 nvar_p)
+    nvar_out = sum_p |h_p|^2 nvar_p / (|h|^4 + ...)        (MMSE, unity gain)
+
+with the reference's abnormal-input policy: ports with non-finite/zero channel
+or non-positive noise variance are excluded; REs with no usable port produce
+x_hat = 0 and nvar_out = +inf (so the demapper emits zero LLRs).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+INFINITY = jnp.float32(jnp.inf)
+
+
+def _port_validity(h: jnp.ndarray, noise_var: jnp.ndarray) -> jnp.ndarray:
+    h_norm = jnp.real(h) ** 2 + jnp.imag(h) ** 2
+    return (jnp.isfinite(h_norm) & (h_norm > 0)
+            & jnp.isfinite(noise_var) & (noise_var > 0))
+
+
+def equalize_mmse_1xn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
+                      tx_scaling: float = 1.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """MMSE-equalize one spatial layer from N receive ports.
+
+    Args:
+      y: received REs, shape (ports, ...).
+      h: channel estimates, shape (ports, ...) (broadcastable to y).
+      noise_var: per-port noise variance, shape (ports, ...) broadcastable.
+      tx_scaling: transmit amplitude scaling applied to the channel.
+
+    Returns (x_hat, nvar_out) with the leading `ports` axis reduced.
+    """
+    h = h * jnp.asarray(tx_scaling, h.dtype)
+    h_norm = jnp.real(h) ** 2 + jnp.imag(h) ** 2
+    nv = jnp.broadcast_to(noise_var, h_norm.shape)
+    valid = _port_validity(h, nv)
+
+    h_norm = jnp.where(valid, h_norm, 0.0)
+    ch_mod_sq = jnp.sum(h_norm, axis=0)
+    nvar_acc = jnp.sum(jnp.where(valid, h_norm * nv, 0.0), axis=0)
+    mf = jnp.sum(jnp.where(valid, y * jnp.conj(h), 0.0), axis=0)
+
+    ok = (ch_mod_sq > 0) & jnp.isfinite(ch_mod_sq) & (nvar_acc > 0) & jnp.isfinite(nvar_acc)
+    denom = ch_mod_sq * ch_mod_sq + nvar_acc
+    d_rcp = jnp.where(ok, 1.0 / jnp.where(ok, denom, 1.0), 0.0)
+
+    x_hat = jnp.where(ok, mf * (ch_mod_sq * d_rcp), 0.0 + 0.0j)
+    nvar_out = jnp.where(ok, nvar_acc * d_rcp, INFINITY)
+    return x_hat.astype(jnp.complex64), nvar_out.astype(jnp.float32)
+
+
+def equalize_zf_1xn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
+                    tx_scaling: float = 1.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Zero-forcing variant: x_hat = sum conj(h) y / sum |h|^2."""
+    h = h * jnp.asarray(tx_scaling, h.dtype)
+    h_norm = jnp.real(h) ** 2 + jnp.imag(h) ** 2
+    nv = jnp.broadcast_to(noise_var, h_norm.shape)
+    valid = _port_validity(h, nv)
+
+    h_norm = jnp.where(valid, h_norm, 0.0)
+    ch_mod_sq = jnp.sum(h_norm, axis=0)
+    nvar_acc = jnp.sum(jnp.where(valid, h_norm * nv, 0.0), axis=0)
+    mf = jnp.sum(jnp.where(valid, y * jnp.conj(h), 0.0), axis=0)
+
+    ok = (ch_mod_sq > 0) & jnp.isfinite(ch_mod_sq)
+    d_rcp = jnp.where(ok, 1.0 / jnp.where(ok, ch_mod_sq, 1.0), 0.0)
+    x_hat = jnp.where(ok, mf * d_rcp, 0.0 + 0.0j)
+    nvar_out = jnp.where(ok, nvar_acc * d_rcp * d_rcp, INFINITY)
+    return x_hat.astype(jnp.complex64), nvar_out.astype(jnp.float32)

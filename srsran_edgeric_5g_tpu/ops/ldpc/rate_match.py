@@ -1,0 +1,121 @@
+"""LDPC rate matching / dematching (TS 38.212 §5.4.2).
+
+Counterpart of the reference's ldpc_rate_matcher_impl.cpp (k0 table :60-91,
+filler-skipping bit selection :102-148, Qm interleaver :149-290) and
+ldpc_rate_dematcher_*.cpp (LLR deinterleave + soft-combine accumulate).
+
+TPU design: for each static configuration (BG, Zc, E, rv, Qm, filler span,
+N_cb) the whole select-skip-wrap-interleave composition collapses into ONE
+precomputed index vector, so rate matching is a single gather and rate
+dematching is a single segment-sum (scatter-add) of LLRs into the circular
+buffer — soft combining across retransmissions comes free from the add.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import get_graph
+
+# k0 numerators per TS 38.212 Table 5.4.2.1-2 (k0 = Zc*floor(num*Ncb/(den*Zc))).
+_K0_FRAC = {1: {0: 0, 1: 17, 2: 33, 3: 56}, 2: {0: 0, 1: 13, 2: 25, 3: 43}}
+_K0_DEN = {1: 66, 2: 50}
+
+FILLER_LLR = 127.0  # effectively-infinite positive LLR for known-zero fillers
+
+
+def k0_offset(bg: int, rv: int, n_cb: int, zc: int) -> int:
+    return zc * ((_K0_FRAC[bg][rv] * n_cb) // (_K0_DEN[bg] * zc))
+
+
+@dataclasses.dataclass(frozen=True)
+class RateMatchPlan:
+    bg: int
+    zc: int
+    e: int                    # rate-matched output length
+    rv: int
+    qm: int
+    k_prime: int              # message bits incl. CRC, excl. fillers
+    n_cb: int
+    select_idx: np.ndarray    # (E,) indices into the N_cb circular buffer
+    key: tuple
+
+    def __hash__(self):
+        return hash(self.key)
+
+
+@functools.lru_cache(maxsize=None)
+def get_rate_match_plan(bg: int, zc: int, e: int, rv: int, qm: int,
+                        k_prime: int, n_cb: int | None = None) -> RateMatchPlan:
+    """Build the fused selection+interleave index vector.
+
+    The circular buffer holds N_cb = N = (cols-2)*Zc bits (LBRM would shorten
+    it); positions [k_prime - 2*Zc, K - 2*Zc) are filler bits, skipped by
+    selection.  The output interleaver writes e_k column-major into an
+    (E/Qm, Qm) array read row-major (TS 38.212 §5.4.2.2).
+    """
+    g = get_graph(bg, zc)
+    n = g.n
+    n_cb = n if n_cb is None else n_cb
+    assert e % qm == 0, (e, qm)
+    f_begin = k_prime - 2 * zc           # filler span start in the buffer
+    f_end = g.k - 2 * zc                 # filler span end
+
+    k0 = k0_offset(bg, rv, n_cb, zc)
+    sel = np.empty(e, dtype=np.int32)
+    k, j = 0, 0
+    while k < e:
+        idx = (k0 + j) % n_cb
+        if not (f_begin <= idx < f_end):
+            sel[k] = idx
+            k += 1
+        j += 1
+    # Interleave: f(i + j*Qm) = e(i*(E/Qm) + j)  =>  gather order below.
+    rows = e // qm
+    i, jj = np.meshgrid(np.arange(qm), np.arange(rows), indexing="ij")
+    order = (i * rows + jj).T.reshape(-1)   # output position p -> e index
+    fused = sel[order]
+    return RateMatchPlan(bg=bg, zc=zc, e=e, rv=rv, qm=qm, k_prime=k_prime,
+                         n_cb=n_cb, select_idx=fused,
+                         key=(bg, zc, e, rv, qm, k_prime, n_cb))
+
+
+def rate_match(full_codeword: jnp.ndarray, plan: RateMatchPlan) -> jnp.ndarray:
+    """(B, cols*Zc) encoder output -> (B, E) transmitted bits.
+
+    Drops the first 2*Zc systematic bits (puncture) then applies the fused
+    selection/interleave gather.
+    """
+    buf = full_codeword[:, 2 * plan.zc: 2 * plan.zc + plan.n_cb]
+    return buf[:, jnp.asarray(plan.select_idx)]
+
+
+def rate_dematch(llrs: jnp.ndarray, plan: RateMatchPlan,
+                 soft_buffer: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(B, E) LLRs -> (B, cols*Zc) decoder input, soft-combining into
+    ``soft_buffer`` (HARQ) when given.
+
+    Repeated buffer positions accumulate (matching the reference's
+    accumulate-on-wrap), punctured systematic positions stay 0, fillers get
+    +FILLER_LLR (known zero).
+    """
+    g = get_graph(plan.bg, plan.zc)
+    b = llrs.shape[0]
+    zc = plan.zc
+    buf = jnp.zeros((b, plan.n_cb), jnp.float32) if soft_buffer is None \
+        else soft_buffer.astype(jnp.float32)
+    buf = buf.at[:, jnp.asarray(plan.select_idx)].add(llrs.astype(jnp.float32))
+
+    f_begin = plan.k_prime - 2 * zc
+    f_end = g.k - 2 * zc
+    pos = np.arange(plan.n_cb)
+    filler = jnp.asarray((pos >= f_begin) & (pos < f_end))
+    buf = jnp.where(filler, FILLER_LLR, buf)
+
+    return jnp.concatenate(
+        [jnp.zeros((b, 2 * zc), jnp.float32), buf,
+         jnp.zeros((b, g.n_full - 2 * zc - plan.n_cb), jnp.float32)], axis=-1)

@@ -1,0 +1,142 @@
+"""OFDM slot modulation / demodulation (TS 38.211 §5.3-5.4).
+
+Counterpart of the reference's per-symbol streaming modulator/demodulator
+(srsRAN-5G-ER/lib/phy/lower/modulation/ofdm_modulator_impl.cpp:56-139,
+ofdm_demodulator_impl.cpp:94-125, phase_compensation_lut.h:60-98) —
+re-designed for TPU batch semantics: whole slots per dispatch, one batched
+(i)FFT over all symbols, CP insertion/stripping as a single static gather.
+
+Conventions (matching the reference for loopback parity):
+  * Subcarrier k=0..nsubc-1 maps to FFT bin (k - nsubc/2) mod nfft — the
+    negative-frequency half sits at the top of the DFT input, DC = bin 0 of
+    the upper half (ofdm_modulator_impl.cpp:84-87).
+  * iFFT/FFT are unnormalised (FFTW convention); the caller-supplied ``scale``
+    multiplies the output (reference defaults: modulator sqrt-power scaling
+    from config, demodulator 1/nfft to invert).
+  * Phase compensation per TS 38.211 §5.4: symbol l is scaled by
+    exp(-+j 2 pi f_c t_l) with t_l the start time of the *useful* part of the
+    symbol within its subframe (TX: -, RX: +).
+  * CP insertion copies the tail of the useful part ahead of it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ran.numerology import SlotTiming
+
+
+@functools.lru_cache(maxsize=None)
+def _subcarrier_bins(nsubc: int, nfft: int) -> np.ndarray:
+    """FFT bin index per subcarrier (negative half at top)."""
+    k = np.arange(nsubc)
+    return ((k - nsubc // 2) % nfft).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _cp_gather_index(timing_key: tuple) -> np.ndarray:
+    """(total,) gather index into the flat (nsymb*nfft,) symbol buffer that
+    produces the CP-inserted time-domain slot."""
+    nfft, cps = timing_key
+    out = []
+    for l, cp in enumerate(cps):
+        base = l * nfft
+        out.append(base + np.arange(nfft - cp, nfft))  # CP = tail copy
+        out.append(base + np.arange(nfft))
+    return np.concatenate(out).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _data_gather_index(timing_key: tuple) -> np.ndarray:
+    """(nsymb, nfft) gather index into the (total,) slot samples selecting the
+    useful (post-CP) part of each symbol."""
+    nfft, cps = timing_key
+    starts = []
+    t = 0
+    for cp in cps:
+        starts.append(t + cp)
+        t += cp + nfft
+    return (np.asarray(starts)[:, None] + np.arange(nfft)[None, :]).astype(np.int32)
+
+
+def phase_compensation(timing: SlotTiming, center_freq_hz: float,
+                       is_tx: bool, slot_in_subframe: int = 0) -> np.ndarray:
+    """(nsymb,) complex64 phase-compensation coefficients for one slot.
+
+    exp(-+ j 2 pi f_c t_l), t_l = start of the useful symbol part measured
+    from the start of the subframe (phase_compensation_lut.h:64-80).
+    """
+    # Symbols of earlier slots in the subframe shift the time origin.
+    slot_samples = timing.cp.total
+    t0 = slot_in_subframe * slot_samples
+    t_useful = (np.asarray(timing.cp.data_starts) + t0) / timing.srate
+    sign = -1.0 if is_tx else 1.0
+    ph = sign * 2.0 * np.pi * center_freq_hz * t_useful
+    # High dynamic range: reduce f_c * t modulo 1 cycle in float64 first.
+    return np.exp(1j * ph).astype(np.complex64)
+
+
+def _timing_key(timing: SlotTiming) -> tuple:
+    return (timing.nfft, timing.cp.cp)
+
+
+def modulate_slot(grid: jnp.ndarray, timing: SlotTiming,
+                  center_freq_hz: float = 0.0, scale: float = 1.0,
+                  slot_in_subframe: int = 0) -> jnp.ndarray:
+    """Resource grid (..., nsymb, nsubc) -> baseband samples (..., total).
+
+    Unnormalised iDFT x scale x per-symbol phase compensation, CP inserted.
+    """
+    nsymb, nsubc = grid.shape[-2:]
+    assert nsymb == timing.nsymb and nsubc == timing.nof_subc, (grid.shape, timing)
+    nfft = timing.nfft
+
+    bins = _subcarrier_bins(nsubc, nfft)
+    x = jnp.zeros((*grid.shape[:-1], nfft), dtype=jnp.complex64)
+    x = x.at[..., jnp.asarray(bins)].set(grid.astype(jnp.complex64))
+
+    # Unnormalised inverse DFT (FFTW backward): N * jnp.ifft.
+    td = jnp.fft.ifft(x, axis=-1).astype(jnp.complex64) * np.float32(nfft)
+
+    coef = phase_compensation(timing, center_freq_hz, is_tx=True,
+                              slot_in_subframe=slot_in_subframe)
+    td = td * jnp.asarray(coef * np.complex64(scale))[:, None]
+
+    flat = td.reshape(*td.shape[:-2], nsymb * nfft)
+    gather = jnp.asarray(_cp_gather_index(_timing_key(timing)))
+    return flat[..., gather]
+
+
+def demodulate_slot(samples: jnp.ndarray, timing: SlotTiming,
+                    center_freq_hz: float = 0.0, scale: float | None = None,
+                    slot_in_subframe: int = 0,
+                    window_offset: int = 0) -> jnp.ndarray:
+    """Baseband samples (..., total) -> resource grid (..., nsymb, nsubc).
+
+    ``scale`` defaults to 1/nfft (inverts the unnormalised modulator at
+    scale=1).  ``window_offset`` advances the DFT window into the CP by that
+    many samples, compensated by the per-bin phase ramp
+    (ofdm_demodulator_impl.cpp:60-76).
+    """
+    nfft, nsubc, nsymb = timing.nfft, timing.nof_subc, timing.nsymb
+    assert samples.shape[-1] == timing.cp.total
+    scale = 1.0 / nfft if scale is None else scale
+
+    idx = _data_gather_index(_timing_key(timing)) - window_offset
+    seg = samples[..., jnp.asarray(idx)]            # (..., nsymb, nfft)
+    fd = jnp.fft.fft(seg, axis=-1).astype(jnp.complex64)
+
+    coef = phase_compensation(timing, center_freq_hz, is_tx=False,
+                              slot_in_subframe=slot_in_subframe)
+    fd = fd * jnp.asarray(coef * np.complex64(scale))[:, None]
+
+    if window_offset:
+        omega = 2.0 * np.pi * window_offset / nfft
+        ramp = np.exp(1j * omega * np.arange(nfft)).astype(np.complex64)
+        fd = fd * jnp.asarray(ramp)
+
+    bins = _subcarrier_bins(nsubc, nfft)
+    return fd[..., jnp.asarray(bins)]

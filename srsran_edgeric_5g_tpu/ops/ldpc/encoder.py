@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -102,12 +103,22 @@ def _row_sums(flat_bits: jnp.ndarray, idx: np.ndarray, sel: np.ndarray) -> jnp.n
                       preferred_element_type=jnp.float32)
 
 
-def encode(msg_bits: jnp.ndarray, bg: int, zc: int) -> jnp.ndarray:
+def encode(msg_bits: jnp.ndarray, bg: int, zc: int,
+           impl: str = "auto") -> jnp.ndarray:
     """Encode int8 {0,1} messages (B, K=kb*Zc) -> full codewords (B, cols*Zc).
 
     Filler bits must already be zero in ``msg_bits`` (the segmenter sets
     them); they encode as zeros and are handled by rate matching.
+
+    ``impl='rolls'`` unrolls the static edge list into lane rotations + int8
+    XORs (the fast TPU path); ``impl='gather'`` uses the gather +
+    selector-matmul formulation (fast compiles — the CPU default);
+    ``impl='auto'`` picks by backend.
     """
+    if impl == "auto":
+        impl = "rolls" if jax.default_backend() == "tpu" else "gather"
+    if impl == "rolls":
+        return _encode_rolls(msg_bits, bg, zc)
     plan = get_encode_plan(bg, zc)
     g = plan.graph
     b = msg_bits.shape[0]
@@ -125,6 +136,51 @@ def encode(msg_bits: jnp.ndarray, bg: int, zc: int) -> jnp.ndarray:
 
     return jnp.concatenate(
         [m.astype(jnp.int8), p_core, p_ext.reshape(b, -1)], axis=-1)
+
+
+def _encode_rolls(msg_bits: jnp.ndarray, bg: int, zc: int) -> jnp.ndarray:
+    """Roll-based encode: per check row, XOR of lane-rotated message blocks
+    (static shifts, int8 bitwise ops); core parities via the precomputed GF(2)
+    inverse on the MXU; extension parities by one more roll+XOR pass."""
+    plan = get_encode_plan(bg, zc)
+    g = plan.graph
+    b = msg_bits.shape[0]
+
+    m = msg_bits.reshape(b, g.kb, zc).astype(jnp.int8)
+
+    row_msg: list[list[tuple[int, int]]] = [[] for _ in range(g.rows)]
+    row_core: list[list[tuple[int, int]]] = [[] for _ in range(g.rows)]
+    for r, c, s in zip(g.edge_row, g.edge_col, g.edge_shift):
+        if c < g.kb:
+            row_msg[int(r)].append((int(c), int(s)))
+        elif c < g.kb + 4 and r >= 4:
+            row_core[int(r)].append((int(c) - g.kb, int(s)))
+
+    def row_xor(blocks, edges):
+        acc = None
+        for c, s in edges:
+            v = jnp.roll(blocks[:, c], -s, axis=-1)
+            acc = v if acc is None else jnp.bitwise_xor(acc, v)
+        if acc is None:  # rows with no message-column edges (BG2 tail rows)
+            acc = jnp.zeros((b, zc), jnp.int8)
+        return acc
+
+    s_all = jnp.stack([row_xor(m, row_msg[r]) for r in range(g.rows)], axis=1)
+
+    s_core = s_all[:, :4].reshape(b, 4 * zc)
+    p_core = parity_dot(s_core, jnp.asarray(plan.core_inv_t))  # (B, 4Zc)
+    pc = p_core.reshape(b, 4, zc)
+
+    p_ext = []
+    for r in range(4, g.rows):
+        acc = s_all[:, r]
+        for c, s in row_core[r]:
+            acc = jnp.bitwise_xor(acc, jnp.roll(pc[:, c], -s, axis=-1))
+        p_ext.append(acc)
+    p_ext = jnp.stack(p_ext, axis=1)
+
+    return jnp.concatenate([m.reshape(b, -1), p_core,
+                            p_ext.reshape(b, -1)], axis=-1).astype(jnp.int8)
 
 
 def np_check_parity(codewords: np.ndarray, bg: int, zc: int) -> np.ndarray:

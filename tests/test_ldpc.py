@@ -14,14 +14,28 @@ ZCS_LARGE = [32, 52, 96, 144, 208, 240, 320, 384]
 @pytest.mark.parametrize("bg", [1, 2])
 @pytest.mark.parametrize("zc", ZCS_SMOKE + ZCS_LARGE)
 def test_encode_satisfies_parity(bg, zc):
-    """H @ c == 0 over GF(2) — complete validation of the encoder given H."""
+    """H @ c == 0 over GF(2) — complete validation of the encoder given H.
+
+    Uses the gather impl for the broad sweep (fast CPU compiles); the rolls
+    impl is checked for equality on representative configs below.
+    """
     g = graph.get_graph(bg, zc)
     rng = np.random.default_rng(bg * 1000 + zc)
     msgs = rng.integers(0, 2, size=(4, g.k), dtype=np.int8)
-    cw = np.asarray(encoder.encode(jnp.asarray(msgs), bg, zc))
+    cw = np.asarray(encoder.encode(jnp.asarray(msgs), bg, zc, impl="gather"))
     np.testing.assert_array_equal(cw[:, :g.k], msgs)  # systematic
     syndrome = encoder.np_check_parity(cw, bg, zc)
     assert (syndrome == 0).all(), f"nonzero syndrome rows: {np.nonzero(syndrome.sum(1))[0]}"
+
+
+@pytest.mark.parametrize("bg,zc", [(1, 8), (1, 384), (2, 13), (2, 208)])
+def test_encode_rolls_equals_gather(bg, zc):
+    g = graph.get_graph(bg, zc)
+    rng = np.random.default_rng(bg * 77 + zc)
+    msgs = jnp.asarray(rng.integers(0, 2, size=(3, g.k), dtype=np.int8))
+    a = np.asarray(encoder.encode(msgs, bg, zc, impl="rolls"))
+    b = np.asarray(encoder.encode(msgs, bg, zc, impl="gather"))
+    np.testing.assert_array_equal(a, b)
 
 
 @pytest.mark.parametrize("bg,zc", [(1, 96), (2, 52)])
@@ -182,3 +196,22 @@ def test_full_chain_segment_encode_ratematch_decode():
     out, ok = segmenter.desegment_tb(hard, plan)
     assert np.asarray(ok).all()
     np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))
+
+
+def test_decode_flooding_awgn():
+    """Flooding schedule decodes the same AWGN scenario (2x iterations)."""
+    bg, zc = 2, 64
+    g = graph.get_graph(bg, zc)
+    rng = np.random.default_rng(29)
+    b = 8
+    msgs = rng.integers(0, 2, size=(b, g.k), dtype=np.int8)
+    cw = np.asarray(encoder.encode(jnp.asarray(msgs), bg, zc))
+    sym = 1 - 2 * cw[:, 2 * zc:].astype(np.float32)
+    sigma = 10 ** (-3.0 / 20)
+    y = sym + rng.normal(size=sym.shape) * sigma
+    llr = np.concatenate([np.zeros((b, 2 * zc), np.float32), 2 * y / sigma**2],
+                         axis=1)
+    hard, ok = decoder.decode(jnp.asarray(llr), bg, zc, num_iters=16,
+                              schedule="flooding")
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(hard), msgs)

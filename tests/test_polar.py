@@ -1,0 +1,114 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srsran_edgeric_5g_tpu.ops import short_block
+from srsran_edgeric_5g_tpu.ops.polar import code as pcode
+from srsran_edgeric_5g_tpu.ops.polar import decoder as pdec
+from srsran_edgeric_5g_tpu.ops.polar import encoder as penc
+from srsran_edgeric_5g_tpu.ops.polar import rate_match as prm
+
+
+def test_subblock_permutation_is_permutation():
+    for n in (32, 128, 512):
+        p = pcode.subblock_permutation(n)
+        assert sorted(p) == list(range(n))
+
+
+@pytest.mark.parametrize("k,e", [(40, 100), (32, 864), (70, 200), (140, 288)])
+def test_construct_basics(k, e):
+    c = pcode.construct(k, e)
+    assert len(c.info_set) == k
+    assert len(c.frozen_set) == c.nof_bits - k
+    assert c.nof_bits <= 512  # DL nmax=9
+    assert set(c.info_set) & set(c.frozen_set) == set()
+
+
+def test_encoder_matches_kron_oracle():
+    c = pcode.construct(24, 60, i_il=False)
+    rng = np.random.default_rng(0)
+    msgs = rng.integers(0, 2, (5, 24), dtype=np.int8)
+    got = np.asarray(penc.encode(jnp.asarray(msgs), c))
+    want = penc.np_encode(msgs, c)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_encoder_with_interleaver_matches_oracle():
+    c = pcode.construct(31, 100, i_il=True)
+    rng = np.random.default_rng(1)
+    msgs = rng.integers(0, 2, (3, 31), dtype=np.int8)
+    np.testing.assert_array_equal(np.asarray(penc.encode(jnp.asarray(msgs), c)),
+                                  penc.np_encode(msgs, c))
+
+
+@pytest.mark.parametrize("k,e", [(40, 100), (24, 432), (100, 160), (16, 48)])
+def test_polar_noiseless_roundtrip(k, e):
+    """encode -> rate match -> BPSK LLR -> dematch -> SC decode == message."""
+    c = pcode.construct(k, e)
+    rng = np.random.default_rng(k * e)
+    msgs = jnp.asarray(rng.integers(0, 2, (4, k), dtype=np.int8))
+    cw = penc.encode(msgs, c)
+    tx = prm.rate_match(cw, c)
+    assert tx.shape == (4, e)
+    llr = (1.0 - 2.0 * tx.astype(jnp.float32)) * 10.0
+    ml = prm.rate_dematch(llr, c)
+    out = pdec.decode(ml, c)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(msgs))
+
+
+def test_polar_awgn():
+    k, e = 32, 256
+    c = pcode.construct(k, e)
+    rng = np.random.default_rng(7)
+    msgs = jnp.asarray(rng.integers(0, 2, (16, k), dtype=np.int8))
+    cw = penc.encode(msgs, c)
+    tx = np.asarray(prm.rate_match(cw, c)).astype(np.float32)
+    sym = 1 - 2 * tx
+    sigma = 10 ** (-4.0 / 20)  # 4 dB, rate 1/8 -> easy
+    y = sym + rng.normal(size=sym.shape) * sigma
+    llr = jnp.asarray(2 * y / sigma ** 2)
+    out = pdec.decode(prm.rate_dematch(llr, c), c)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(msgs))
+
+
+def test_rate_match_modes():
+    assert pcode.construct(30, 120).rm_mode == "puncture"   # N=128, K/E<=7/16
+    assert pcode.construct(70, 120).rm_mode == "shorten"    # N=128, K/E>7/16
+    assert pcode.construct(30, 600).rm_mode == "repeat"     # E>=N=256
+
+
+# ---------- short block ----------
+
+@pytest.mark.parametrize("k", [1, 2, 3, 6, 11])
+def test_short_block_roundtrip(k):
+    rng = np.random.default_rng(k)
+    e = {1: 8, 2: 9}.get(k, 32)
+    bits = jnp.asarray(rng.integers(0, 2, (6, k), dtype=np.int8))
+    cw = short_block.encode(bits, e)
+    assert cw.shape == (6, e)
+    llr = (1.0 - 2.0 * cw.astype(jnp.float32)) * 5.0
+    out, metric = short_block.detect(llr, k)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+    assert (np.asarray(metric) > 0).all()
+
+
+def test_short_block_rm_is_linear():
+    """RM encoding is linear: enc(a^b) = enc(a)^enc(b)."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 2, (1, 8), dtype=np.int8)
+    b = rng.integers(0, 2, (1, 8), dtype=np.int8)
+    ea = np.asarray(short_block.encode(jnp.asarray(a), 32))
+    eb = np.asarray(short_block.encode(jnp.asarray(b), 32))
+    eab = np.asarray(short_block.encode(jnp.asarray(a ^ b), 32))
+    np.testing.assert_array_equal(eab, ea ^ eb)
+
+
+def test_short_block_awgn_detection():
+    rng = np.random.default_rng(5)
+    bits = jnp.asarray(rng.integers(0, 2, (32, 4), dtype=np.int8))
+    cw = np.asarray(short_block.encode(bits, 32)).astype(np.float32)
+    sym = 1 - 2 * cw
+    sigma = 0.7
+    y = sym + rng.normal(size=sym.shape) * sigma
+    out, _ = short_block.detect(jnp.asarray(2 * y / sigma ** 2), 4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))

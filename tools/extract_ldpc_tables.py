@@ -69,10 +69,89 @@ def parse_matrices(text: str, name: str) -> np.ndarray:
     return np.array(vals, dtype=np.int16).reshape(8, rows, cols)
 
 
+LOW_PAPR_SRC = ("/root/reference/srsRAN-5G-ER/lib/phy/upper/sequence_generators/"
+                "low_papr_sequence_generator_impl.cpp")
+
+
+def parse_phi(text: str, name: str, width: int) -> np.ndarray:
+    """Extract the TS 38.211 Table 5.2.2.2-x phi sequences (spec constants)."""
+    start = text.index(f"{name} = {{")
+    depth, i, end = 0, text.index("{", start), None
+    for j in range(i, len(text)):
+        if text[j] == "{":
+            depth += 1
+        elif text[j] == "}":
+            depth -= 1
+            if depth == 0:
+                end = j
+                break
+    section = re.sub(r"//[^\n]*", "", text[i:end])
+    vals = [int(v) for v in re.findall(r"-?\d+", section)]
+    assert len(vals) == 30 * width, (name, len(vals))
+    return np.array(vals, dtype=np.int8).reshape(30, width)
+
+
+POLAR_CODE_SRC = ("/root/reference/srsRAN-5G-ER/lib/phy/upper/channel_coding/"
+                  "polar/polar_code_impl.cpp")
+POLAR_IL_SRC = ("/root/reference/srsRAN-5G-ER/lib/phy/upper/channel_coding/"
+                "polar/polar_interleaver_impl.cpp")
+
+
+def grab_array(text: str, name: str, count: int) -> np.ndarray:
+    """Extract a flat unsigned C array (spec constants)."""
+    start = text.index(name)
+    start = text.index("{", start)
+    depth, end = 0, None
+    for j in range(start, len(text)):
+        if text[j] == "{":
+            depth += 1
+        elif text[j] == "}":
+            depth -= 1
+            if depth == 0:
+                end = j
+                break
+    body = re.sub(r"//[^\n]*", "", text[start:end])
+    vals = [int(v) for v in re.findall(r"\d+", body)]
+    assert len(vals) == count, (name, len(vals))
+    return np.array(vals, dtype=np.int16)
+
+
+def parse_polar() -> tuple[np.ndarray, np.ndarray]:
+    """TS 38.212 Table 5.3.1.2-1 (universal reliability sequence, N=1024) and
+    Table 5.3.1.1-1 (DCI interleaver pattern, K_IL_max=164)."""
+    code_src = open(POLAR_CODE_SRC).read()
+    il_src = open(POLAR_IL_SRC).read()
+    mother10 = grab_array(code_src, "mother_code_10", 1024)
+    pattern = grab_array(il_src, "polar_interleaver_impl::pattern", 164)
+    # Universal-sequence property: shorter codes are order-preserving
+    # restrictions of the length-1024 sequence.
+    m9 = grab_array(code_src, "mother_code_9", 512)
+    np.testing.assert_array_equal(m9, mother10[mother10 < 512])
+    m5 = grab_array(code_src, "mother_code_5", 32)
+    np.testing.assert_array_equal(m5, mother10[mother10 < 32])
+    return mother10, pattern
+
+
+SHORT_BLOCK_SRC = ("/root/reference/srsRAN-5G-ER/lib/phy/upper/channel_coding/"
+                   "short/short_block_encoder_impl.cpp")
+
+
+def parse_rm_basis() -> np.ndarray:
+    """TS 38.212 Table 5.3.3.3-1: Reed-Muller basis sequences M_{j,i},
+    stored (11 basis, 32 positions)."""
+    src = open(SHORT_BLOCK_SRC).read()
+    arr = grab_array(src, "BASIS_SEQUENCES", 11 * 32)
+    return arr.astype(np.int8).reshape(11, 32)
+
+
 def main() -> None:
     text = open(SRC).read()
     bg1 = parse_matrices(text, "BG1")
     bg2 = parse_matrices(text, "BG2")
+    lp_text = open(LOW_PAPR_SRC).read()
+    phi6 = parse_phi(lp_text, "phi_M_sc_6", 6)
+    phi12 = parse_phi(lp_text, "phi_M_sc_12", 12)
+    polar_seq, polar_pattern = parse_polar()
 
     lifting_sizes = sorted(z for s in LIFTING_SETS for z in s)
     lifting_index = np.full(385, -1, dtype=np.int8)
@@ -98,9 +177,17 @@ def main() -> None:
         bg2_shifts=bg2,
         lifting_sizes=np.array(lifting_sizes, dtype=np.int16),
         lifting_index=lifting_index,
+        phi_m6=phi6,
+        phi_m12=phi12,
+        polar_sequence_1024=polar_seq,
+        polar_dci_interleaver_pattern=polar_pattern,
+        rm_basis_sequences=parse_rm_basis(),
     )
-    print(f"wrote {OUT}")
+    print(f"wrote {OUT} (incl. phi {phi6.shape}/{phi12.shape}, polar "
+          f"{polar_seq.shape}/{polar_pattern.shape})")
 
 
 if __name__ == "__main__":
     sys.exit(main())
+
+

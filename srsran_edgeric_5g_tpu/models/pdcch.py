@@ -1,0 +1,144 @@
+"""PDCCH processor: DCI bits -> CORESET grid contribution (+ RX search).
+
+Counterpart of the reference's pdcch_encoder_impl.cpp (CRC24C attach with
+all-ones prefix, RNTI-scrambled CRC, polar K->E), pdcch_modulator_impl.cpp
+(scramble + QPSK + REG mapping) and pdcch_processor_impl.cpp (DM-RS).
+
+Simplifications vs the full CORESET machinery: non-interleaved CCE-to-REG
+mapping on a single-symbol CORESET; one DCI per call (the slot pipeline
+composes multiple).  The receive side implements the UE-style blind decode
+for parity testing: demap -> descramble -> polar SC decode -> CRC check
+against the RNTI mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import modulation, sequences
+from ..ops.crc import crc, crc_check
+from ..ops.polar import code as pcode, decoder as pdec, encoder as penc
+from ..ops.polar import rate_match as prm
+from ..ran.numerology import N_SC_PER_PRB
+
+RE_PER_CCE_DATA = 54   # 6 REGs x 12 RE minus 18 DM-RS
+DMRS_PER_CCE = 18
+
+
+@dataclasses.dataclass(frozen=True)
+class PdcchConfig:
+    rnti: int
+    n_id: int                 # pdcch-DMRS-ScramblingID (and data scrambling)
+    aggregation_level: int    # 1/2/4/8/16 CCEs
+    cce_index: int            # first CCE in the CORESET
+    start_symbol: int = 0
+    coreset_start_prb: int = 0
+    slot: int = 0
+    payload_bits: int = 40    # DCI size A
+
+    @property
+    def e(self) -> int:
+        return 2 * RE_PER_CCE_DATA * self.aggregation_level  # QPSK bits
+
+    @property
+    def k(self) -> int:
+        return self.payload_bits + 24
+
+
+def _polar(cfg: PdcchConfig) -> pcode.PolarCode:
+    return pcode.construct(cfg.k, cfg.e, nmax=pcode.NMAX_DL, i_il=True)
+
+
+def encode_dci(payload: jnp.ndarray, cfg: PdcchConfig) -> jnp.ndarray:
+    """(1, A) DCI bits -> (1, E) coded bits (TS 38.212 §7.3).
+
+    CRC24C over (24 ones ++ payload); the last 16 CRC bits are XOR-masked
+    with the RNTI.
+    """
+    ones = jnp.ones((1, 24), jnp.int8)
+    crc_bits = crc(jnp.concatenate([ones, payload.astype(jnp.int8)], axis=1),
+                   "crc24c")
+    rnti_bits = jnp.asarray(
+        [(cfg.rnti >> (15 - i)) & 1 for i in range(16)], jnp.int8)
+    crc_bits = crc_bits.at[:, 8:].set(
+        jnp.bitwise_xor(crc_bits[:, 8:], rnti_bits[None]))
+    k_bits = jnp.concatenate([payload.astype(jnp.int8), crc_bits], axis=1)
+    cw = penc.encode(k_bits, _polar(cfg))
+    return prm.rate_match(cw, _polar(cfg))
+
+
+def _scrambling_cinit(cfg: PdcchConfig) -> int:
+    """TS 38.211 §7.3.2.3: c_init = (n_rnti*2^16 + n_id) mod 2^31."""
+    return ((cfg.rnti << 16) + cfg.n_id) % (1 << 31)
+
+
+def _re_positions(cfg: PdcchConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(data_sc, dmrs_sc) absolute subcarrier indices of the allocation.
+
+    Non-interleaved: CCE c occupies 6 consecutive PRBs starting at
+    coreset_start_prb + 6*(cce_index + c); DM-RS on subcarriers 4k+1.
+    """
+    prbs = []
+    for c in range(cfg.aggregation_level):
+        first = cfg.coreset_start_prb + 6 * (cfg.cce_index + c)
+        prbs.extend(range(first, first + 6))
+    sc = np.concatenate([np.arange(p * N_SC_PER_PRB, (p + 1) * N_SC_PER_PRB)
+                         for p in prbs])
+    dmrs = sc[sc % 4 == 1]
+    data = sc[sc % 4 != 1]
+    return data, dmrs
+
+
+def process(payload: jnp.ndarray, cfg: PdcchConfig, nsymb: int,
+            nsubc: int) -> jnp.ndarray:
+    """DCI payload -> (nsymb, nsubc) grid contribution (QPSK data + DM-RS)."""
+    bits = encode_dci(payload, cfg)
+    ci = jnp.asarray([_scrambling_cinit(cfg)], dtype=jnp.uint32)
+    scr = sequences.scramble_bits(bits, ci)
+    syms = modulation.modulate(scr, "qpsk")[0]
+
+    data_sc, dmrs_sc = _re_positions(cfg)
+    grid = jnp.zeros((nsymb, nsubc), jnp.complex64)
+    grid = grid.at[cfg.start_symbol, jnp.asarray(data_sc)].set(syms)
+
+    # PDCCH DM-RS (§7.4.1.3): Gold QPSK, c_init from slot/symbol/n_id.
+    l = cfg.start_symbol
+    cinit = ((1 << 17) * (14 * cfg.slot + l + 1) * (2 * cfg.n_id + 1)
+             + 2 * cfg.n_id) % (1 << 31)
+    npil = len(dmrs_sc)
+    # Sequence index counts pilots from subcarrier 0 of the CORESET ref point.
+    first_pil = int(dmrs_sc[0] // 4)
+    c = sequences.np_gold_sequence(cinit, 2 * (npil + first_pil))[2 * first_pil:]
+    pil = ((1 - 2 * c[0::2]) + 1j * (1 - 2 * c[1::2])) / np.sqrt(2)
+    grid = grid.at[l, jnp.asarray(dmrs_sc)].set(
+        jnp.asarray(pil.astype(np.complex64)))
+    return grid
+
+
+def blind_decode(rx_grid: jnp.ndarray, cfg: PdcchConfig
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """UE-style receive for loopback tests: returns ((1, A) payload, ok).
+
+    Assumes the channel is already equalized (or clean); uses the DM-RS only
+    implicitly via CRC success.
+    """
+    data_sc, _ = _re_positions(cfg)
+    syms = rx_grid[cfg.start_symbol, jnp.asarray(data_sc)]
+    llr = modulation.demodulate_soft(syms[None], jnp.float32(0.1), "qpsk",
+                                     quantize=False)
+    ci = jnp.asarray([_scrambling_cinit(cfg)], dtype=jnp.uint32)
+    llr = sequences.scramble_llrs(llr, ci)
+    c = _polar(cfg)
+    decoded = pdec.decode(prm.rate_dematch(llr, c), c)  # (1, K)
+    payload, crc_rx = decoded[:, :cfg.payload_bits], decoded[:, cfg.payload_bits:]
+    # Re-mask the RNTI and check CRC24C over (ones ++ payload).
+    rnti_bits = jnp.asarray([(cfg.rnti >> (15 - i)) & 1 for i in range(16)],
+                            jnp.int8)
+    crc_rx = crc_rx.at[:, 8:].set(jnp.bitwise_xor(crc_rx[:, 8:], rnti_bits[None]))
+    ones = jnp.ones((1, 24), jnp.int8)
+    want = crc(jnp.concatenate([ones, payload], axis=1), "crc24c")
+    ok = jnp.all(want == crc_rx, axis=1)
+    return payload, ok

@@ -1,0 +1,129 @@
+"""PRACH preamble generation and detection (TS 38.211 §6.3.3).
+
+Counterparts of the reference's prach_generator_impl.cpp (ZC preamble in the
+frequency domain) and prach_detector_generic_impl.cpp (frequency-domain
+correlation against the root replica via IDFT, peak search over cyclic-shift
+windows with a noise-floor threshold).
+
+TPU design: the detector correlates a received frequency-domain preamble
+window against ALL 64 candidate preambles of the cell at once — the per-root
+conj-multiply + IDFT is batched over roots, and the per-preamble peak search
+is a windowed max over the delay axis.  Unrestricted sets (the zmq-loopback
+scenario) are supported; restricted sets A/B are a planned extension.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+
+_DATA = pathlib.Path(__file__).resolve().parents[1] / "data" / "ldpc_graphs.npz"
+
+L_LONG = 839
+L_SHORT = 139
+
+
+@functools.lru_cache(maxsize=None)
+def _root_tables():
+    d = np.load(_DATA)
+    return {L_LONG: d["prach_root_long"], L_SHORT: d["prach_root_short"]}
+
+
+def sequence_number(logical_index: int, l_ra: int = L_LONG) -> int:
+    """Logical root sequence index -> physical u (Tables 6.3.3.1-3/-4)."""
+    return int(_root_tables()[l_ra][logical_index % (l_ra - 1)])
+
+
+@functools.lru_cache(maxsize=None)
+def root_sequence(u: int, l_ra: int = L_LONG) -> np.ndarray:
+    """x_u(n) = exp(-j pi u n (n+1) / L), host-precomputed complex64."""
+    n = np.arange(l_ra, dtype=np.float64)
+    return np.exp(-1j * np.pi * u * n * (n + 1) / l_ra).astype(np.complex64)
+
+
+@dataclasses.dataclass(frozen=True)
+class PrachConfig:
+    """One cell's preamble space: 64 preambles from consecutive logical roots
+    with N_cs-spaced cyclic shifts (unrestricted set)."""
+
+    root_sequence_index: int
+    zero_correlation_zone: int   # N_cs directly (0 => single shift per root)
+    l_ra: int = L_LONG
+
+    @property
+    def n_cs(self) -> int:
+        return self.zero_correlation_zone
+
+    @property
+    def shifts_per_root(self) -> int:
+        if self.n_cs == 0:
+            return 1
+        return self.l_ra // self.n_cs
+
+    def preamble(self, index: int) -> tuple[int, int]:
+        """Preamble index (0..63) -> (u, cyclic shift C_v)."""
+        v_max = self.shifts_per_root
+        root_offset, v = divmod(index, v_max)
+        u = sequence_number(self.root_sequence_index + root_offset, self.l_ra)
+        return u, v * self.n_cs
+
+
+def generate(cfg: PrachConfig, preamble_index: int) -> jnp.ndarray:
+    """Frequency-domain preamble y_{u,v} = DFT(x_u cyclically shifted by C_v).
+
+    Returns (L_RA,) complex64 — the sequence mapped to the PRACH subcarriers
+    (prach_generator_impl.cpp produces the same frequency-domain output).
+    """
+    u, cv = cfg.preamble(preamble_index)
+    x = np.roll(root_sequence(u, cfg.l_ra), -cv)
+    return jnp.asarray(np.fft.fft(x).astype(np.complex64))
+
+
+@dataclasses.dataclass
+class PrachDetection:
+    metrics: jnp.ndarray       # (64,) peak-to-noise metric per preamble
+    delays: jnp.ndarray        # (64,) peak delay (samples in L_RA domain)
+    detected: jnp.ndarray      # (64,) bool, metric above threshold
+
+
+def detect(rx_freq: jnp.ndarray, cfg: PrachConfig,
+           threshold: float = 20.0) -> PrachDetection:
+    """Detect preambles from the (L_RA,) frequency-domain PRACH window.
+
+    corr_u(t) = IDFT(rx * conj(DFT(x_u))): a peak at delay t for a preamble
+    transmitted with shift C_v appears at t = C_v + propagation delay, so each
+    preamble's metric is the windowed max over its own N_cs zone, normalised
+    by the overall mean power (noise floor).
+    """
+    l_ra = cfg.l_ra
+    nroots = -(-64 // cfg.shifts_per_root)
+    roots = np.stack([root_sequence(sequence_number(cfg.root_sequence_index + i,
+                                                    l_ra), l_ra)
+                      for i in range(nroots)])
+    root_f = jnp.asarray(np.fft.fft(roots, axis=-1).astype(np.complex64))
+
+    corr_f = rx_freq[None, :] * jnp.conj(root_f)          # (nroots, L)
+    corr_t = jnp.fft.ifft(corr_f, axis=-1)
+    power = jnp.abs(corr_t) ** 2                          # (nroots, L)
+    floor = jnp.mean(power) + 1e-30
+
+    ncs = cfg.n_cs if cfg.n_cs else l_ra
+    win = min(ncs, l_ra)
+    # x_{u,v}(n) = x_u((n + C_v) mod L) puts the zero-delay peak at
+    # (L - C_v) mod L; each preamble's zone starts there and spans N_cs.
+    power2 = jnp.concatenate([power, power], axis=-1)     # easy wrap-around
+    metrics, delays = [], []
+    for p in range(64):
+        root_offset, v = divmod(p, cfg.shifts_per_root)
+        start = (l_ra - v * cfg.n_cs) % l_ra
+        zone = power2[root_offset, start:start + win]
+        metrics.append(jnp.max(zone) / floor)
+        delays.append(jnp.argmax(zone))
+    metrics = jnp.stack(metrics)
+    delays = jnp.stack(delays)
+    return PrachDetection(metrics=metrics, delays=delays,
+                          detected=metrics > threshold)

@@ -1,0 +1,119 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srsran_edgeric_5g_tpu.ops import prach, pucch
+
+
+# ------------------------------------------------------------------- PRACH
+
+def test_root_sequence_properties():
+    x = prach.root_sequence(129, prach.L_LONG)
+    np.testing.assert_allclose(np.abs(x), 1.0, atol=1e-6)
+    # ZC: ideal periodic autocorrelation (delta).
+    ac = np.fft.ifft(np.abs(np.fft.fft(x)) ** 2)
+    assert np.abs(ac[0]) > 100 * np.abs(ac[1:]).max()
+
+
+def test_logical_root_mapping():
+    assert prach.sequence_number(0) == 129
+    assert prach.sequence_number(1) == 710
+    assert prach.sequence_number(0, prach.L_SHORT) == 1
+
+
+def test_prach_detect_clean():
+    cfg = prach.PrachConfig(root_sequence_index=1, zero_correlation_zone=13)
+    pre = prach.generate(cfg, preamble_index=17)
+    det = prach.detect(pre, cfg)
+    d = np.asarray(det.detected)
+    assert d[17], f"metrics around: {np.asarray(det.metrics)[15:20]}"
+    assert d.sum() == 1, np.nonzero(d)
+
+
+def test_prach_detect_with_noise_and_delay():
+    cfg = prach.PrachConfig(root_sequence_index=1, zero_correlation_zone=13)
+    rng = np.random.default_rng(0)
+    pre = np.asarray(prach.generate(cfg, preamble_index=5))
+    # Delay in time domain = linear phase in frequency domain.
+    delay = 4
+    phase = np.exp(-2j * np.pi * np.arange(prach.L_LONG) * delay / prach.L_LONG)
+    noise = (rng.normal(size=pre.shape) + 1j * rng.normal(size=pre.shape)) * 1.0
+    rx = jnp.asarray((pre * phase + noise).astype(np.complex64))
+    det = prach.detect(rx, cfg)
+    d = np.asarray(det.detected)
+    assert d[5]
+    assert int(np.asarray(det.delays)[5]) == delay
+
+
+def test_prach_no_false_alarm_on_noise():
+    cfg = prach.PrachConfig(root_sequence_index=1, zero_correlation_zone=13)
+    rng = np.random.default_rng(1)
+    noise = (rng.normal(size=prach.L_LONG) + 1j * rng.normal(size=prach.L_LONG))
+    det = prach.detect(jnp.asarray(noise.astype(np.complex64)), cfg)
+    assert not np.asarray(det.detected).any()
+
+
+# ------------------------------------------------------------------- PUCCH
+
+def f0cfg(**kw):
+    base = dict(n_id=17, slot=2, start_symbol=12, nof_symbols=2, initial_cs=3)
+    base.update(kw)
+    return pucch.Pucch01Config(**base)
+
+
+def test_format0_detects_correct_m0():
+    cfg = f0cfg()
+    tx = pucch.format0_generate(cfg, m0=6)
+    metrics, best = pucch.format0_detect(tx, cfg, m0_candidates=(0, 3, 6, 9))
+    assert int(best) == 2
+    m = np.asarray(metrics)
+    assert m[2] > 0.99 and (np.delete(m, 2) < 0.6).all()
+
+
+def test_format0_noisy():
+    cfg = f0cfg()
+    rng = np.random.default_rng(2)
+    tx = np.asarray(pucch.format0_generate(cfg, m0=0))
+    rx = tx * 0.7 + (rng.normal(size=tx.shape) + 1j * rng.normal(size=tx.shape)) * 0.2
+    metrics, best = pucch.format0_detect(jnp.asarray(rx.astype(np.complex64)),
+                                         cfg, m0_candidates=(0, 6))
+    assert int(best) == 0
+
+
+@pytest.mark.parametrize("bits", [[0], [1], [0, 1], [1, 1]])
+def test_format1_roundtrip(bits):
+    cfg = f0cfg(start_symbol=0, nof_symbols=8)
+    tx = pucch.format1_generate(cfg, np.asarray(bits), occ_index=1)
+    out, metric = pucch.format1_detect(tx, cfg, nof_bits=len(bits), occ_index=1)
+    np.testing.assert_array_equal(np.asarray(out).ravel(), bits)
+    assert float(metric) > 0.5
+
+
+def f2cfg(**kw):
+    base = dict(rnti=0x4601, n_id=31, n_id0=7, slot=1, start_symbol=12,
+                nof_symbols=2, start_prb=2, nof_prb=4, uci_bits=7)
+    base.update(kw)
+    return pucch.Pucch2Config(**base)
+
+
+@pytest.mark.parametrize("k", [4, 11, 16])
+def test_format2_roundtrip(k):
+    cfg = f2cfg(uci_bits=k, nof_prb=6 if k > 11 else 4)
+    rng = np.random.default_rng(k)
+    bits = jnp.asarray(rng.integers(0, 2, (1, k), dtype=np.int8))
+    grid = pucch.format2_process(bits, cfg, nsymb=14, nsubc=624)
+    out, ok = pucch.format2_decode(grid, cfg)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+
+def test_format2_noisy_channel():
+    cfg = f2cfg(uci_bits=6)
+    rng = np.random.default_rng(9)
+    bits = jnp.asarray(rng.integers(0, 2, (1, 6), dtype=np.int8))
+    grid = np.asarray(pucch.format2_process(bits, cfg, nsymb=14, nsubc=624))
+    h = 0.9 * np.exp(1j * 0.4)
+    noise = (rng.normal(size=grid.shape) + 1j * rng.normal(size=grid.shape))
+    rx = grid * h + noise * 0.05 * (np.abs(grid) > 0)  # noise in-allocation
+    out, ok = pucch.format2_decode(jnp.asarray(rx.astype(np.complex64)), cfg)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))

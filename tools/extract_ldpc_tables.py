@@ -144,6 +144,36 @@ def parse_rm_basis() -> np.ndarray:
     return arr.astype(np.int8).reshape(11, 32)
 
 
+
+PRACH_SRC = ("/root/reference/srsRAN-5G-ER/lib/phy/upper/channel_processors/"
+             "prach_generator_impl.cpp")
+
+
+def parse_prach_roots() -> tuple[np.ndarray, np.ndarray]:
+    """TS 38.211 Tables 6.3.3.1-3/-4: logical root index -> sequence number u."""
+    src = open(PRACH_SRC).read()
+
+    def grab_after(marker, count):
+        start = src.index(marker)
+        start = src.index("{", src.index("lut", start))
+        depth, end = 0, None
+        for j in range(start, len(src)):
+            if src[j] == "{":
+                depth += 1
+            elif src[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    end = j
+                    break
+        vals = [int(v) for v in
+                re.findall(r"\d+", re.sub(r"//[^\n]*", "", src[start:end]))]
+        assert len(vals) == count, len(vals)
+        return np.array(vals, dtype=np.int16)
+
+    return grab_after("get_sequence_number_long", 838), \
+        grab_after("get_sequence_number_short", 138)
+
+
 def main() -> None:
     text = open(SRC).read()
     bg1 = parse_matrices(text, "BG1")
@@ -182,6 +212,8 @@ def main() -> None:
         polar_sequence_1024=polar_seq,
         polar_dci_interleaver_pattern=polar_pattern,
         rm_basis_sequences=parse_rm_basis(),
+        prach_root_long=parse_prach_roots()[0],
+        prach_root_short=parse_prach_roots()[1],
     )
     print(f"wrote {OUT} (incl. phi {phi6.shape}/{phi12.shape}, polar "
           f"{polar_seq.shape}/{polar_pattern.shape})")

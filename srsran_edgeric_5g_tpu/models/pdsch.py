@@ -61,25 +61,17 @@ class PdschConfig:
         return self.nof_data_re * self.qm
 
     def derived_tbs(self) -> int:
-        """TBS (payload bits) — explicit, or naive rate*G rounded to bytes.
+        """TBS (payload bits): explicit override, or TS 38.214 §5.1.3.2.
 
-        (TS 38.214 table-based TBS lives in ran.tbs; this fallback keeps
-        standalone configs simple and always CB-aligned.)
+        DM-RS symbols carry no data in this configuration, so the per-PRB
+        DM-RS overhead is 12 REs per DM-RS symbol.
         """
         if self.tbs is not None:
             return self.tbs
-        raw = int(self.g_total * self.target_rate) - 24
-        tbs = (raw // 8) * 8
-        # Keep (TBS + TB CRC) divisible by the CB count like real TBS values.
-        for cand in range(tbs, 0, -8):
-            try:
-                segmenter.get_segment_plan(
-                    cand, segmenter.select_base_graph(cand, self.target_rate),
-                    self.g_total, self.qm)
-                return cand
-            except AssertionError:
-                continue
-        raise ValueError("no valid TBS found")
+        from ..ran.tbs import tbs as tbs_calc, nof_re
+        nre = nof_re(self.nof_prb, self.nof_symbols,
+                     12 * len(self.dmrs_symbols))
+        return tbs_calc(nre, self.target_rate, self.qm)
 
 
 @functools.lru_cache(maxsize=None)

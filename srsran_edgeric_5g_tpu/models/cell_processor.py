@@ -1,0 +1,139 @@
+"""Cell-level upper-PHY orchestration: one object per cell, slot-by-slot.
+
+Counterpart of the reference's upper-PHY glue (upper_phy_impl,
+downlink_processor_single_executor_impl.h:67-131 — process PDCCH/PDSCH/SSB
+then send the grid — and uplink_processor_impl.cpp:70-154) plus the HARQ
+rx-softbuffer pool (rx_buffer_pool_impl.cpp): the only cross-slot PHY state,
+kept as device-resident arrays keyed by (rnti, harq process).
+
+The heavy per-slot math lives in parallel.slot_pipeline (jitted once); this
+layer sequences control channels, tracks HARQ state, and reports metrics —
+the role the reference spreads across executors and FSMs, collapsed into
+explicit slot-step calls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import slot_pipeline as sp
+from ..utils.metrics import MetricsHub, SlotMetrics, UeSlotMetrics
+from ..utils.tracing import l1_tracer
+from . import pdcch as pdcch_mod, ssb as ssb_mod
+
+NOF_HARQ = 8
+
+
+@dataclasses.dataclass
+class HarqProcess:
+    """Per-(UE, pid) soft-combining state (reference rx_buffer)."""
+
+    soft_buffer: jnp.ndarray | None = None
+    rv_sequence: tuple[int, ...] = (0, 2, 3, 1)
+    tx_count: int = 0
+
+    def next_rv(self) -> int:
+        return self.rv_sequence[min(self.tx_count, len(self.rv_sequence) - 1)]
+
+    def reset(self):
+        self.soft_buffer = None
+        self.tx_count = 0
+
+
+class HarqPool:
+    """rnti -> pid -> HarqProcess, the reference rx_buffer_pool equivalent."""
+
+    def __init__(self):
+        self._pool: dict[tuple[int, int], HarqProcess] = {}
+
+    def get(self, rnti: int, pid: int) -> HarqProcess:
+        key = (rnti, pid % NOF_HARQ)
+        if key not in self._pool:
+            self._pool[key] = HarqProcess()
+        return self._pool[key]
+
+
+class CellProcessor:
+    """Slot-driven DL/UL processing for one cell."""
+
+    def __init__(self, cell: sp.CellConfig, pci: int = 1,
+                 ssb_period_slots: int = 20, metrics: MetricsHub | None = None,
+                 mesh=None):
+        self.cell = cell
+        self.pci = pci
+        self.ssb_period = ssb_period_slots
+        self.metrics = metrics or MetricsHub()
+        self.mesh = mesh
+        self.harq = HarqPool()
+        self.rntis = jnp.asarray(0x4601 + np.arange(cell.nof_ue),
+                                 dtype=np.uint32)
+        self.tbs = cell.derived_tbs()
+        self._dl = jax.jit(lambda p, rv: sp.dl_slot(p, self.rntis, cell,
+                                                    rv=rv, mesh=mesh),
+                           static_argnums=1)
+        self._ul = jax.jit(lambda s: sp.ul_slot(s, self.rntis, cell,
+                                                mesh=mesh))
+        self._slot = 0
+
+    # ------------------------------------------------------------------ DL
+
+    def process_dl_slot(self, payloads: jnp.ndarray,
+                        mib: jnp.ndarray | None = None,
+                        dci: jnp.ndarray | None = None) -> jnp.ndarray:
+        """(U, TBS) payloads -> (total,) DL samples for this slot.
+
+        Adds SSB every `ssb_period` slots and a PDCCH when `dci` given —
+        the downlink_processor 'process pdcch/pdsch/ssb then send' sequence.
+        """
+        with l1_tracer.span("dl_slot", slot=self._slot):
+            td = self._dl(payloads, 0)
+        # Control-channel grid contributions are modulated separately and
+        # added in the time domain (disjoint REs -> additive grids).
+        extra = None
+        t = self.cell.timing
+        if mib is not None and self._slot % self.ssb_period == 0:
+            cfg = ssb_mod.SsbConfig(pci=self.pci, first_symbol=0,
+                                    first_subcarrier=0)
+            g = ssb_mod.process(mib, cfg, t.nsymb, t.nof_subc)
+            extra = g if extra is None else extra + g
+        if dci is not None:
+            pcfg = pdcch_mod.PdcchConfig(rnti=int(self.rntis[0]),
+                                         n_id=self.cell.n_id,
+                                         aggregation_level=4, cce_index=0,
+                                         start_symbol=0,
+                                         payload_bits=dci.shape[-1])
+            g = pdcch_mod.process(dci, pcfg, t.nsymb, t.nof_subc)
+            extra = g if extra is None else extra + g
+        if extra is not None:
+            from ..ops import ofdm
+            td = td + ofdm.modulate_slot(extra, t, scale=1.0 / t.nfft)
+        return td
+
+    # ------------------------------------------------------------------ UL
+
+    def process_ul_slot(self, rx_samples: jnp.ndarray, pid: int = 0):
+        """(total,) UL samples -> decode results; updates HARQ + metrics."""
+        with l1_tracer.span("ul_slot", slot=self._slot):
+            payload, tb_ok, nv, cfo = self._ul(rx_samples)
+        ok = np.asarray(tb_ok)
+        ues = []
+        for u in range(self.cell.nof_ue):
+            rnti = int(self.rntis[u])
+            h = self.harq.get(rnti, pid)
+            if ok[u]:
+                h.reset()
+            else:
+                h.tx_count += 1
+            ues.append(UeSlotMetrics(
+                rnti=rnti, tb_crc_ok=bool(ok[u]), tbs=self.tbs,
+                noise_var=float(np.asarray(nv)[u]),
+                cfo_hz=float(np.asarray(cfo)[u]),
+                ul_bytes=self.tbs // 8 if ok[u] else 0,
+                dl_bytes=self.tbs // 8))
+        self.metrics.report(SlotMetrics(slot=self._slot, ues=ues))
+        self._slot += 1
+        return payload, tb_ok

@@ -2,9 +2,11 @@
 
 The TPU-native equivalent of the reference's per-slot hot loops (SURVEY.md
 §3.2/§3.3): one jitted program per direction processes a whole slot for all
-UEs of a cell.  UE allocations are uniform-width (the scheduler's PRB split
-for the 4-UE zmq scenario), so every per-UE stage is vmappable; per-UE PRB
-offsets, RNTIs and DM-RS sequences are runtime tensors.
+UEs of a cell.  UE allocations are uniform-width and CONTIGUOUS from a static
+first PRB (the scheduler's equal PRB split for the 4-UE zmq scenario), which
+turns every per-UE gather/scatter into a static slice + reshape — no dynamic
+indexing anywhere on the hot path.  RNTIs (scrambling inits) stay runtime
+tensors.
 
 Sharding (jax.sharding + with_sharding_constraint, XLA SPMD inserts the
 collectives):
@@ -51,6 +53,7 @@ class CellConfig:
     n_id: int = 1
     slot: int = 0
     mu: int = 0
+    first_prb: int = 0            # static start of the contiguous UE span
 
     @property
     def timing(self) -> SlotTiming:
@@ -108,17 +111,19 @@ def shard(x, mesh, spec):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 
-def dl_slot(payloads: jnp.ndarray, start_sc: jnp.ndarray,
-            rntis: jnp.ndarray, cell: CellConfig, rv: int = 0,
-            mesh=None) -> jnp.ndarray:
+def dl_slot(payloads: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
+            rv: int = 0, mesh=None) -> jnp.ndarray:
     """DL direction: (U, TBS) payloads -> (total,) baseband samples.
 
-    ``start_sc``: (U,) int32 first subcarrier of each UE's allocation.
+    UE u occupies PRBs [first_prb + u*prb_per_ue, ...) — static layout, so
+    grid assembly is a transpose + one static slice write.
     """
     seg, rm = _plans(cell, rv)
     t = cell.timing
     u = cell.nof_ue
     w = cell.ue_width_sc
+    span = u * w
+    band0 = cell.first_prb * N_SC_PER_PRB
 
     payloads = shard(payloads, mesh, (UE_AXIS,))
 
@@ -133,84 +138,75 @@ def dl_slot(payloads: jnp.ndarray, start_sc: jnp.ndarray,
     ci = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
     bits = sequences.scramble_bits(bits, ci)
     syms = modulation.modulate(bits, cell.modulation)      # (U, G/Qm)
-    data = syms.reshape(u, len(cell.data_symbols), w)
+    ndata = len(cell.data_symbols)
+    band = syms.reshape(u, ndata, w).transpose(1, 0, 2).reshape(ndata, span)
 
+    grid = jnp.zeros((t.nsymb, t.nof_subc), jnp.complex64)
+    data_sym_idx = jnp.asarray(np.asarray(cell.data_symbols, dtype=np.int32))
+    grid = grid.at[data_sym_idx, band0:band0 + span].set(band.astype(jnp.complex64))
+
+    # DM-RS over the whole occupied span (all UEs share n_id -> one sequence).
+    span_pat = dmrs_mod.dmrs_pattern(1, u * cell.prb_per_ue, port=0)
     pilots = _dmrs_full_band(cell)                         # (ndmrs, 6*nof_prb)
-
-    # --- per-UE grid contribution, summed over UEs ---
-    pat = dmrs_mod.dmrs_pattern(1, cell.prb_per_ue, port=0)
-    data_sym_idx = np.asarray(cell.data_symbols, dtype=np.int32)
-    pilot_rel = jnp.asarray(pat.subcarriers)
-
-    def place(data_u, s0):
-        g = jnp.zeros((t.nsymb, t.nof_subc), jnp.complex64)
-        g = jax.lax.dynamic_update_slice(
-            g, jnp.zeros((t.nsymb, w), jnp.complex64).at[jnp.asarray(data_sym_idx)]
-            .set(data_u.astype(jnp.complex64)), (0, s0))
-        # DM-RS: slice the full-band sequence at this UE's pilot offset.
-        for i, l in enumerate(cell.dmrs_symbols):
-            pil = jax.lax.dynamic_slice(pilots[i], (s0 // 2,), (len(pat.subcarriers),))
-            row = jnp.zeros((t.nof_subc,), jnp.complex64)
-            row = row.at[pilot_rel].set(pil)
-            row = jnp.roll(row, s0)  # shift relative positions to absolute
-            g = g.at[l].add(row)
-        return g
-
-    grids = jax.vmap(place)(data, start_sc)               # (U, nsymb, nsubc)
-    grid = jnp.sum(grids, axis=0)                          # psum over 'ue'
+    p0 = 6 * cell.first_prb
+    npil_span = len(span_pat.subcarriers)
+    for i, l in enumerate(cell.dmrs_symbols):
+        grid = grid.at[l, jnp.asarray(span_pat.subcarriers + band0)].set(
+            pilots[i, p0:p0 + npil_span])
     return ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
 
 
-def dl_slot_batch(payloads: jnp.ndarray, start_sc: jnp.ndarray,
-                  rntis: jnp.ndarray, cell: CellConfig, rv: int = 0,
-                  mesh=None) -> jnp.ndarray:
+def dl_slot_batch(payloads: jnp.ndarray, rntis: jnp.ndarray,
+                  cell: CellConfig, rv: int = 0, mesh=None) -> jnp.ndarray:
     """Slot-batched DL: (S, U, TBS) payloads -> (S, total) samples.
 
     Processing whole slot batches per dispatch is the TPU counterpart of the
     reference's run-ahead slot pipelining (nof_slot_tti_in_advance,
     downlink_processor_baseband_impl.cpp:47): it amortises per-op dispatch
-    and fills the VPU (8x throughput at S=8 on one chip).
+    and fills the VPU.
     """
-    return jax.vmap(lambda p: dl_slot(p, start_sc, rntis, cell, rv, mesh))(payloads)
+    return jax.vmap(lambda p: dl_slot(p, rntis, cell, rv, mesh))(payloads)
 
 
-def ul_slot_batch(rx_samples: jnp.ndarray, start_sc: jnp.ndarray,
-                  rntis: jnp.ndarray, cell: CellConfig, rv: int = 0,
+def ul_slot_batch(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
+                  cell: CellConfig, rv: int = 0,
                   num_iters: int = decoder.DEFAULT_ITERS, mesh=None):
     """Slot-batched UL: (S, total) samples -> per-slot decode results."""
-    return jax.vmap(lambda s: ul_slot(s, start_sc, rntis, cell, rv,
+    return jax.vmap(lambda s: ul_slot(s, rntis, cell, rv,
                                       num_iters, mesh))(rx_samples)
 
 
-def ul_slot(rx_samples: jnp.ndarray, start_sc: jnp.ndarray,
-            rntis: jnp.ndarray, cell: CellConfig, rv: int = 0,
-            num_iters: int = decoder.DEFAULT_ITERS, mesh=None):
+def ul_slot(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
+            rv: int = 0, num_iters: int = decoder.DEFAULT_ITERS, mesh=None):
     """UL direction: (total,) samples -> decoded (U, TBS), (U,) crc_ok,
     (U,) noise_var, (U,) cfo."""
     seg, rm = _plans(cell, rv)
     t = cell.timing
     u = cell.nof_ue
     w = cell.ue_width_sc
+    span = u * w
+    band0 = cell.first_prb * N_SC_PER_PRB
 
     rx_grid = ofdm.demodulate_slot(rx_samples, t, scale=1.0)
+    band = rx_grid[:, band0:band0 + span]                  # (nsymb, span)
 
     pilots = _dmrs_full_band(cell)
     pat = dmrs_mod.dmrs_pattern(1, cell.prb_per_ue, port=0)
+    span_pat = dmrs_mod.dmrs_pattern(1, u * cell.prb_per_ue, port=0)
     data_sym_idx = np.asarray(cell.data_symbols, dtype=np.int32)
     times = np.asarray([t.cp.data_starts[l] for l in cell.dmrs_symbols]) / t.srate
+    npil_ue = len(pat.subcarriers)
+    ndmrs = len(cell.dmrs_symbols)
 
-    def extract(s0):
-        """Per-UE rx pilots and data REs from the shared grid."""
-        band = jax.lax.dynamic_slice(rx_grid, (0, s0), (t.nsymb, w))
-        rx_p = jnp.stack([band[l, pilot_idx] for l, pilot_idx in
-                          zip(cell.dmrs_symbols,
-                              [jnp.asarray(pat.subcarriers)] * len(cell.dmrs_symbols))])
-        ref_p = jax.vmap(lambda p: jax.lax.dynamic_slice(
-            p, (s0 // 2,), (len(pat.subcarriers),)))(pilots)
-        y = band[jnp.asarray(data_sym_idx)]
-        return rx_p, ref_p, y
-
-    rx_p, ref_p, y = jax.vmap(extract)(start_sc)
+    # Static extraction: whole-span pilot/data slices, reshaped per UE.
+    dmrs_sym_idx = jnp.asarray(np.asarray(cell.dmrs_symbols, dtype=np.int32))
+    rx_p = band[dmrs_sym_idx][:, jnp.asarray(span_pat.subcarriers)]
+    rx_p = rx_p.reshape(ndmrs, u, npil_ue).transpose(1, 0, 2)  # (U, ndmrs, npil)
+    p0 = 6 * cell.first_prb
+    ref_p = pilots[:, p0:p0 + len(span_pat.subcarriers)]
+    ref_p = ref_p.reshape(ndmrs, u, npil_ue).transpose(1, 0, 2)
+    ndata = len(cell.data_symbols)
+    y = band[jnp.asarray(data_sym_idx)].reshape(ndata, u, w).transpose(1, 0, 2)
     rx_p = shard(rx_p, mesh, (UE_AXIS,))
 
     h, nv, cfo = channel_est.estimate_port(

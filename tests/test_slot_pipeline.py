@@ -17,18 +17,16 @@ def _run(cell, mesh=None, snr_db=20.0, seed=0):
     rng = np.random.default_rng(seed)
     tbs = cell.derived_tbs()
     payloads = jnp.asarray(rng.integers(0, 2, (cell.nof_ue, tbs), dtype=np.int8))
-    start_sc = jnp.asarray(np.arange(cell.nof_ue) * cell.ue_width_sc,
-                           dtype=np.int32)
     rntis = jnp.asarray(0x4601 + np.arange(cell.nof_ue), dtype=np.uint32)
 
-    dl = jax.jit(lambda p: sp.dl_slot(p, start_sc, rntis, cell, mesh=mesh))
+    dl = jax.jit(lambda p: sp.dl_slot(p, rntis, cell, mesh=mesh))
     td = dl(payloads)
 
     nv = float(jnp.mean(jnp.abs(td) ** 2)) * 10 ** (-snr_db / 10)
     noise = (rng.normal(size=td.shape) + 1j * rng.normal(size=td.shape))
     rx = jnp.asarray((np.asarray(td) + noise * np.sqrt(nv / 2)).astype(np.complex64))
 
-    ul = jax.jit(lambda s: sp.ul_slot(s, start_sc, rntis, cell, mesh=mesh))
+    ul = jax.jit(lambda s: sp.ul_slot(s, rntis, cell, mesh=mesh))
     payload_hat, tb_ok, nv_est, cfo = ul(rx)
     return payloads, payload_hat, tb_ok, nv_est
 
@@ -54,11 +52,10 @@ def test_sharded_equals_unsharded():
     rng = np.random.default_rng(2)
     tbs = cell.derived_tbs()
     payloads = jnp.asarray(rng.integers(0, 2, (4, tbs), dtype=np.int8))
-    start_sc = jnp.asarray(np.arange(4) * cell.ue_width_sc, dtype=np.int32)
     rntis = jnp.asarray([1, 2, 3, 4], dtype=np.uint32)
-    td0 = jax.jit(lambda p: sp.dl_slot(p, start_sc, rntis, cell))(payloads)
+    td0 = jax.jit(lambda p: sp.dl_slot(p, rntis, cell))(payloads)
     mesh = make_mesh(n_ue=8, n_cb=1)
-    td1 = jax.jit(lambda p: sp.dl_slot(p, start_sc, rntis, cell, mesh=mesh))(payloads)
+    td1 = jax.jit(lambda p: sp.dl_slot(p, rntis, cell, mesh=mesh))(payloads)
     np.testing.assert_allclose(np.asarray(td0), np.asarray(td1), atol=1e-5)
 
 

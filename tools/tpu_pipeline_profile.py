@@ -27,11 +27,10 @@ def main():
     tbs = cell.derived_tbs()
     rng = np.random.default_rng(0)
     u = cell.nof_ue
-    start_sc = jnp.asarray(np.arange(u) * cell.ue_width_sc, dtype=np.int32)
     rntis = jnp.asarray(0x4601 + np.arange(u), dtype=np.uint32)
 
-    f_dl = jax.jit(lambda p: sp.dl_slot(p, start_sc, rntis, cell))
-    f_ul = jax.jit(lambda s: sp.ul_slot(s, start_sc, rntis, cell))
+    f_dl = jax.jit(lambda p: sp.dl_slot(p, rntis, cell))
+    f_ul = jax.jit(lambda s: sp.ul_slot(s, rntis, cell))
 
     payloads = jnp.asarray(rng.integers(0, 2, (u, tbs), dtype=np.int8))
     td = f_dl(payloads)
@@ -40,8 +39,8 @@ def main():
 
     for s in (4, 8, 16):
         pb = jnp.asarray(rng.integers(0, 2, (s, u, tbs), dtype=np.int8))
-        f_dlb = jax.jit(lambda p: sp.dl_slot_batch(p, start_sc, rntis, cell))
-        f_ulb = jax.jit(lambda x: sp.ul_slot_batch(x, start_sc, rntis, cell))
+        f_dlb = jax.jit(lambda p: sp.dl_slot_batch(p, rntis, cell))
+        f_ulb = jax.jit(lambda x: sp.ul_slot_batch(x, rntis, cell))
         tdb = f_dlb(pb)
         dt_dl = timeit(f_dlb, pb, iters=10)
         dt_ul = timeit(f_ulb, tdb, iters=10)

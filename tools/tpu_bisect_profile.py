@@ -57,8 +57,9 @@ def main():
         y = band[..., data_sym_idx, :].reshape(*band.shape[:-2], ndata, u, w).swapaxes(-3, -2)
         return rx_p, y
 
-    pilots = sp._dmrs_full_band(cell)
-    ref_p = pilots[:, :len(span_pat.subcarriers)].reshape(ndmrs, u, npil_ue).transpose(1, 0, 2)
+    pilots = jax.jit(lambda: sp._dmrs_full_band(cell))()
+    ref_p = jax.jit(lambda p: p[:, :len(span_pat.subcarriers)]
+                    .reshape(ndmrs, u, npil_ue).transpose(1, 0, 2))(pilots)
 
     def stage_chest(x):
         rx_p, y = stage_extract(x)

@@ -94,9 +94,23 @@ def modulate_slot(grid: jnp.ndarray, timing: SlotTiming,
     assert nsymb == timing.nsymb and nsubc == timing.nof_subc, (grid.shape, timing)
     nfft = timing.nfft
 
-    bins = _subcarrier_bins(nsubc, nfft)
-    x = jnp.zeros((*grid.shape[:-1], nfft), dtype=jnp.complex64)
-    x = x.at[..., jnp.asarray(bins)].set(grid.astype(jnp.complex64))
+    import jax
+
+    cpu = jax.default_backend() == "cpu"
+    g = grid.astype(jnp.complex64)
+    half = nsubc // 2
+    if cpu:
+        # XLA:CPU's FFT thunk requires a major-to-minor input layout; the
+        # slice/concat formulation can hand it a non-monotonic layout under
+        # SPMD partitioning, so CPU keeps the scatter/gather formulation.
+        bins = _subcarrier_bins(nsubc, nfft)
+        x = jnp.zeros((*grid.shape[:-1], nfft), dtype=jnp.complex64)
+        x = x.at[..., jnp.asarray(bins)].set(g)
+    else:
+        # Map subcarriers to DFT bins: upper half -> bins 0.., lower half ->
+        # top bins (two static slices + zero middle; no scatter).
+        zeros_mid = jnp.zeros((*grid.shape[:-1], nfft - nsubc), jnp.complex64)
+        x = jnp.concatenate([g[..., half:], zeros_mid, g[..., :half]], axis=-1)
 
     # Unnormalised inverse DFT (FFTW backward): N * jnp.ifft.
     td = jnp.fft.ifft(x, axis=-1).astype(jnp.complex64) * np.float32(nfft)
@@ -105,9 +119,17 @@ def modulate_slot(grid: jnp.ndarray, timing: SlotTiming,
                               slot_in_subframe=slot_in_subframe)
     td = td * jnp.asarray(coef * np.complex64(scale))[:, None]
 
-    flat = td.reshape(*td.shape[:-2], nsymb * nfft)
-    gather = jnp.asarray(_cp_gather_index(_timing_key(timing)))
-    return flat[..., gather]
+    if cpu:
+        flat = td.reshape(*td.shape[:-2], nsymb * nfft)
+        gather = jnp.asarray(_cp_gather_index(_timing_key(timing)))
+        return flat[..., gather]
+    # CP insertion as static slices + one concat (gathers are slow on TPU).
+    parts = []
+    for l, cp in enumerate(timing.cp.cp):
+        sym = td[..., l, :]
+        parts.append(sym[..., nfft - cp:])
+        parts.append(sym)
+    return jnp.concatenate(parts, axis=-1)
 
 
 def demodulate_slot(samples: jnp.ndarray, timing: SlotTiming,
@@ -125,8 +147,18 @@ def demodulate_slot(samples: jnp.ndarray, timing: SlotTiming,
     assert samples.shape[-1] == timing.cp.total
     scale = 1.0 / nfft if scale is None else scale
 
-    idx = _data_gather_index(_timing_key(timing)) - window_offset
-    seg = samples[..., jnp.asarray(idx)]            # (..., nsymb, nfft)
+    # Per-symbol static slices (stacked) instead of one big gather — the fast
+    # TPU path.  The CPU backend's FFT thunk rejects the resulting
+    # non-major layout under sharding, so it keeps the gather formulation.
+    import jax
+
+    if jax.default_backend() == "cpu":
+        idx = _data_gather_index(_timing_key(timing)) - window_offset
+        seg = samples[..., jnp.asarray(idx)]        # (..., nsymb, nfft)
+    else:
+        segs = [samples[..., s - window_offset: s - window_offset + nfft]
+                for s in timing.cp.data_starts]
+        seg = jnp.stack(segs, axis=-2)              # (..., nsymb, nfft)
     fd = jnp.fft.fft(seg, axis=-1).astype(jnp.complex64)
 
     coef = phase_compensation(timing, center_freq_hz, is_tx=False,
@@ -138,5 +170,9 @@ def demodulate_slot(samples: jnp.ndarray, timing: SlotTiming,
         ramp = np.exp(1j * omega * np.arange(nfft)).astype(np.complex64)
         fd = fd * jnp.asarray(ramp)
 
-    bins = _subcarrier_bins(nsubc, nfft)
-    return fd[..., jnp.asarray(bins)]
+    half = nsubc // 2
+    if jax.default_backend() == "cpu":
+        bins = _subcarrier_bins(nsubc, nfft)
+        return fd[..., jnp.asarray(bins)]
+    return jnp.concatenate([fd[..., nfft - half:], fd[..., :nsubc - half]],
+                           axis=-1)

@@ -140,19 +140,31 @@ def dl_slot(payloads: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
     syms = modulation.modulate(bits, cell.modulation)      # (U, G/Qm)
     ndata = len(cell.data_symbols)
     band = syms.reshape(u, ndata, w).transpose(1, 0, 2).reshape(ndata, span)
+    band = band.astype(jnp.complex64)
 
-    grid = jnp.zeros((t.nsymb, t.nof_subc), jnp.complex64)
-    data_sym_idx = jnp.asarray(np.asarray(cell.data_symbols, dtype=np.int32))
-    grid = grid.at[data_sym_idx, band0:band0 + span].set(band.astype(jnp.complex64))
-
-    # DM-RS over the whole occupied span (all UEs share n_id -> one sequence).
-    span_pat = dmrs_mod.dmrs_pattern(1, u * cell.prb_per_ue, port=0)
+    # DM-RS over the whole occupied span (all UEs share n_id -> one sequence;
+    # type-1 port 0 = even subcarriers, built by interleaving with zeros).
     pilots = _dmrs_full_band(cell)                         # (ndmrs, 6*nof_prb)
     p0 = 6 * cell.first_prb
-    npil_span = len(span_pat.subcarriers)
-    for i, l in enumerate(cell.dmrs_symbols):
-        grid = grid.at[l, jnp.asarray(span_pat.subcarriers + band0)].set(
-            pilots[i, p0:p0 + npil_span])
+    npil_span = span // 2
+
+    # Assemble the grid row-by-row with static concats (no scatters).
+    left = jnp.zeros((band0,), jnp.complex64)
+    right = jnp.zeros((t.nof_subc - band0 - span,), jnp.complex64)
+    zero_row = jnp.zeros((t.nof_subc,), jnp.complex64)
+    data_iter = iter(range(ndata))
+    rows = []
+    for l in range(t.nsymb):
+        if l in cell.data_symbols:
+            rows.append(jnp.concatenate([left, band[next(data_iter)], right]))
+        elif l in cell.dmrs_symbols:
+            i = cell.dmrs_symbols.index(l)
+            pil = pilots[i, p0:p0 + npil_span]
+            row_span = jnp.stack([pil, jnp.zeros_like(pil)], axis=-1).reshape(span)
+            rows.append(jnp.concatenate([left, row_span, right]))
+        else:
+            rows.append(zero_row)
+    grid = jnp.stack(rows)
     return ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
 
 
@@ -198,15 +210,18 @@ def ul_slot(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
     npil_ue = len(pat.subcarriers)
     ndmrs = len(cell.dmrs_symbols)
 
-    # Static extraction: whole-span pilot/data slices, reshaped per UE.
-    dmrs_sym_idx = jnp.asarray(np.asarray(cell.dmrs_symbols, dtype=np.int32))
-    rx_p = band[dmrs_sym_idx][:, jnp.asarray(span_pat.subcarriers)]
+    # Static extraction: strided slices only (type-1 DM-RS on even
+    # subcarriers of the span), no gathers.
+    assert (span_pat.subcarriers == np.arange(0, u * w, 2)).all(), \
+        "pipeline assumes type-1 port-0 DM-RS (even subcarriers)"
+    rx_p = jnp.stack([band[l, 0::2] for l in cell.dmrs_symbols])
     rx_p = rx_p.reshape(ndmrs, u, npil_ue).transpose(1, 0, 2)  # (U, ndmrs, npil)
     p0 = 6 * cell.first_prb
     ref_p = pilots[:, p0:p0 + len(span_pat.subcarriers)]
     ref_p = ref_p.reshape(ndmrs, u, npil_ue).transpose(1, 0, 2)
     ndata = len(cell.data_symbols)
-    y = band[jnp.asarray(data_sym_idx)].reshape(ndata, u, w).transpose(1, 0, 2)
+    y = jnp.stack([band[l] for l in cell.data_symbols])
+    y = y.reshape(ndata, u, w).transpose(1, 0, 2)
     rx_p = shard(rx_p, mesh, (UE_AXIS,))
 
     h, nv, cfo = channel_est.estimate_port(

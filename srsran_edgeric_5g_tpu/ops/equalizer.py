@@ -56,6 +56,53 @@ def equalize_mmse_1xn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
     return x_hat.astype(jnp.complex64), nvar_out.astype(jnp.float32)
 
 
+def equalize_mmse_2xn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
+                      tx_scaling: float = 1.0
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """MMSE for 2 spatial layers x N rx ports (counterpart of
+    equalize_zf_2xn.h / the reference's 2xN specialisations).
+
+    Args:
+      y: (ports, ...) received REs.
+      h: (ports, 2, ...) channel matrix per RE.
+      noise_var: broadcastable per-port noise variance (ports, ...).
+
+    Per RE solves x = (H^H H + N)^-1 H^H y with the closed-form 2x2 inverse,
+    unity-gain normalised per layer like the 1xN path; returns
+    ((2, ...) x_hat, (2, ...) nvar_out).
+    """
+    h = h * jnp.asarray(tx_scaling, h.dtype)
+    nv = jnp.broadcast_to(noise_var, y.shape)
+
+    # Gram matrix A = H^H H (2x2 Hermitian) and matched filter z = H^H y,
+    # with per-port noise whitening folded in (divide each port by nv_p).
+    w = 1.0 / jnp.maximum(nv, 1e-30)
+    hw = h * w[:, None]
+    a00 = jnp.sum(jnp.conj(h[:, 0]) * hw[:, 0], axis=0).real
+    a11 = jnp.sum(jnp.conj(h[:, 1]) * hw[:, 1], axis=0).real
+    a01 = jnp.sum(jnp.conj(h[:, 0]) * hw[:, 1], axis=0)
+    z0 = jnp.sum(jnp.conj(hw[:, 0]) * y, axis=0)
+    z1 = jnp.sum(jnp.conj(hw[:, 1]) * y, axis=0)
+
+    # MMSE: (A + I)^{-1} (noise already whitened to unit variance).
+    b00 = a00 + 1.0
+    b11 = a11 + 1.0
+    det = b00 * b11 - (a01 * jnp.conj(a01)).real
+    det = jnp.maximum(det, 1e-30)
+    x0 = (b11 * z0 - a01 * z1) / det
+    x1 = (b00 * z1 - jnp.conj(a01) * z0) / det
+
+    # Unbias: E[x_hat_l | x] = g_l x_l with g_l = 1 - [ (A+I)^-1 ]_ll.
+    inv00 = b11 / det
+    inv11 = b00 / det
+    g0 = jnp.maximum(1.0 - inv00, 1e-6)
+    g1 = jnp.maximum(1.0 - inv11, 1e-6)
+    x_hat = jnp.stack([x0 / g0, x1 / g1]).astype(jnp.complex64)
+    # Post-equalization noise variance per layer: (1-g)/g.
+    nv_out = jnp.stack([(1.0 - g0) / g0, (1.0 - g1) / g1]).astype(jnp.float32)
+    return x_hat, nv_out
+
+
 def equalize_zf_1xn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
                     tx_scaling: float = 1.0) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Zero-forcing variant: x_hat = sum conj(h) y / sum |h|^2."""

@@ -96,7 +96,9 @@ def np_gold_sequence(c_init: int, length: int) -> np.ndarray:
     for i in range(n):
         x1[i + 31] = x1[i + 3] ^ x1[i]
         x2[i + 31] = x2[i + 3] ^ x2[i + 2] ^ x2[i + 1] ^ x2[i]
-    return (x1[NC:NC + length] ^ x2[NC:NC + length]).astype(np.uint8)
+    # int8 so that arithmetic like (1 - 2*c) cannot wrap (uint8 would give
+    # 255 instead of -1).
+    return (x1[NC:NC + length] ^ x2[NC:NC + length]).astype(np.int8)
 
 
 def scramble_bits(bits: jnp.ndarray, c_init: jnp.ndarray) -> jnp.ndarray:

@@ -63,7 +63,7 @@ def main():
 
     def stage_chest(x):
         rx_p, y = stage_extract(x)
-        h, nv, cfo = channel_est.estimate_port(rx_p, ref_p, pat.subcarriers, w,
+        h, nv, cfo = channel_est.estimate_port(rx_p, ref_p[None], pat.subcarriers, w,
                                                dmrs_symbol_times_s=times)
         return h, nv, y
 

@@ -83,6 +83,62 @@ def generate(cfg: PrachConfig, preamble_index: int) -> jnp.ndarray:
     return jnp.asarray(np.fft.fft(x).astype(np.complex64))
 
 
+@dataclasses.dataclass(frozen=True)
+class PrachOfdmInfo:
+    """Time-domain layout of one PRACH occasion at a given sample rate.
+
+    Counterpart of the reference's OFDM PRACH demodulator parameters
+    (ofdm_prach_demodulator_impl.cpp): long format 0 uses 1.25 kHz preamble
+    SCS, so at sample rate fs the preamble body spans fs/1250 samples.
+    """
+
+    l_ra: int
+    dft_size: int       # fs / preamble_scs
+    cp_samples: int
+    freq_offset_bins: int  # first preamble bin within the PRACH DFT
+
+
+def prach_ofdm_info(srate: int, l_ra: int = L_LONG, cp_us: float = 103.0,
+                    freq_offset_hz: float = 0.0) -> PrachOfdmInfo:
+    """Format-0-style layout: preamble SCS 1.25 kHz (long) / 15 kHz (short)."""
+    scs = 1250 if l_ra == L_LONG else 15000
+    assert srate % scs == 0, (srate, scs)
+    return PrachOfdmInfo(
+        l_ra=l_ra,
+        dft_size=srate // scs,
+        cp_samples=int(round(srate * cp_us * 1e-6)),
+        freq_offset_bins=int(round(freq_offset_hz / scs)),
+    )
+
+
+def ofdm_demodulate_prach(samples: jnp.ndarray,
+                          info: PrachOfdmInfo) -> jnp.ndarray:
+    """(..., cp + dft) time samples -> (..., L_RA) frequency-domain preamble.
+
+    CP strip + one DFT at the preamble numerology + bin extraction — the
+    whole occasion in one batched op (the reference loops symbol repetitions;
+    format 0 has a single repetition).
+    """
+    body = samples[..., info.cp_samples:info.cp_samples + info.dft_size]
+    fd = jnp.fft.fft(body, axis=-1)
+    k = (info.freq_offset_bins + np.arange(info.l_ra)) % info.dft_size
+    # Unitary pair with ofdm_modulate_prach: 1/sqrt(dft) each way.
+    return fd[..., jnp.asarray(k)].astype(jnp.complex64) \
+        * np.float32(1.0 / np.sqrt(info.dft_size))
+
+
+def ofdm_modulate_prach(preamble_freq: jnp.ndarray,
+                        info: PrachOfdmInfo) -> jnp.ndarray:
+    """(..., L_RA) frequency preamble -> (..., cp + dft) time samples."""
+    x = jnp.zeros((*preamble_freq.shape[:-1], info.dft_size), jnp.complex64)
+    k = (info.freq_offset_bins + np.arange(info.l_ra)) % info.dft_size
+    x = x.at[..., jnp.asarray(k)].set(preamble_freq.astype(jnp.complex64))
+    td = jnp.fft.ifft(x, axis=-1).astype(jnp.complex64) \
+        * np.float32(np.sqrt(info.dft_size))
+    cp = td[..., info.dft_size - info.cp_samples:]
+    return jnp.concatenate([cp, td], axis=-1)
+
+
 @dataclasses.dataclass
 class PrachDetection:
     metrics: jnp.ndarray       # (64,) peak-to-noise metric per preamble

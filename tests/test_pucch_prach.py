@@ -117,3 +117,18 @@ def test_format2_noisy_channel():
     rx = grid * h + noise * 0.05 * (np.abs(grid) > 0)  # noise in-allocation
     out, ok = pucch.format2_decode(jnp.asarray(rx.astype(np.complex64)), cfg)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+
+def test_prach_ofdm_roundtrip_and_detect():
+    """Time-domain PRACH: modulate preamble -> OFDM demod window -> detect."""
+    cfg = prach.PrachConfig(root_sequence_index=1, zero_correlation_zone=13)
+    info = prach.prach_ofdm_info(srate=11_520_000)  # 10 MHz cell, format-0 SCS
+    assert info.dft_size == 9216
+    pre = prach.generate(cfg, preamble_index=23)
+    td = prach.ofdm_modulate_prach(pre, info)
+    assert td.shape == (info.cp_samples + info.dft_size,)
+    back = prach.ofdm_demodulate_prach(td, info)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pre), atol=1e-2)
+    det = prach.detect(back, cfg)
+    d = np.asarray(det.detected)
+    assert d[23] and d.sum() == 1

@@ -57,13 +57,15 @@ def main():
         y = band[..., data_sym_idx, :].reshape(*band.shape[:-2], ndata, u, w).swapaxes(-3, -2)
         return rx_p, y
 
-    pilots = jax.jit(lambda: sp._dmrs_full_band(cell))()
-    ref_p = jax.jit(lambda p: p[:, :len(span_pat.subcarriers)]
-                    .reshape(ndmrs, u, npil_ue).transpose(1, 0, 2))(pilots)
+    def _refp():
+        pilots = sp._dmrs_full_band(cell)
+        return pilots[:, :len(span_pat.subcarriers)] \
+            .reshape(ndmrs, u, npil_ue).transpose(1, 0, 2)
 
     def stage_chest(x):
         rx_p, y = stage_extract(x)
-        h, nv, cfo = channel_est.estimate_port(rx_p, ref_p[None], pat.subcarriers, w,
+        h, nv, cfo = channel_est.estimate_port(rx_p, _refp()[None],
+                                               pat.subcarriers, w,
                                                dmrs_symbol_times_s=times)
         return h, nv, y
 

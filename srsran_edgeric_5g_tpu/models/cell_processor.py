@@ -128,9 +128,11 @@ class CellProcessor:
                 h.reset()
             else:
                 h.tx_count += 1
+            nv_u = float(np.asarray(nv)[u])
             ues.append(UeSlotMetrics(
                 rnti=rnti, tb_crc_ok=bool(ok[u]), tbs=self.tbs,
-                noise_var=float(np.asarray(nv)[u]),
+                sinr_db=float(-10.0 * np.log10(max(nv_u, 1e-12))),
+                noise_var=nv_u,
                 cfo_hz=float(np.asarray(cfo)[u]),
                 ul_bytes=self.tbs // 8 if ok[u] else 0,
                 dl_bytes=self.tbs // 8))

@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Standalone gNB-PHY loopback app: config -> cell processor -> IQ bridge.
+
+The apps/gnb counterpart in miniature: loads a YAML/defaults PhyConfig,
+builds a CellProcessor, and runs N slots of DL->radio->UL loopback through
+the native ZMQ IQ bridge (gNB TX REP server looped back to the gNB RX REQ
+client, standing in for the GNU Radio flowgraph + UEs), printing per-slot
+metrics like the reference's stdout plotter.
+
+Usage: python tools/run_loopback_app.py [config.yml] [--slots N] [--snr dB]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", nargs="?", default=None)
+    ap.add_argument("--slots", type=int, default=20)
+    ap.add_argument("--snr", type=float, default=25.0)
+    ap.add_argument("--port", type=int, default=47655)
+    ap.add_argument("--trace", default=None, help="write chrome trace JSON")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from srsran_edgeric_5g_tpu import config as cfg_mod
+    from srsran_edgeric_5g_tpu.models.cell_processor import CellProcessor
+    from srsran_edgeric_5g_tpu.runtime import IqRxClient, IqTxServer
+    from srsran_edgeric_5g_tpu.utils.metrics import StdoutSink
+    from srsran_edgeric_5g_tpu.utils.tracing import l1_tracer
+
+    cfg = cfg_mod.load(args.config) if args.config else cfg_mod.PhyConfig()
+    cell = cfg.cell_config()
+    proc = CellProcessor(cell, pci=cfg.pci)
+    proc.metrics.add_sink(StdoutSink(every=max(1, args.slots // 10)))
+    if args.trace:
+        l1_tracer.enable()
+
+    t = cell.timing
+    addr = f"tcp://127.0.0.1:{args.port}"
+    tx = IqTxServer(addr, chunk=t.cp.total)
+    rx = IqRxClient(addr.replace("*", "localhost"), chunk=t.cp.total)
+
+    rng = np.random.default_rng(0)
+    tbs = proc.tbs
+    print(f"cell: {cfg.bandwidth_mhz} MHz / {cfg.nof_prb} PRB, "
+          f"{cell.nof_ue} UEs x {cell.prb_per_ue} PRB, TBS {tbs}, "
+          f"srate {t.srate/1e6:.2f} Msps", flush=True)
+
+    sent_payloads = []
+    t0 = time.time()
+    ok_count = 0
+    for slot in range(args.slots):
+        payloads = jnp.asarray(
+            rng.integers(0, 2, (cell.nof_ue, tbs), dtype=np.int8))
+        sent_payloads.append(np.asarray(payloads))
+        td = proc.process_dl_slot(payloads)
+
+        # Radio out through the native bridge and back (the loopback "RF").
+        # complex64 D2H via real/imag pair (axon backend limitation).
+        re = np.asarray(jnp.real(td), dtype=np.float32)
+        im = np.asarray(jnp.imag(td), dtype=np.float32)
+        samples = (re + 1j * im).astype(np.complex64)
+        nv = float((np.abs(samples) ** 2).mean()) * 10 ** (-args.snr / 10)
+        noise = (rng.normal(size=samples.shape) + 1j * rng.normal(size=samples.shape))
+        tx.push(samples + (noise * np.sqrt(nv / 2)).astype(np.complex64))
+
+        got = np.empty(0, np.complex64)
+        deadline = time.time() + 5.0
+        while len(got) < t.cp.total and time.time() < deadline:
+            chunk = rx.pull(t.cp.total - len(got))
+            got = np.concatenate([got, chunk]) if len(chunk) else got
+            if len(got) < t.cp.total:
+                time.sleep(0.0005)
+        assert len(got) == t.cp.total, f"radio underflow at slot {slot}"
+
+        payload_hat, tb_ok = proc.process_ul_slot(jnp.asarray(got))
+        okv = np.asarray(tb_ok)
+        ok_count += int(okv.sum())
+        if not okv.all():
+            print(f"slot {slot}: CRC failures {np.nonzero(~okv)[0]}", flush=True)
+
+    dt = time.time() - t0
+    rx.stop()
+    tx.stop()
+    n = args.slots * cell.nof_ue
+    tp = proc.metrics.throughput_mbps()
+    print(f"done: {args.slots} slots in {dt:.2f}s "
+          f"({args.slots / dt:.1f} slot/s incl. host IO), "
+          f"TB success {ok_count}/{n}", flush=True)
+    print("throughput (Mbit/s @1k slots/s):",
+          {hex(k): round(v, 2) for k, v in tp.items()}, flush=True)
+    if args.trace:
+        l1_tracer.write(args.trace)
+        print(f"trace written to {args.trace}", flush=True)
+    return 0 if ok_count == n else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

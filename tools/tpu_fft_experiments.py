@@ -29,6 +29,26 @@ def main():
         f = jax.jit(lambda v: jnp.fft.fft(v, axis=-1))
         print(f"fft  n={nfft}: {timeit(f, x)*1e3:7.3f} ms", flush=True)
 
+    # slice+stack+fft from a (S, 23040) stream like demodulate_slot does
+    from srsran_edgeric_5g_tpu.ran.numerology import slot_timing
+    t = slot_timing(nof_prb=106, nfft=1536, mu=0)
+    stream = jnp.asarray((rng.normal(size=(S, t.cp.total)) +
+                          1j * rng.normal(size=(S, t.cp.total))).astype(np.complex64))
+
+    def slice_fft(v):
+        segs = [v[..., s0:s0 + 1536] for s0 in t.cp.data_starts]
+        return jnp.fft.fft(jnp.stack(segs, axis=-2), axis=-1)
+
+    print(f"slice+stack+fft from stream: {timeit(jax.jit(slice_fft), stream)*1e3:7.3f} ms", flush=True)
+
+    from srsran_edgeric_5g_tpu.ops import ofdm as ofdm_mod
+    f_demod = jax.jit(lambda v: ofdm_mod.demodulate_slot(v, t, scale=1.0))
+    print(f"full demodulate_slot:        {timeit(f_demod, stream)*1e3:7.3f} ms", flush=True)
+    f_mod = jax.jit(lambda g: ofdm_mod.modulate_slot(g, t, scale=1.0/1536))
+    gtest = jnp.asarray((rng.normal(size=(S, 14, t.nof_subc)) +
+                         1j * rng.normal(size=(S, 14, t.nof_subc))).astype(np.complex64))
+    print(f"full modulate_slot:          {timeit(f_mod, gtest)*1e3:7.3f} ms", flush=True)
+
     # matmul DFT: (S*nsym, 1536) x (1536, 624) via split real/imag f32.
     nfft, nsubc = 1536, 624
     k = np.arange(nfft)
@@ -36,8 +56,8 @@ def main():
     bins = np.concatenate([np.arange(nfft - nsubc // 2, nfft),
                            np.arange(0, nsubc // 2)])
     w = np.exp(-2j * np.pi * np.outer(k, bins) / nfft)
-    wr = jnp.asarray(w.real.astype(np.float32))
-    wi = jnp.asarray(w.imag.astype(np.float32))
+    wr = w.real.astype(np.float32)
+    wi = w.imag.astype(np.float32)
     x = jnp.asarray((rng.normal(size=(S, nsym, nfft)) +
                      1j * rng.normal(size=(S, nsym, nfft))).astype(np.complex64))
 
@@ -50,16 +70,19 @@ def main():
     print(f"dft matmul f32 (624 bins): {timeit(jax.jit(dft_mm), x)*1e3:7.3f} ms",
           flush=True)
 
-    wrb = wr.astype(jnp.bfloat16)
-    wib = wi.astype(jnp.bfloat16)
+    wrb = jnp.bfloat16(0) + wr.astype(np.float32)  # host np -> embedded
+    wrb = wr  # bf16 casts happen inside the jit below
+    wib = wi
 
     def dft_mm_bf16(v):
         vr = jnp.real(v).reshape(-1, nfft).astype(jnp.bfloat16)
         vi = jnp.imag(v).reshape(-1, nfft).astype(jnp.bfloat16)
-        rr = jnp.matmul(vr, wrb, preferred_element_type=jnp.float32) \
-            - jnp.matmul(vi, wib, preferred_element_type=jnp.float32)
-        ri = jnp.matmul(vr, wib, preferred_element_type=jnp.float32) \
-            + jnp.matmul(vi, wrb, preferred_element_type=jnp.float32)
+        awr = jnp.asarray(wrb).astype(jnp.bfloat16)
+        awi = jnp.asarray(wib).astype(jnp.bfloat16)
+        rr = jnp.matmul(vr, awr, preferred_element_type=jnp.float32) \
+            - jnp.matmul(vi, awi, preferred_element_type=jnp.float32)
+        ri = jnp.matmul(vr, awi, preferred_element_type=jnp.float32) \
+            + jnp.matmul(vi, awr, preferred_element_type=jnp.float32)
         return jax.lax.complex(rr, ri).reshape(S, nsym, nsubc)
 
     print(f"dft matmul bf16 in/f32 acc: {timeit(jax.jit(dft_mm_bf16), x)*1e3:7.3f} ms",

@@ -1,0 +1,144 @@
+"""Pallas TPU kernel: layered min-sum LDPC decoder, VMEM-resident.
+
+The flagship hand-written kernel (everything else trusts XLA).  Compared to
+the XLA `layered_rolls` path, ALL decoder state lives in VMEM for the whole
+decode — posterior LLRs (cols, B_tile, Zc) and per-edge messages
+(E, B_tile, Zc) — so the 276 layer-steps of a 6-iteration decode touch HBM
+only twice (load channel LLRs, store the posterior).  The lifted-graph
+cyclic shifts are static `pltpu.roll` lane rotations unrolled from the edge
+list; min/second-min are computed with a running pairwise reduction (ties
+make m2 == m1, which is exactly the min-over-others value, so no index
+bookkeeping is needed).
+
+Layout: lanes = Zc (must be a multiple of 128: Zc in {128, 256, 384} covers
+the high-throughput shapes; other lifting sizes fall back to XLA), sublanes
+= the codeblock tile.  Grid = codeblock tiles.
+
+Convention matches ops.ldpc.decoder: LLR positive <=> bit 0, normalisation
+0.8, input includes punctured/filler positions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .decoder import DEFAULT_ITERS, DEFAULT_SCALING, check_parity, get_decode_plan
+from .graph import get_graph
+
+SUPPORTED_ZC = (128, 256, 384)
+
+
+def pallas_supported(zc: int) -> bool:
+    return zc in SUPPORTED_ZC
+
+
+@functools.lru_cache(maxsize=None)
+def _row_edges(bg: int, zc: int):
+    g = get_graph(bg, zc)
+    rows: list[list[tuple[int, int, int]]] = [[] for _ in range(g.rows)]
+    for eid, (r, c, s) in enumerate(zip(g.edge_row, g.edge_col, g.edge_shift)):
+        rows[int(r)].append((eid, int(c), int(s)))
+    return g, rows
+
+
+def _make_kernel(bg: int, zc: int, num_iters: int, scaling: float,
+                 b_tile: int):
+    g, row_edges = _row_edges(bg, zc)
+    cols, n_edges = g.cols, g.num_edges
+    kb = g.kb
+    scale = float(scaling)
+
+    def kernel(llr_ref, out_ref, l_ref, r_ref):
+        # Load channel LLRs into VMEM posterior state.
+        l_ref[...] = llr_ref[...]
+        r_ref[...] = jnp.zeros((n_edges, b_tile, zc), jnp.float32)
+
+        def sweep(_, carry):
+            del carry
+            for r, edges in enumerate(row_edges):
+                if not edges:
+                    continue
+                # Variable-to-check (extrinsic) messages.
+                ts = []
+                for (e, c, s) in edges:
+                    lc = pltpu.roll(l_ref[c], -s % zc, axis=1)
+                    ts.append(lc - r_ref[e])
+                # Running min / second-min and sign product.
+                m1 = jnp.abs(ts[0])
+                m2 = jnp.full_like(m1, 1e30)
+                sgn = jnp.where(ts[0] < 0, -1.0, 1.0)
+                for t in ts[1:]:
+                    a = jnp.abs(t)
+                    new_m1 = jnp.minimum(m1, a)
+                    m2 = jnp.minimum(jnp.maximum(m1, a), m2)
+                    m1 = new_m1
+                    sgn = sgn * jnp.where(t < 0, -1.0, 1.0)
+                # Check-to-variable update + posterior write-back.
+                for (e, c, s), t in zip(edges, ts):
+                    a = jnp.abs(t)
+                    mag = jnp.where(a == m1, m2, m1)
+                    st = jnp.where(t < 0, -1.0, 1.0)
+                    r_new = (sgn * st) * (mag * scale)
+                    r_ref[e] = r_new
+                    l_new = t + r_new
+                    l_ref[c] = pltpu.roll(l_new, s % zc, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, num_iters, sweep, 0)
+        out_ref[...] = l_ref[...]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bg", "zc", "num_iters",
+                                             "scaling", "b_tile", "interpret"))
+def _decode_pallas_inner(llrs, bg, zc, num_iters, scaling, b_tile,
+                         interpret=False):
+    g = get_graph(bg, zc)
+    b = llrs.shape[0]
+    assert b % b_tile == 0, (b, b_tile)
+    n_tiles = b // b_tile
+    # (B, cols*Zc) -> (cols, B, Zc): lanes = Zc, sublanes = CB tile.
+    x = llrs.astype(jnp.float32).reshape(b, g.cols, zc).transpose(1, 0, 2)
+
+    kernel = _make_kernel(bg, zc, num_iters, scaling, b_tile)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((g.cols, b_tile, zc), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((g.cols, b_tile, zc), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g.cols, b, zc), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((g.cols, b_tile, zc), jnp.float32),
+            pltpu.VMEM((g.num_edges, b_tile, zc), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x)
+    # (cols, B, Zc) -> (B, cols*Zc) posterior.
+    return out.transpose(1, 0, 2).reshape(b, g.cols * zc)
+
+
+def decode_pallas(llrs: jnp.ndarray, bg: int, zc: int,
+                  num_iters: int = DEFAULT_ITERS,
+                  scaling: float = DEFAULT_SCALING,
+                  b_tile: int = 8,
+                  interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in for decoder.decode on supported Zc: (B, cols*Zc) LLRs ->
+    ((B, K) hard bits, (B,) parity ok).  B must be a multiple of b_tile.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests)."""
+    assert pallas_supported(zc), zc
+    g = get_graph(bg, zc)
+    post = _decode_pallas_inner(llrs, bg, zc, num_iters, scaling, b_tile,
+                                interpret=interpret)
+    hard = (post < 0).astype(jnp.int8)
+    ok = check_parity(hard, bg, zc)
+    return hard[:, :g.kb * zc], ok

@@ -6,12 +6,16 @@ Config matches the reference's 20 MHz zmq-mode cell (106 PRB @ 23.04 Msps,
 64QAM+grid+iFFT/CP for all UEs; UL = FFT+channel est+MMSE+demap+descramble+
 dematch+layered min-sum decode (6 iters)+CRC.
 
+Timing methodology: every iteration's input carries a data dependency on the
+previous iteration's output (the TPU relay on this machine caches identical
+execution requests, so constant-input loops measure nothing), with a host
+sync only at the end.
+
 Metric: processed baseband samples per second per chip (23040 samples per
-1 ms slot, DL+UL both processed => a value of 23.04e6 means exactly
-real-time).  vs_baseline divides by the reference's real-time operating
-point (23.04 Msps), i.e. how many 20 MHz 4-UE full-duplex cells one chip
-sustains; the srsRAN gNB runs this workload at 1.0x by construction
-(real-time SDR), so vs_baseline is the per-chip cell-capacity multiple.
+1 ms slot, DL+UL both processed => 23.04e6 = exactly real-time).
+vs_baseline divides by the reference system's real-time operating point:
+how many 20 MHz 4-UE full-duplex cells' PHY one chip sustains (the srsRAN
+gNB runs this workload at 1.0x by construction as a real-time SDR).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -38,27 +42,29 @@ def main():
     payloads = jnp.asarray(rng.integers(0, 2, (s_batch, 4, tbs), dtype=np.int8))
     rntis = jnp.asarray(0x4601 + np.arange(4), dtype=np.uint32)
 
-    dl = jax.jit(lambda p: sp.dl_slot_batch(p, rntis, cell))
-    ul = jax.jit(lambda s: sp.ul_slot_batch(s, rntis, cell))
+    @jax.jit
+    def step(p, eps):
+        """One DL+UL slot-batch with a chained perturbation input."""
+        p = jnp.bitwise_xor(p, eps)            # eps == 0, but data-dependent
+        td = sp.dl_slot_batch(p, rntis, cell)
+        payload_hat, tb_ok, nv, cfo = sp.ul_slot_batch(td, rntis, cell)
+        # eps' = 0 derived from this iteration's result.
+        eps_next = (payload_hat[0, 0, 0] & jnp.int8(0))
+        return payload_hat, tb_ok, eps_next
 
-    td = dl(payloads)
-    payload_hat, tb_ok, _, _ = ul(td)
+    eps = jnp.int8(0)
+    payload_hat, tb_ok, eps = step(payloads, eps)
     ok = np.asarray(tb_ok)
     assert ok.all(), f"loopback CRC failed: {ok}"
     assert (np.asarray(payload_hat) == np.asarray(payloads)).all()
 
-    def timeit(fn, arg, iters=20):
-        out = fn(arg)
-        jax.tree_util.tree_leaves(out)[0].block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(arg)
-        jax.tree_util.tree_leaves(out)[0].block_until_ready()
-        return (time.perf_counter() - t0) / iters
-
-    dl_s = timeit(dl, payloads)
-    ul_s = timeit(ul, td)
-    slot_s = (dl_s + ul_s) / s_batch
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        payload_hat, tb_ok, eps = step(payloads, eps)
+    _ = int(eps)  # host sync through the dependency chain
+    tb_ok.block_until_ready()
+    slot_s = (time.perf_counter() - t0) / (iters * s_batch)
 
     slot_samples = t.cp.total  # 23040 @ 20 MHz
     samples_per_sec = slot_samples / slot_s
@@ -70,8 +76,8 @@ def main():
         "unit": "samples/s/chip (20MHz 4UE DL+UL)",
         "vs_baseline": round(samples_per_sec / realtime, 3),
     }))
-    print(f"# S={s_batch}: dl {dl_s*1e3:.3f} ms, ul {ul_s*1e3:.3f} ms per batch "
-          f"-> {slot_s*1e3:.3f} ms/slot; TBS {tbs} x 4 UE; coded throughput "
+    print(f"# chained timing, S={s_batch}: {slot_s*1e3:.3f} ms/slot; "
+          f"TBS {tbs} x 4 UE; coded throughput "
           f"{2 * 4 * tbs / slot_s / 1e6:.0f} Mbit/s", file=sys.stderr)
 
 

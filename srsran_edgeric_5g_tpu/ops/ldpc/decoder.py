@@ -97,7 +97,16 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
         for equal BLER.
     """
     if schedule == "auto":
-        schedule = "layered_rolls" if jax.default_backend() == "tpu" else "layered"
+        if jax.default_backend() == "tpu":
+            from .decoder_pallas import pallas_supported
+            schedule = "pallas" if (pallas_supported(zc)
+                                    and llrs.shape[0] % 8 == 0) \
+                else "layered_rolls"
+        else:
+            schedule = "layered"
+    if schedule == "pallas":
+        from .decoder_pallas import decode_pallas
+        return decode_pallas(llrs, bg, zc, num_iters, scaling)
     if schedule == "flooding":
         return _decode_flooding(llrs, bg, zc, num_iters, scaling)
     if schedule == "layered_rolls":

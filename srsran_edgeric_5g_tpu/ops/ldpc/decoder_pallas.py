@@ -31,11 +31,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .decoder import DEFAULT_ITERS, DEFAULT_SCALING, check_parity, get_decode_plan
 from .graph import get_graph
 
-SUPPORTED_ZC = (128, 256, 384)
+# Lane axis = Zc.  Multiples of 128 map perfectly onto the VPU; other sizes
+# are padded by Mosaic (correct, some lane waste).  Very small Zc falls back
+# to the XLA path.
+MIN_ZC = 64
 
 
 def pallas_supported(zc: int) -> bool:
-    return zc in SUPPORTED_ZC
+    return zc >= MIN_ZC
 
 
 @functools.lru_cache(maxsize=None)

@@ -183,15 +183,35 @@ def dl_slot_batch(payloads: jnp.ndarray, rntis: jnp.ndarray,
 def ul_slot_batch(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
                   cell: CellConfig, rv: int = 0,
                   num_iters: int = decoder.DEFAULT_ITERS, mesh=None):
-    """Slot-batched UL: (S, total) samples -> per-slot decode results."""
-    return jax.vmap(lambda s: ul_slot(s, rntis, cell, rv,
-                                      num_iters, mesh))(rx_samples)
+    """Slot-batched UL: (S, total) samples -> per-slot decode results.
+
+    The demod/estimate/equalize/demap front-end vmaps over slots; the LDPC
+    back-end decodes ALL S*U*C codeblocks in one call (one Pallas dispatch,
+    full tile utilisation) instead of per-slot decodes under vmap.
+    """
+    s = rx_samples.shape[0]
+    seg, rm = _plans(cell, rv)
+    llr, nv, cfo = jax.vmap(
+        lambda x: _ul_front(x, rntis, cell, rv, mesh))(rx_samples)
+    payload, tb_ok = _ul_back(llr.reshape(s * cell.nof_ue, -1), cell, rv,
+                              num_iters, mesh)
+    tbs = payload.shape[-1]
+    return (payload.reshape(s, cell.nof_ue, tbs),
+            tb_ok.reshape(s, cell.nof_ue), nv, cfo)
 
 
 def ul_slot(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
             rv: int = 0, num_iters: int = decoder.DEFAULT_ITERS, mesh=None):
     """UL direction: (total,) samples -> decoded (U, TBS), (U,) crc_ok,
     (U,) noise_var, (U,) cfo."""
+    llr, nv, cfo = _ul_front(rx_samples, rntis, cell, rv, mesh)
+    payload, tb_ok = _ul_back(llr, cell, rv, num_iters, mesh)
+    return payload, tb_ok, nv, cfo
+
+
+def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
+              rv: int = 0, mesh=None):
+    """OFDM demod -> chest -> MMSE -> demap -> descramble: (U, G) LLRs."""
     seg, rm = _plans(cell, rv)
     t = cell.timing
     u = cell.nof_ue
@@ -237,11 +257,18 @@ def ul_slot(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
                                      quantize=False)
     ci = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
     llr = sequences.scramble_llrs(llr, ci)                 # (U, G)
+    return llr, nv, cfo
 
-    cb_llr = llr.reshape(u * seg.c, rm.e)
-    full = rate_match.rate_dematch(cb_llr, rm)             # (U*C, colsZc)
+
+def _ul_back(llr: jnp.ndarray, cell: CellConfig, rv: int = 0,
+             num_iters: int = decoder.DEFAULT_ITERS, mesh=None):
+    """Rate dematch + LDPC decode + TB CRC for a flat (B_tb, G) LLR batch."""
+    seg, rm = _plans(cell, rv)
+    b_tb = llr.shape[0]
+    cb_llr = llr.reshape(b_tb * seg.c, rm.e)
+    full = rate_match.rate_dematch(cb_llr, rm)             # (B_tb*C, colsZc)
     full = shard(full, mesh, ((UE_AXIS, CB_AXIS),))
     hard, cb_ok = decoder.decode(full, seg.bg, seg.zc, num_iters=num_iters)
     payload, tb_ok = segmenter.desegment_tb(hard, seg)
     payload = shard(payload, mesh, (UE_AXIS,))
-    return payload, tb_ok, nv, cfo
+    return payload, tb_ok

@@ -99,8 +99,11 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
     if schedule == "auto":
         if jax.default_backend() == "tpu":
             from .decoder_pallas import pallas_supported
+            # Pallas wins for large standalone batches; small batches stay in
+            # VMEM under the XLA rolls formulation (measured on v5e).
             schedule = "pallas" if (pallas_supported(zc)
-                                    and llrs.shape[0] % 8 == 0) \
+                                    and llrs.shape[0] % 8 == 0
+                                    and llrs.shape[0] >= 64) \
                 else "layered_rolls"
         else:
             schedule = "layered"

@@ -111,33 +111,37 @@ def shard(x, mesh, spec):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 
-def dl_slot(payloads: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
-            rv: int = 0, mesh=None) -> jnp.ndarray:
-    """DL direction: (U, TBS) payloads -> (total,) baseband samples.
+def _dl_code(payloads: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
+             rv: int = 0, mesh=None) -> jnp.ndarray:
+    """Coding front-end for a flat (B_tb, TBS) batch -> (B_tb, G/Qm) symbols.
 
-    UE u occupies PRBs [first_prb + u*prb_per_ue, ...) — static layout, so
-    grid assembly is a transpose + one static slice write.
+    All codeblocks of all TBs (any number of slots) go through segment ->
+    encode -> rate match -> scramble -> modulate as one batch.
     """
     seg, rm = _plans(cell, rv)
+    b_tb = payloads.shape[0]
+    payloads = shard(payloads, mesh, (UE_AXIS,))
+    cbs = segmenter.segment_tb(payloads, seg)              # (B_tb*C, K)
+    cbs = shard(cbs, mesh, ((UE_AXIS, CB_AXIS),))
+    cw = encoder.encode(cbs, seg.bg, seg.zc)               # (B_tb*C, colsZc)
+    bits = rate_match.rate_match(cw, rm)                   # (B_tb*C, E)
+    bits = bits.reshape(b_tb, -1)                          # (B_tb, G)
+    bits = shard(bits, mesh, (UE_AXIS,))
+    u = cell.nof_ue
+    reps = b_tb // u
+    ci_row = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
+    ci = jnp.tile(ci_row, reps)
+    bits = sequences.scramble_bits(bits, ci)
+    return modulation.modulate(bits, cell.modulation)      # (B_tb, G/Qm)
+
+
+def _dl_grid_ofdm(syms: jnp.ndarray, cell: CellConfig) -> jnp.ndarray:
+    """(U, G/Qm) modulated symbols -> (total,) time-domain samples."""
     t = cell.timing
     u = cell.nof_ue
     w = cell.ue_width_sc
     span = u * w
     band0 = cell.first_prb * N_SC_PER_PRB
-
-    payloads = shard(payloads, mesh, (UE_AXIS,))
-
-    # --- coding: all UEs' codeblocks as one batch over ('ue','cb') ---
-    cbs = segmenter.segment_tb(payloads, seg)              # (U*C, K)
-    cbs = shard(cbs, mesh, ((UE_AXIS, CB_AXIS),))
-    cw = encoder.encode(cbs, seg.bg, seg.zc)               # (U*C, colsZc)
-    bits = rate_match.rate_match(cw, rm)                   # (U*C, E)
-    bits = bits.reshape(u, -1)                             # (U, G)
-    bits = shard(bits, mesh, (UE_AXIS,))
-
-    ci = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
-    bits = sequences.scramble_bits(bits, ci)
-    syms = modulation.modulate(bits, cell.modulation)      # (U, G/Qm)
     ndata = len(cell.data_symbols)
     band = syms.reshape(u, ndata, w).transpose(1, 0, 2).reshape(ndata, span)
     band = band.astype(jnp.complex64)
@@ -168,16 +172,30 @@ def dl_slot(payloads: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
     return ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
 
 
+def dl_slot(payloads: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
+            rv: int = 0, mesh=None) -> jnp.ndarray:
+    """DL direction: (U, TBS) payloads -> (total,) baseband samples.
+
+    UE u occupies PRBs [first_prb + u*prb_per_ue, ...) — static layout, so
+    grid assembly is a transpose + one static slice write.
+    """
+    syms = _dl_code(payloads, rntis, cell, rv, mesh)
+    return _dl_grid_ofdm(syms, cell)
+
+
 def dl_slot_batch(payloads: jnp.ndarray, rntis: jnp.ndarray,
                   cell: CellConfig, rv: int = 0, mesh=None) -> jnp.ndarray:
     """Slot-batched DL: (S, U, TBS) payloads -> (S, total) samples.
 
     Processing whole slot batches per dispatch is the TPU counterpart of the
     reference's run-ahead slot pipelining (nof_slot_tti_in_advance,
-    downlink_processor_baseband_impl.cpp:47): it amortises per-op dispatch
-    and fills the VPU.
+    downlink_processor_baseband_impl.cpp:47).  The coding front-end runs as
+    ONE flat (S*U) batch; only grid assembly + OFDM vmap over slots.
     """
-    return jax.vmap(lambda p: dl_slot(p, rntis, cell, rv, mesh))(payloads)
+    s, u, tbs = payloads.shape
+    syms = _dl_code(payloads.reshape(s * u, tbs), rntis, cell, rv, mesh)
+    syms = syms.reshape(s, u, -1)
+    return jax.vmap(lambda sy: _dl_grid_ofdm(sy, cell))(syms)
 
 
 def ul_slot_batch(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
@@ -185,19 +203,12 @@ def ul_slot_batch(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
                   num_iters: int = decoder.DEFAULT_ITERS, mesh=None):
     """Slot-batched UL: (S, total) samples -> per-slot decode results.
 
-    The demod/estimate/equalize/demap front-end vmaps over slots; the LDPC
-    back-end decodes ALL S*U*C codeblocks in one call (one Pallas dispatch,
-    full tile utilisation) instead of per-slot decodes under vmap.
+    Fully vmapped over slots (measured faster than hoisting the decode into
+    one big batch on this chip: small per-slot codeblock batches stay
+    VMEM-resident).
     """
-    s = rx_samples.shape[0]
-    seg, rm = _plans(cell, rv)
-    llr, nv, cfo = jax.vmap(
-        lambda x: _ul_front(x, rntis, cell, rv, mesh))(rx_samples)
-    payload, tb_ok = _ul_back(llr.reshape(s * cell.nof_ue, -1), cell, rv,
-                              num_iters, mesh)
-    tbs = payload.shape[-1]
-    return (payload.reshape(s, cell.nof_ue, tbs),
-            tb_ok.reshape(s, cell.nof_ue), nv, cfo)
+    return jax.vmap(lambda x: ul_slot(x, rntis, cell, rv,
+                                      num_iters, mesh))(rx_samples)
 
 
 def ul_slot(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,

@@ -203,72 +203,81 @@ def ul_slot_batch(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
                   num_iters: int = decoder.DEFAULT_ITERS, mesh=None):
     """Slot-batched UL: (S, total) samples -> per-slot decode results.
 
-    Fully vmapped over slots (measured faster than hoisting the decode into
-    one big batch on this chip: small per-slot codeblock batches stay
-    VMEM-resident).
+    The front-end (demod -> chest -> MMSE -> demap) runs natively batched
+    over slots; the decode stays per-slot under vmap (small codeblock
+    batches stay VMEM-resident — measured faster on this chip than one big
+    decode).
     """
-    return jax.vmap(lambda x: ul_slot(x, rntis, cell, rv,
-                                      num_iters, mesh))(rx_samples)
+    s = rx_samples.shape[0]
+    llr, nv, cfo = _ul_front(rx_samples, rntis, cell, rv, mesh)  # (S, U, G)
+    payload, tb_ok = jax.vmap(
+        lambda l: _ul_back(l, cell, rv, num_iters, mesh))(llr)
+    return payload, tb_ok, nv, cfo
 
 
 def ul_slot(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
             rv: int = 0, num_iters: int = decoder.DEFAULT_ITERS, mesh=None):
     """UL direction: (total,) samples -> decoded (U, TBS), (U,) crc_ok,
     (U,) noise_var, (U,) cfo."""
-    llr, nv, cfo = _ul_front(rx_samples, rntis, cell, rv, mesh)
-    payload, tb_ok = _ul_back(llr, cell, rv, num_iters, mesh)
-    return payload, tb_ok, nv, cfo
+    llr, nv, cfo = _ul_front(rx_samples[None], rntis, cell, rv, mesh)
+    payload, tb_ok = _ul_back(llr[0], cell, rv, num_iters, mesh)
+    return payload, tb_ok, nv[0], cfo[0]
 
 
 def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
               rv: int = 0, mesh=None):
-    """OFDM demod -> chest -> MMSE -> demap -> descramble: (U, G) LLRs."""
+    """OFDM demod -> chest -> MMSE -> demap -> descramble, natively batched:
+    (S, total) samples -> ((S, U, G) LLRs, (S, U) noise_var, (S, U) cfo)."""
     seg, rm = _plans(cell, rv)
     t = cell.timing
+    s = rx_samples.shape[0]
     u = cell.nof_ue
     w = cell.ue_width_sc
     span = u * w
     band0 = cell.first_prb * N_SC_PER_PRB
 
-    rx_grid = ofdm.demodulate_slot(rx_samples, t, scale=1.0)
-    band = rx_grid[:, band0:band0 + span]                  # (nsymb, span)
+    rx_grid = ofdm.demodulate_slot(rx_samples, t, scale=1.0)  # (S, nsymb, nsubc)
+    band = rx_grid[..., band0:band0 + span]                # (S, nsymb, span)
 
     pilots = _dmrs_full_band(cell)
     pat = dmrs_mod.dmrs_pattern(1, cell.prb_per_ue, port=0)
     span_pat = dmrs_mod.dmrs_pattern(1, u * cell.prb_per_ue, port=0)
-    data_sym_idx = np.asarray(cell.data_symbols, dtype=np.int32)
     times = np.asarray([t.cp.data_starts[l] for l in cell.dmrs_symbols]) / t.srate
     npil_ue = len(pat.subcarriers)
     ndmrs = len(cell.dmrs_symbols)
+    ndata = len(cell.data_symbols)
 
     # Static extraction: strided slices only (type-1 DM-RS on even
     # subcarriers of the span), no gathers.
     assert (span_pat.subcarriers == np.arange(0, u * w, 2)).all(), \
         "pipeline assumes type-1 port-0 DM-RS (even subcarriers)"
-    rx_p = jnp.stack([band[l, 0::2] for l in cell.dmrs_symbols])
-    rx_p = rx_p.reshape(ndmrs, u, npil_ue).transpose(1, 0, 2)  # (U, ndmrs, npil)
+    rx_p = jnp.stack([band[:, l, 0::2] for l in cell.dmrs_symbols], axis=1)
+    rx_p = rx_p.reshape(s, ndmrs, u, npil_ue).transpose(0, 2, 1, 3)
+    rx_p = rx_p.reshape(s * u, ndmrs, npil_ue)
     p0 = 6 * cell.first_prb
     ref_p = pilots[:, p0:p0 + len(span_pat.subcarriers)]
     ref_p = ref_p.reshape(ndmrs, u, npil_ue).transpose(1, 0, 2)
-    ndata = len(cell.data_symbols)
-    y = jnp.stack([band[l] for l in cell.data_symbols])
-    y = y.reshape(ndata, u, w).transpose(1, 0, 2)
+    ref_p = jnp.tile(ref_p, (s, 1, 1))                     # (S*U, ndmrs, npil)
+    y = jnp.stack([band[:, l] for l in cell.data_symbols], axis=1)
+    y = y.reshape(s, ndata, u, w).transpose(0, 2, 1, 3).reshape(s * u, ndata, w)
     rx_p = shard(rx_p, mesh, (UE_AXIS,))
 
     h, nv, cfo = channel_est.estimate_port(
         rx_p, ref_p, pat.subcarriers, w,
         dmrs_symbol_times_s=times if len(cell.dmrs_symbols) > 1 else None)
-    # h: (U, w), nv: (U,)
+    # h: (S*U, w), nv: (S*U,)
 
     hh = jnp.broadcast_to(h[:, None, :], y.shape)
     x_hat, nv_out = equalizer.equalize_mmse_1xn(
         y[None], hh[None], nv[None, :, None, None])
-    llr = modulation.demodulate_soft(x_hat.reshape(u, -1),
-                                     nv_out.reshape(u, -1), cell.modulation,
-                                     quantize=False)
-    ci = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
-    llr = sequences.scramble_llrs(llr, ci)                 # (U, G)
-    return llr, nv, cfo
+    llr = modulation.demodulate_soft(x_hat.reshape(s * u, -1),
+                                     nv_out.reshape(s * u, -1),
+                                     cell.modulation, quantize=False)
+    ci_row = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
+    ci = jnp.tile(ci_row, s)
+    llr = sequences.scramble_llrs(llr, ci)                 # (S*U, G)
+    g_len = llr.shape[-1]
+    return (llr.reshape(s, u, g_len), nv.reshape(s, u), cfo.reshape(s, u))
 
 
 def _ul_back(llr: jnp.ndarray, cell: CellConfig, rv: int = 0,

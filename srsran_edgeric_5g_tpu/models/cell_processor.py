@@ -115,6 +115,37 @@ class CellProcessor:
 
     # ------------------------------------------------------------------ UL
 
+    def process_prach_occasion(self, rx_window: jnp.ndarray,
+                               prach_cfg) -> "object":
+        """Detect preambles from a PRACH occasion's time samples.
+
+        ``rx_window``: (cp + dft,) samples at the occasion position.  Returns
+        ops.prach.PrachDetection (the RACH indication the MAC would consume).
+        """
+        from ..ops import prach as prach_mod
+
+        info = prach_mod.prach_ofdm_info(self.cell.timing.srate,
+                                         prach_cfg.l_ra)
+        freq = prach_mod.ofdm_demodulate_prach(rx_window, info)
+        det = prach_mod.detect(freq, prach_cfg)
+        for p in np.nonzero(np.asarray(det.detected))[0]:
+            l1_tracer.instant("prach_detect", preamble=int(p),
+                              delay=int(np.asarray(det.delays)[p]))
+        return det
+
+    def process_pucch(self, rx_grid: jnp.ndarray, pucch_cfg):
+        """Decode a PUCCH F2 resource from an (nsymb, nsubc) rx grid."""
+        from ..ops import pucch as pucch_mod
+
+        bits, ok = pucch_mod.format2_decode(rx_grid, pucch_cfg)
+        return bits, ok
+
+    def process_srs(self, rx_grid: jnp.ndarray, srs_cfg):
+        """SRS channel snapshot + wideband SNR from the rx grid."""
+        from ..ops import csi_rs as csi_mod
+
+        return csi_mod.srs_estimate(rx_grid, srs_cfg)
+
     def process_ul_slot(self, rx_samples: jnp.ndarray, pid: int = 0):
         """(total,) UL samples -> decode results; updates HARQ + metrics."""
         with l1_tracer.span("ul_slot", slot=self._slot):

@@ -61,3 +61,39 @@ def test_harq_pool_rv_progression():
     # Same key returns the same process.
     assert pool.get(0x4601, 0) is h
     assert pool.get(0x4601, cp.NOF_HARQ) is h  # pid wraps
+
+
+def test_prach_pucch_srs_occasions():
+    """UL control-plane occasions through the cell processor."""
+    from srsran_edgeric_5g_tpu.ops import csi_rs as csi_mod
+    from srsran_edgeric_5g_tpu.ops import prach as prach_mod
+    from srsran_edgeric_5g_tpu.ops import pucch as pucch_mod
+
+    proc = make_proc()
+    rng = np.random.default_rng(5)
+
+    # PRACH: UE transmits preamble 9 -> detector reports exactly it.
+    pcfg = prach_mod.PrachConfig(root_sequence_index=1, zero_correlation_zone=13)
+    info = prach_mod.prach_ofdm_info(proc.cell.timing.srate, pcfg.l_ra)
+    tx = prach_mod.ofdm_modulate_prach(prach_mod.generate(pcfg, 9), info)
+    det = proc.process_prach_occasion(tx, pcfg)
+    d = np.asarray(det.detected)
+    assert d[9] and d.sum() == 1
+
+    # PUCCH F2: 5-bit UCI roundtrip through the processor hook.
+    ucfg = pucch_mod.Pucch2Config(rnti=0x4601, n_id=31, n_id0=7, slot=0,
+                                  start_symbol=12, nof_symbols=2, start_prb=0,
+                                  nof_prb=4, uci_bits=5)
+    bits = jnp.asarray(rng.integers(0, 2, (1, 5), dtype=np.int8))
+    grid = pucch_mod.format2_process(bits, ucfg, 14, proc.cell.timing.nof_subc)
+    out, ok = proc.process_pucch(grid, ucfg)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
+
+    # SRS: flat channel snapshot.
+    scfg = csi_mod.SrsConfig(sequence_id=3, slot=0, symbol=13, start_prb=0,
+                             nof_prb=8, comb=2)
+    grid = jnp.zeros((14, proc.cell.timing.nof_subc), jnp.complex64)
+    grid = csi_mod.map_srs(grid, scfg)
+    h, snr = proc.process_srs(grid * np.complex64(0.8), scfg)
+    np.testing.assert_allclose(np.abs(np.asarray(h)), 0.8, atol=1e-5)

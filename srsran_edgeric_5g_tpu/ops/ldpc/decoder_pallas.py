@@ -99,6 +99,59 @@ def _make_kernel(bg: int, zc: int, num_iters: int, scaling: float,
     return kernel
 
 
+LLR_CLAMP = 120  # matches the reference's LLR_MAX / demapper quantisation
+
+
+def _make_kernel_int8(bg: int, zc: int, num_iters: int, b_tile: int):
+    """Fixed-point variant: messages R stored int8 (clamped +-LLR_CLAMP like
+    the reference) and the posterior L stored int16 WITHOUT clamping —
+    hard-clamping L breaks the layered extrinsic identity L = t + R once
+    values saturate (measured: sign oscillation destroys noiseless decodes),
+    and int16 headroom (|L| <= 120 * max column degree + channel ~ 4k) makes
+    saturation impossible.  Arithmetic widens to int32 per op; normalisation
+    is 13/16 = 0.8125 via shift-multiply.  ~3x VMEM capacity vs f32."""
+    g, row_edges = _row_edges(bg, zc)
+    cols, n_edges = g.cols, g.num_edges
+
+    def kernel(llr_ref, out_ref, l_ref, r_ref):
+        l_ref[...] = llr_ref[...].astype(jnp.int16)
+        r_ref[...] = jnp.zeros((n_edges, b_tile, zc), jnp.int8)
+
+        def sweep(_, carry):
+            del carry
+            for r, edges in enumerate(row_edges):
+                if not edges:
+                    continue
+                ts = []
+                for (e, c, s) in edges:
+                    lc = pltpu.roll(l_ref[c], -s % zc, axis=1).astype(jnp.int32)
+                    ts.append(lc - r_ref[e].astype(jnp.int32))
+                m1 = jnp.abs(ts[0])
+                m2 = jnp.full_like(m1, 1 << 20)
+                sgn = jnp.where(ts[0] < 0, -1, 1)
+                for t in ts[1:]:
+                    a = jnp.abs(t)
+                    new_m1 = jnp.minimum(m1, a)
+                    m2 = jnp.minimum(jnp.maximum(m1, a), m2)
+                    m1 = new_m1
+                    sgn = sgn * jnp.where(t < 0, -1, 1)
+                for (e, c, s), t in zip(edges, ts):
+                    a = jnp.abs(t)
+                    mag = jnp.where(a == m1, m2, m1)
+                    mag = (mag * 13) >> 4          # x0.8125 normalisation
+                    st = jnp.where(t < 0, -1, 1)
+                    r_new = jnp.clip((sgn * st) * mag, -LLR_CLAMP, LLR_CLAMP)
+                    r_ref[e] = r_new.astype(jnp.int8)
+                    l_new = t + r_new                      # int16 range, no clamp
+                    l_ref[c] = pltpu.roll(l_new.astype(jnp.int16), s % zc, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, num_iters, sweep, 0)
+        out_ref[...] = l_ref[...]
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("bg", "zc", "num_iters",
                                              "scaling", "b_tile", "interpret"))
 def _decode_pallas_inner(llrs, bg, zc, num_iters, scaling, b_tile,
@@ -142,6 +195,57 @@ def decode_pallas(llrs: jnp.ndarray, bg: int, zc: int,
     g = get_graph(bg, zc)
     post = _decode_pallas_inner(llrs, bg, zc, num_iters, scaling, b_tile,
                                 interpret=interpret)
+    hard = (post < 0).astype(jnp.int8)
+    ok = check_parity(hard, bg, zc)
+    return hard[:, :g.kb * zc], ok
+
+
+@functools.partial(jax.jit, static_argnames=("bg", "zc", "num_iters",
+                                             "b_tile", "interpret"))
+def _decode_pallas_int8_inner(llrs_i8, bg, zc, num_iters, b_tile,
+                              interpret=False):
+    g = get_graph(bg, zc)
+    b = llrs_i8.shape[0]
+    assert b % b_tile == 0, (b, b_tile)
+    n_tiles = b // b_tile
+    x = llrs_i8.reshape(b, g.cols, zc).transpose(1, 0, 2)
+
+    kernel = _make_kernel_int8(bg, zc, num_iters, b_tile)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((g.cols, b_tile, zc), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((g.cols, b_tile, zc), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g.cols, b, zc), jnp.int16),
+        scratch_shapes=[
+            pltpu.VMEM((g.cols, b_tile, zc), jnp.int16),
+            pltpu.VMEM((g.num_edges, b_tile, zc), jnp.int8),
+        ],
+        interpret=interpret,
+    )(x)
+    return out.transpose(1, 0, 2).reshape(b, g.cols * zc)
+
+
+def decode_pallas_int8(llrs: jnp.ndarray, bg: int, zc: int,
+                       num_iters: int = DEFAULT_ITERS,
+                       b_tile: int = 32,
+                       interpret: bool = False
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """int8-state decode: (B, cols*Zc) LLRs (any float/int scale already in
+    the +-127 wire range — e.g. the quantized demapper output) ->
+    ((B, K) hard bits, (B,) parity ok).
+
+    Normalisation is 13/16 = 0.8125 (shift-multiply) instead of 0.8; state
+    saturates at +-120 like the reference's int8 decoder.
+    """
+    assert pallas_supported(zc), zc
+    g = get_graph(bg, zc)
+    x = jnp.clip(jnp.round(llrs.astype(jnp.float32)), -127, 127
+                 ).astype(jnp.int8)
+    post = _decode_pallas_int8_inner(x, bg, zc, num_iters, b_tile,
+                                     interpret=interpret)
     hard = (post < 0).astype(jnp.int8)
     ok = check_parity(hard, bg, zc)
     return hard[:, :g.kb * zc], ok

@@ -46,3 +46,27 @@ def test_pallas_tile_independence():
                                            b_tile=16, interpret=True)
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
     assert np.asarray(ok1).all() and np.asarray(ok2).all()
+
+
+def test_pallas_int8_awgn():
+    """int8-state kernel decodes the quantized-LLR AWGN scenario."""
+    from srsran_edgeric_5g_tpu.ops import modulation
+    bg, zc = 2, 128
+    g = get_graph(bg, zc)
+    rng = np.random.default_rng(11)
+    b = 32
+    msgs = rng.integers(0, 2, size=(b, g.k), dtype=np.int8)
+    cw = np.asarray(encoder.encode(jnp.asarray(msgs), bg, zc, impl="gather"))
+    syms = np.asarray(modulation.modulate(
+        jnp.asarray(cw[:, 2 * zc:]), "qpsk"))
+    nv = 10 ** (-3.0 / 10)
+    y = syms + (rng.normal(size=syms.shape) + 1j * rng.normal(size=syms.shape)) \
+        * np.sqrt(nv / 2)
+    llr_q = modulation.demodulate_soft(jnp.asarray(y.astype(np.complex64)),
+                                       jnp.float32(nv), "qpsk")  # int8 wire
+    full = np.zeros((b, g.n_full), np.float32)
+    full[:, 2 * zc:] = np.asarray(llr_q, dtype=np.float32)
+    hard, ok = decoder_pallas.decode_pallas_int8(
+        jnp.asarray(full), bg, zc, num_iters=8, b_tile=32, interpret=True)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(hard), msgs)

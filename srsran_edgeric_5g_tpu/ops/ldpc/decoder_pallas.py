@@ -124,7 +124,9 @@ def _make_kernel_int8(bg: int, zc: int, num_iters: int, b_tile: int):
                     continue
                 ts = []
                 for (e, c, s) in edges:
-                    lc = pltpu.roll(l_ref[c], -s % zc, axis=1).astype(jnp.int32)
+                    # roll only supports 32-bit dtypes on this Mosaic build:
+                    # widen, rotate, narrow on store.
+                    lc = pltpu.roll(l_ref[c].astype(jnp.int32), -s % zc, axis=1)
                     ts.append(lc - r_ref[e].astype(jnp.int32))
                 m1 = jnp.abs(ts[0])
                 m2 = jnp.full_like(m1, 1 << 20)
@@ -143,7 +145,7 @@ def _make_kernel_int8(bg: int, zc: int, num_iters: int, b_tile: int):
                     r_new = jnp.clip((sgn * st) * mag, -LLR_CLAMP, LLR_CLAMP)
                     r_ref[e] = r_new.astype(jnp.int8)
                     l_new = t + r_new                      # int16 range, no clamp
-                    l_ref[c] = pltpu.roll(l_new.astype(jnp.int16), s % zc, axis=1)
+                    l_ref[c] = pltpu.roll(l_new, s % zc, axis=1).astype(jnp.int16)
             return 0
 
         jax.lax.fori_loop(0, num_iters, sweep, 0)

@@ -47,3 +47,27 @@ def parity_dot(bits: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
 def np_parity_dot(bits: np.ndarray, mat: np.ndarray) -> np.ndarray:
     """Host-side GF(2) matmul for table precomputation."""
     return (bits.astype(np.int64) @ mat.astype(np.int64)) % 2
+
+
+def to_device_complex(samples) -> "jnp.ndarray":
+    """Upload a host complex array to the default device.
+
+    The axon TPU backend cannot transfer complex64 in either direction, so
+    the real/imag planes go up as float32 and are combined under jit.
+    """
+    import jax
+    import numpy as np_
+
+    arr = np_.ascontiguousarray(samples, dtype=np_.complex64)
+    re = jnp.asarray(arr.real.astype(np_.float32))
+    im = jnp.asarray(arr.imag.astype(np_.float32))
+    return jax.jit(jax.lax.complex)(re, im)
+
+
+def from_device_complex(x) -> "object":
+    """Fetch a device complex array to host (real/imag plane transfers)."""
+    import numpy as np_
+
+    re = np_.asarray(jnp.real(x), dtype=np_.float32)
+    im = np_.asarray(jnp.imag(x), dtype=np_.float32)
+    return (re + 1j * im).astype(np_.complex64)

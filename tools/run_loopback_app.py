@@ -29,6 +29,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from srsran_edgeric_5g_tpu import config as cfg_mod
+    from srsran_edgeric_5g_tpu.utils.bits import from_device_complex, to_device_complex
     from srsran_edgeric_5g_tpu.models.cell_processor import CellProcessor
     from srsran_edgeric_5g_tpu.runtime import IqRxClient, IqTxServer
     from srsran_edgeric_5g_tpu.utils.metrics import StdoutSink
@@ -62,10 +63,7 @@ def main(argv=None):
         td = proc.process_dl_slot(payloads)
 
         # Radio out through the native bridge and back (the loopback "RF").
-        # complex64 D2H via real/imag pair (axon backend limitation).
-        re = np.asarray(jnp.real(td), dtype=np.float32)
-        im = np.asarray(jnp.imag(td), dtype=np.float32)
-        samples = (re + 1j * im).astype(np.complex64)
+        samples = from_device_complex(td)
         nv = float((np.abs(samples) ** 2).mean()) * 10 ** (-args.snr / 10)
         noise = (rng.normal(size=samples.shape) + 1j * rng.normal(size=samples.shape))
         tx.push(samples + (noise * np.sqrt(nv / 2)).astype(np.complex64))
@@ -79,7 +77,7 @@ def main(argv=None):
                 time.sleep(0.0005)
         assert len(got) == t.cp.total, f"radio underflow at slot {slot}"
 
-        payload_hat, tb_ok = proc.process_ul_slot(jnp.asarray(got))
+        payload_hat, tb_ok = proc.process_ul_slot(to_device_complex(got))
         okv = np.asarray(tb_ok)
         ok_count += int(okv.sum())
         if not okv.all():

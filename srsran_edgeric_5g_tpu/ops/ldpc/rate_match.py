@@ -32,6 +32,20 @@ def k0_offset(bg: int, rv: int, n_cb: int, zc: int) -> int:
     return zc * ((_K0_FRAC[bg][rv] * n_cb) // (_K0_DEN[bg] * zc))
 
 
+def lbrm_n_cb(bg: int, zc: int, nof_cb: int, tbs_lbrm: int) -> int:
+    """Limited-buffer rate matching buffer size (TS 38.212 §5.4.2.1).
+
+    N_cb = min(N, N_ref) with N_ref = floor(TBS_LBRM / (C * 2/3)); the
+    reference derives TBS_LBRM from the max supported TB size
+    (lib/ran/sch/sch_segmentation / pdsch defaults).
+    """
+    from .graph import get_graph
+
+    n = get_graph(bg, zc).n
+    n_ref = (3 * tbs_lbrm) // (2 * nof_cb)
+    return min(n, n_ref)
+
+
 @dataclasses.dataclass(frozen=True)
 class RateMatchPlan:
     bg: int

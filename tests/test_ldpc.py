@@ -215,3 +215,34 @@ def test_decode_flooding_awgn():
                               schedule="flooding")
     assert np.asarray(ok).all()
     np.testing.assert_array_equal(np.asarray(hard), msgs)
+
+
+def test_lbrm_buffer_roundtrip():
+    """Limited-buffer rate matching: N_cb < N restricts the circular buffer;
+    encode->rate match->dematch->decode still succeeds at moderate rate."""
+    bg, zc = 1, 64
+    g = graph.get_graph(bg, zc)
+    n_cb = rate_match.lbrm_n_cb(bg, zc, nof_cb=1, tbs_lbrm=2560)
+    assert n_cb < g.n
+    assert n_cb == (3 * 2560) // 2
+    k_prime = g.k
+    e = 2816  # rate ~0.5 within the limited buffer
+    plan = rate_match.get_rate_match_plan(bg, zc, e, rv=0, qm=2,
+                                          k_prime=k_prime, n_cb=n_cb)
+    assert plan.select_idx.max() < n_cb
+    rng = np.random.default_rng(31)
+    msgs = jnp.asarray(rng.integers(0, 2, size=(4, g.k), dtype=np.int8))
+    cw = encoder.encode(msgs, bg, zc, impl="gather")
+    tx = rate_match.rate_match(cw, plan)
+    llrs = (1 - 2 * tx.astype(jnp.float32)) * 8.0
+    full = rate_match.rate_dematch(llrs, plan)
+    hard, ok = decoder.decode(full, bg, zc, num_iters=8)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(hard), np.asarray(msgs))
+
+
+def test_lbrm_rv_offsets_use_limited_buffer():
+    bg, zc = 2, 32
+    n_cb = rate_match.lbrm_n_cb(bg, zc, nof_cb=1, tbs_lbrm=800)
+    k0 = rate_match.k0_offset(bg, 1, n_cb, zc)
+    assert k0 == zc * ((13 * n_cb) // (50 * zc))

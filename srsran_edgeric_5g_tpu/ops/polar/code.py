@@ -37,18 +37,24 @@ def _tables():
 
 @dataclasses.dataclass(frozen=True)
 class PolarCode:
-    k: int                    # info bits (incl. CRC)
+    k: int                    # info bits (incl. CRC), excl. PC bits
     e: int                    # rate-matched bits
     n: int                    # log2(N)
     nof_bits: int             # N
     rm_mode: str              # 'puncture' | 'shorten' | 'repeat'
-    info_set: np.ndarray      # (K,) ascending u-domain info positions
-    frozen_set: np.ndarray    # (N-K,) frozen positions
+    info_set: np.ndarray      # (K,) ascending u-domain data positions
+    frozen_set: np.ndarray    # frozen positions (excl. PC)
     subblock_perm: np.ndarray  # (N,) J(i): y[i] = x[J(i)]
     dci_interleave: np.ndarray | None  # (K,) input interleaver (i_IL=1)
+    pc_set: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.empty(0, np.int64))  # parity-check bits
+
+    @property
+    def n_pc(self) -> int:
+        return len(self.pc_set)
 
     def __hash__(self):
-        return hash((self.k, self.e, self.n, self.rm_mode,
+        return hash((self.k, self.e, self.n, self.rm_mode, self.n_pc,
                      self.dci_interleave is not None))
 
 
@@ -72,8 +78,13 @@ def dci_interleaver(k: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def construct(k: int, e: int, nmax: int = NMAX_DL,
-              i_il: bool = True) -> PolarCode:
-    """Build the (K, E) polar code per TS 38.212 §5.3.1/§5.4.1.1."""
+              i_il: bool = True, n_pc: int = 0) -> PolarCode:
+    """Build the (K, E) polar code per TS 38.212 §5.3.1/§5.4.1.1.
+
+    ``n_pc``: number of parity-check bits (UCI with 12 <= K <= 19 uses
+    n_pc = 3 with n_pc_wm = 1 when E - K + 3 > 192, §6.3.1.3.1); the code
+    then reserves K + n_pc reliable positions and marks the PC subset.
+    """
     seq, _ = _tables()
     # Mother code size (§5.3.1).
     cl2e = math.ceil(math.log2(e))
@@ -108,14 +119,37 @@ def construct(k: int, e: int, nmax: int = NMAX_DL,
 
     rel = seq[seq < nb]  # ascending reliability order
     usable = rel[~prefrozen[rel]]
-    assert len(usable) >= k, (k, e, nb, rm_mode)
-    info = np.sort(usable[-k:])
+    assert len(usable) >= k + n_pc, (k, e, nb, rm_mode, n_pc)
+    chosen = usable[-(k + n_pc):]        # ascending reliability
+
+    pc = np.empty(0, dtype=np.int64)
+    if n_pc:
+        # §5.3.1.2: n_pc_wm of the PC bits go to the minimum-row-weight
+        # position among the most reliable |chosen| - n_pc positions (highest
+        # reliability on ties); the rest take the least reliable positions.
+        n_wm = 1 if (e - k + n_pc > 192) else 0
+        least_reliable = chosen[:n_pc - n_wm]
+        pc = list(least_reliable)
+        if n_wm:
+            top = chosen[n_pc - n_wm:]
+            weights = np.array([bin(int(i)).count("1") for i in top])
+            wmin = weights.min()
+            # candidates with min row weight; pick the most reliable (last).
+            cand = top[weights == wmin]
+            pc.append(int(cand[-1]))
+        pc = np.sort(np.asarray(pc, dtype=np.int64))
+
+    info = np.sort(np.asarray([p for p in chosen if p not in set(pc.tolist())],
+                              dtype=np.int64))
+    assert len(info) == k
     frozen_mask = np.ones(nb, dtype=bool)
     frozen_mask[info] = False
+    frozen_mask[pc] = False
     frozen = np.nonzero(frozen_mask)[0]
 
     return PolarCode(k=k, e=e, n=n, nof_bits=nb, rm_mode=rm_mode,
                      info_set=info.astype(np.int64),
                      frozen_set=frozen.astype(np.int64),
                      subblock_perm=jn.astype(np.int64),
-                     dci_interleave=dci_interleaver(k) if i_il else None)
+                     dci_interleave=dci_interleaver(k) if i_il else None,
+                     pc_set=pc)

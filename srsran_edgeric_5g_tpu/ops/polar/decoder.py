@@ -27,33 +27,64 @@ def _f(a1: jnp.ndarray, a2: jnp.ndarray) -> jnp.ndarray:
     return s * jnp.minimum(jnp.abs(a1), jnp.abs(a2))
 
 
+def _fold_phases(u: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Register contribution of a decoded block: u_j ends up at phase
+    (size-1-j) mod 5 after the remaining rotations (§5.3.1.2 register)."""
+    phases = (size - 1 - np.arange(size)) % 5
+    mask = np.zeros((size, 5), dtype=np.float32)
+    mask[np.arange(size), phases] = 1.0
+    acc = jnp.matmul(u.astype(jnp.float32), jnp.asarray(mask),
+                     preferred_element_type=jnp.float32)
+    return jnp.mod(acc, 2.0).astype(jnp.int8)
+
+
+def _rot_reg(reg: jnp.ndarray, m: int) -> jnp.ndarray:
+    return jnp.roll(reg, m % 5, axis=-1)
+
+
 def decode(llrs: jnp.ndarray, code: PolarCode) -> jnp.ndarray:
     """(B, N) mother-code LLRs (positive <=> bit 0) -> (B, K) message bits.
 
-    Undoes the DCI input interleaver when the code used i_IL=1.
+    Undoes the DCI input interleaver when the code used i_IL=1; honours PC
+    bits (dynamic frozen from the length-5 register) when the code has them.
     """
     frozen_mask = np.ones(code.nof_bits, dtype=bool)
     frozen_mask[code.info_set] = False
+    pc_mask = np.zeros(code.nof_bits, dtype=bool)
+    pc_mask[code.pc_set] = True
     b = llrs.shape[0]
     alpha0 = llrs.astype(jnp.float32)
 
-    def rec(alpha, lo, size):
+    def rec(alpha, lo, size, reg):
         sub = frozen_mask[lo:lo + size]
-        if sub.all():     # rate-0: all bits known zero
+        has_pc = pc_mask[lo:lo + size].any()
+        if sub.all() and not has_pc:   # rate-0: all bits known zero
             z = jnp.zeros((b, size), jnp.int8)
-            return z, z
-        if not sub.any():  # rate-1: hard decision, u = beta * G (G^-1 = G)
+            return z, z, _rot_reg(reg, size)
+        if not sub.any() and not has_pc:  # rate-1: u = beta * G (G^-1 = G)
             beta = (alpha < 0).astype(jnp.int8)
-            return beta, transform(beta)
+            u = transform(beta)
+            reg = jnp.bitwise_xor(_rot_reg(reg, size), _fold_phases(u, size))
+            return beta, u, reg
+        if size == 1:
+            reg = _rot_reg(reg, 1)
+            if pc_mask[lo]:
+                u = reg[:, 0:1]
+                reg = reg.at[:, 0].set(0)   # y0 ^= u with u = y0
+                return u, u, reg
+            # frozen (info leaves are covered by the rate-1 branch)
+            z = jnp.zeros((b, 1), jnp.int8)
+            return z, z, reg
         half = size // 2
         a1, a2 = alpha[:, :half], alpha[:, half:]
-        bl, ul = rec(_f(a1, a2), lo, half)
+        bl, ul, reg = rec(_f(a1, a2), lo, half, reg)
         ar = a2 + (1.0 - 2.0 * bl.astype(jnp.float32)) * a1
-        br, ur = rec(ar, lo + half, half)
+        br, ur, reg = rec(ar, lo + half, half, reg)
         beta = jnp.concatenate([jnp.bitwise_xor(bl, br), br], axis=1)
-        return beta, jnp.concatenate([ul, ur], axis=1)
+        return beta, jnp.concatenate([ul, ur], axis=1), reg
 
-    _, u = rec(alpha0, 0, code.nof_bits)
+    reg0 = jnp.zeros((b, 5), jnp.int8)
+    _, u, _ = rec(alpha0, 0, code.nof_bits, reg0)
     bits = u[:, jnp.asarray(code.info_set)]
     if code.dci_interleave is not None:
         inv = np.empty(code.k, dtype=np.int64)

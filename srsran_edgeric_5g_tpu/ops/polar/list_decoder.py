@@ -47,6 +47,7 @@ def decode_scl(llrs: jnp.ndarray, code: PolarCode, list_size: int = 8,
     bits for CRC-aided path selection; None = pick the best metric path
     (ok = True always).
     """
+    assert code.n_pc == 0, "SCL with PC bits not implemented (SC handles PC)"
     ell = list_size
     b = llrs.shape[0]
     frozen = np.ones(code.nof_bits, dtype=bool)

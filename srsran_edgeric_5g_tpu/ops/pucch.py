@@ -177,16 +177,26 @@ def _f2_dmrs_cinit(cfg: Pucch2Config, symbol: int) -> int:
             + 2 * cfg.n_id0) % (1 << 31)
 
 
+def _uci_polar_code(k: int, e: int):
+    """UCI polar segmentation (TS 38.212 §6.3.1.2/.3.1): 12 <= K <= 19 uses
+    CRC6 + 3 PC bits; K >= 20 uses CRC11 (no PC)."""
+    if k <= 19:
+        return polar_code.construct(k + 6, e, nmax=polar_code.NMAX_UL,
+                                    i_il=False, n_pc=3), "crc6"
+    return polar_code.construct(k + 11, e, nmax=polar_code.NMAX_UL,
+                                i_il=False), "crc11"
+
+
 def format2_uci_encode(bits: jnp.ndarray, cfg: Pucch2Config) -> jnp.ndarray:
-    """(1, K) UCI bits -> (1, E) coded bits (short block K<=11, polar K>=12)."""
+    """(1, K) UCI bits -> (1, E) coded bits (short block K<=11; polar with
+    CRC6+PC for 12<=K<=19, CRC11 for K>=20)."""
     k = cfg.uci_bits
     e = cfg.e_total
     if k <= 11:
         return short_block.encode(bits, e)
-    # Polar UCI: CRC11 attach then (K+11, E) polar code (nmax=10, no i_IL).
     from .crc import crc_attach
-    with_crc = crc_attach(bits, "crc11")
-    c = polar_code.construct(k + 11, e, nmax=polar_code.NMAX_UL, i_il=False)
+    c, crc_name = _uci_polar_code(k, e)
+    with_crc = crc_attach(bits, crc_name)
     cw = polar_encoder.encode(with_crc, c)
     return polar_rm.rate_match(cw, c)
 
@@ -265,8 +275,7 @@ def format2_decode(rx_grid: jnp.ndarray, cfg: Pucch2Config
         ok = metric > 0
         return bits, ok
     from .crc import crc_check
-    c = polar_code.construct(k + 11, cfg.e_total, nmax=polar_code.NMAX_UL,
-                             i_il=False)
+    c, crc_name = _uci_polar_code(k, cfg.e_total)
     decoded = polar_decoder.decode(polar_rm.rate_dematch(llr, c), c)
-    ok = crc_check(decoded, "crc11")
+    ok = crc_check(decoded, crc_name)
     return decoded[:, :k], ok

@@ -154,3 +154,40 @@ def test_scl_beats_sc_at_low_snr():
     assert (np.asarray(scl_ok) == scl_correct).mean() > 0.95
     assert scl_correct.sum() > sc_ok.sum()
     assert scl_correct.mean() > 0.8
+
+
+# ---------- PC bits (UCI 12 <= K <= 19) ----------
+
+@pytest.mark.parametrize("k,e", [(12, 48), (16, 96), (19, 240)])
+def test_pc_encode_matches_register_oracle(k, e):
+    c = pcode.construct(k, e, nmax=pcode.NMAX_UL, i_il=False, n_pc=3)
+    assert c.n_pc == 3
+    assert len(c.info_set) == k
+    assert not set(c.pc_set) & set(c.info_set)
+    rng = np.random.default_rng(k)
+    msgs = rng.integers(0, 2, (5, k), dtype=np.int8)
+    got = np.asarray(penc.encode(jnp.asarray(msgs), c))
+    want = penc.np_encode(msgs, c)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("k,e", [(12, 48), (16, 200)])
+def test_pc_roundtrip_sc(k, e):
+    c = pcode.construct(k, e, nmax=pcode.NMAX_UL, i_il=False, n_pc=3)
+    rng = np.random.default_rng(e)
+    msgs = jnp.asarray(rng.integers(0, 2, (4, k), dtype=np.int8))
+    cw = penc.encode(msgs, c)
+    tx = prm.rate_match(cw, c)
+    llr = (1.0 - 2.0 * tx.astype(jnp.float32)) * 8.0
+    out = pdec.decode(prm.rate_dematch(llr, c), c)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(msgs))
+
+
+def test_pc_wm_selection():
+    """E - K + 3 > 192 triggers the row-weight-placed PC bit."""
+    c = pcode.construct(16, 220, nmax=pcode.NMAX_UL, i_il=False, n_pc=3)
+    assert c.n_pc == 3
+    # at least one PC bit should NOT be among the 2 least reliable chosen
+    # (it was placed by min row weight among the most reliable positions).
+    c2 = pcode.construct(16, 96, nmax=pcode.NMAX_UL, i_il=False, n_pc=3)
+    assert c2.n_pc == 3

@@ -106,3 +106,61 @@ def estimate_port(rx_pilots: jnp.ndarray, ref_pilots: jnp.ndarray,
     fr = jnp.asarray(frac)
     h_freq = hl + (hr - hl) * fr
     return h_freq.astype(jnp.complex64), noise_var.astype(jnp.float32), cfo
+
+
+def estimate_port_ta(rx_pilots: jnp.ndarray, ref_pilots: jnp.ndarray,
+                     pilot_subcarriers: np.ndarray, nsubc: int,
+                     scs_hz: float,
+                     dmrs_symbol_times_s: np.ndarray | None = None,
+                     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """estimate_port + time-alignment-compensated interpolation.
+
+    The reference's estimator runs a 4096-point IDFT time-alignment stage
+    before frequency smoothing (port_channel_estimator_average_impl.h:41-45).
+    Equivalent here: estimate the dominant delay from the pilot-domain
+    channel, derotate the linear phase ramp (making the channel ~flat across
+    the pilot gap so linear interpolation is accurate), interpolate, then
+    restore the ramp on the full band.
+
+    Returns (h_freq, noise_var, cfo_hz, ta_seconds).
+    """
+    from .ta_estimator import estimate_ta
+
+    if ref_pilots.ndim < rx_pilots.ndim:
+        ref_pilots = ref_pilots[..., None, :]
+    h_ls = ls_estimate(rx_pilots, ref_pilots)
+    ndmrs = h_ls.shape[-2]
+
+    cfo = jnp.zeros(h_ls.shape[:-2], jnp.float32)
+    if ndmrs >= 2 and dmrs_symbol_times_s is not None:
+        dt = float(dmrs_symbol_times_s[-1] - dmrs_symbol_times_s[0])
+        cfo = cfo_estimate(h_ls, dt)
+        t = jnp.asarray(np.asarray(dmrs_symbol_times_s, dtype=np.float32))
+        rot = jnp.exp(-2j * np.pi * cfo[..., None] * t).astype(jnp.complex64)
+        h_ls = h_ls * rot[..., None]
+    h_p = jnp.mean(h_ls, axis=-2)
+
+    if ndmrs >= 2:
+        resid = h_ls - h_p[..., None, :]
+        noise_var = (jnp.mean(jnp.abs(resid) ** 2, axis=(-2, -1))
+                     * (ndmrs / (ndmrs - 1)))
+    else:
+        d = h_p[..., 1::2] - h_p[..., 0::2]
+        noise_var = jnp.mean(jnp.abs(d) ** 2, axis=-1) / 2.0
+
+    # TA from the pilot-spaced channel: pilot spacing = gap * scs.
+    gap = int(pilot_subcarriers[1] - pilot_subcarriers[0])
+    pilot_scs = gap * scs_hz
+    ta = estimate_ta(h_p, pilot_scs)
+    pil_k = jnp.asarray(np.asarray(pilot_subcarriers, dtype=np.float32))
+    deramp = jnp.exp(2j * np.pi * scs_hz * ta[..., None] * pil_k)
+    h_flat = h_p * deramp.astype(jnp.complex64)
+
+    left, frac = _interp_weights(tuple(int(p) for p in pilot_subcarriers), nsubc)
+    hl = h_flat[..., jnp.asarray(left)]
+    hr = h_flat[..., jnp.asarray(left + 1)]
+    h_freq = hl + (hr - hl) * jnp.asarray(frac)
+    all_k = jnp.asarray(np.arange(nsubc, dtype=np.float32))
+    reramp = jnp.exp(-2j * np.pi * scs_hz * ta[..., None] * all_k)
+    h_freq = h_freq * reramp.astype(jnp.complex64)
+    return h_freq.astype(jnp.complex64), noise_var.astype(jnp.float32), cfo, ta

@@ -92,3 +92,29 @@ def test_cfo_estimation():
     assert np.asarray(cfo)[0] == pytest.approx(cfo_true, abs=2.0)
     # After compensation the averaged estimate has near-unit magnitude.
     np.testing.assert_allclose(np.abs(np.asarray(h)[0]), 1.0, atol=1e-2)
+
+
+def test_estimate_port_ta_handles_large_delay():
+    """A delay well beyond one pilot gap aliases plain linear interpolation
+    but is recovered exactly by the TA-compensated estimator."""
+    scs = 15e3
+    nprb = 16
+    pat = dmrs.dmrs_pattern(1, nof_prb=nprb, port=0)
+    npil = len(pat.subcarriers)
+    ci = jnp.asarray([dmrs.dmrs_c_init(0, 2, 1)], dtype=jnp.uint32)
+    ref = np.asarray(dmrs.dmrs_sequence(ci, npil))[0]
+    delay_s = 2.0e-6  # ~2 us: phase rotates ~0.1 rad/subcarrier
+    h_true = np.exp(-2j * np.pi * np.arange(192) * scs * delay_s)
+    rx = (h_true[pat.subcarriers] * ref)[None, None, :].astype(np.complex64)
+
+    h_ta, nv, cfo, ta = channel_est.estimate_port_ta(
+        jnp.asarray(rx), jnp.asarray(ref[None]), pat.subcarriers, 192, scs)
+    assert float(ta[0]) == pytest.approx(delay_s, abs=3e-8)
+    np.testing.assert_allclose(np.asarray(h_ta)[0], h_true, atol=5e-3)
+
+    # Plain linear interpolation degrades at the mid-gap points.
+    h_lin, _, _ = channel_est.estimate_port(
+        jnp.asarray(rx), jnp.asarray(ref[None]), pat.subcarriers, 192)
+    err_lin = np.abs(np.asarray(h_lin)[0] - h_true).max()
+    err_ta = np.abs(np.asarray(h_ta)[0] - h_true).max()
+    assert err_ta < err_lin / 3

@@ -38,6 +38,12 @@ class PdcchConfig:
     coreset_start_prb: int = 0
     slot: int = 0
     payload_bits: int = 40    # DCI size A
+    # CORESET CCE-to-REG mapping (TS 38.211 §7.3.2.2): non-interleaved by
+    # default; interleaved uses bundle size L=6, row count R and shift n_shift.
+    coreset_nof_prb: int = 48  # CORESET width (REGs for a 1-symbol CORESET)
+    interleaved: bool = False
+    interleaver_rows: int = 2
+    shift_index: int = 0
 
     @property
     def e(self) -> int:
@@ -75,18 +81,35 @@ def _scrambling_cinit(cfg: PdcchConfig) -> int:
     return ((cfg.rnti << 16) + cfg.n_id) % (1 << 31)
 
 
+def cce_to_bundle(cfg: PdcchConfig, cce: int) -> int:
+    """CCE index -> REG-bundle index (TS 38.211 §7.3.2.2, L=6 bundles).
+
+    Non-interleaved: identity.  Interleaved: f(j) = (r*C + c + n_shift) mod
+    n_bundles with j = c*R + r, C = n_bundles / R.
+    """
+    if not cfg.interleaved:
+        return cce
+    n_bundles = cfg.coreset_nof_prb // 6
+    r_rows = cfg.interleaver_rows
+    assert n_bundles % r_rows == 0, (n_bundles, r_rows)
+    c_cols = n_bundles // r_rows
+    c, r = divmod(cce, r_rows)
+    return (r * c_cols + c + cfg.shift_index) % n_bundles
+
+
 def _re_positions(cfg: PdcchConfig) -> tuple[np.ndarray, np.ndarray]:
     """(data_sc, dmrs_sc) absolute subcarrier indices of the allocation.
 
-    Non-interleaved: CCE c occupies 6 consecutive PRBs starting at
-    coreset_start_prb + 6*(cce_index + c); DM-RS on subcarriers 4k+1.
+    CCE c occupies the 6 PRBs of REG bundle cce_to_bundle(cce_index + c)
+    within the CORESET; DM-RS on subcarriers 4k+1.
     """
     prbs = []
     for c in range(cfg.aggregation_level):
-        first = cfg.coreset_start_prb + 6 * (cfg.cce_index + c)
+        bundle = cce_to_bundle(cfg, cfg.cce_index + c)
+        first = cfg.coreset_start_prb + 6 * bundle
         prbs.extend(range(first, first + 6))
     sc = np.concatenate([np.arange(p * N_SC_PER_PRB, (p + 1) * N_SC_PER_PRB)
-                         for p in prbs])
+                         for p in sorted(prbs)])
     dmrs = sc[sc % 4 == 1]
     data = sc[sc % 4 != 1]
     return data, dmrs

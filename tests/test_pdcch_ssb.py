@@ -80,3 +80,27 @@ def test_pbch_awgn():
     out, ok = ssb.decode(rx, cfg)
     assert np.asarray(ok).all()
     np.testing.assert_array_equal(np.asarray(out), np.asarray(mib))
+
+
+def test_interleaved_coreset_mapping():
+    """Interleaved CCE->REG bundles: a permutation; roundtrip still decodes."""
+    base = dict(rnti=0x4601, n_id=31, aggregation_level=4, cce_index=0,
+                coreset_nof_prb=48, interleaved=True, interleaver_rows=2)
+    cfg = pdcch.PdcchConfig(**base)
+    n_bundles = 48 // 6
+    mapped = [pdcch.cce_to_bundle(cfg, c) for c in range(n_bundles)]
+    assert sorted(mapped) == list(range(n_bundles))  # permutation
+    assert mapped != list(range(n_bundles))          # actually interleaved
+
+    rng = np.random.default_rng(4)
+    payload = jnp.asarray(rng.integers(0, 2, (1, 40), dtype=np.int8))
+    grid = pdcch.process(payload, cfg, nsymb=14, nsubc=624)
+    out, ok = pdcch.blind_decode(grid, cfg)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))
+
+    # A different shift index lands on different subcarriers.
+    cfg2 = pdcch.PdcchConfig(**{**base, "shift_index": 3})
+    d1, _ = pdcch._re_positions(cfg)
+    d2, _ = pdcch._re_positions(cfg2)
+    assert not np.array_equal(d1, d2)

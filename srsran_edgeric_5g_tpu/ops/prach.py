@@ -45,14 +45,64 @@ def root_sequence(u: int, l_ra: int = L_LONG) -> np.ndarray:
     return np.exp(-1j * np.pi * u * n * (n + 1) / l_ra).astype(np.complex64)
 
 
+# TS 38.211 Table 6.3.3.1-5 (1.25 kHz preamble SCS): zeroCorrelationZone
+# config -> N_cs, per restricted-set column (None = reserved).
+NCS_125K = {
+    None: (0, 13, 15, 18, 22, 26, 32, 38, 46, 59, 76, 93, 119, 167, 279, 419),
+    "a": (15, 18, 22, 26, 32, 38, 46, 55, 68, 82, 100, 128, 158, 202, 237, None),
+    "b": (15, 18, 22, 26, 32, 38, 46, 55, 68, 82, 100, 118, 137, None, None, None),
+}
+
+
+def ncs_from_zcz(zcz_config: int, restricted: str | None = None) -> int:
+    """zeroCorrelationZoneConfig -> N_cs for 1.25 kHz long preambles."""
+    v = NCS_125K[restricted][zcz_config]
+    if v is None:
+        raise ValueError(f"zcz {zcz_config} reserved for set {restricted}")
+    return v
+
+
+def _cyclic_shift_distance(u: int, l_ra: int) -> int:
+    """d_u (TS 38.211 §6.3.3.1): p = u^-1 mod L folded into [0, L/2]."""
+    p = pow(u, -1, l_ra)
+    return p if p < l_ra / 2 else l_ra - p
+
+
+def restricted_cyclic_shifts(u: int, n_cs: int, l_ra: int = L_LONG
+                             ) -> list[int]:
+    """Allowed C_v values for root u under restricted set type A."""
+    d_u = _cyclic_shift_distance(u, l_ra)
+    if n_cs <= d_u < l_ra / 3:
+        n_shift = d_u // n_cs
+        d_start = 2 * d_u + n_shift * n_cs
+        n_group = l_ra // d_start
+        n_bar = max((l_ra - 2 * d_u - n_group * d_start) // n_cs, 0)
+    elif l_ra / 3 <= d_u <= (l_ra - n_cs) / 2:
+        n_shift = (l_ra - 2 * d_u) // n_cs
+        d_start = l_ra - 2 * d_u + n_shift * n_cs
+        n_group = d_u // d_start
+        n_bar = min(max((d_u - n_group * d_start) // n_cs, 0), n_shift)
+    else:
+        return []
+    if n_shift == 0:
+        return []
+    w = n_shift * n_group + n_bar
+    return [d_start * (v // n_shift) + (v % n_shift) * n_cs for v in range(w)]
+
+
 @dataclasses.dataclass(frozen=True)
 class PrachConfig:
-    """One cell's preamble space: 64 preambles from consecutive logical roots
-    with N_cs-spaced cyclic shifts (unrestricted set)."""
+    """One cell's preamble space: 64 preambles from consecutive logical roots.
+
+    Unrestricted: N_cs-spaced shifts, L/N_cs per root.  Restricted set A:
+    Doppler-robust shift groups per §6.3.3.1 (variable count per root, walks
+    logical roots until 64 preambles exist).
+    """
 
     root_sequence_index: int
     zero_correlation_zone: int   # N_cs directly (0 => single shift per root)
     l_ra: int = L_LONG
+    restricted: str | None = None  # None | 'a'
 
     @property
     def n_cs(self) -> int:
@@ -64,12 +114,31 @@ class PrachConfig:
             return 1
         return self.l_ra // self.n_cs
 
+    @functools.cached_property
+    def preamble_table(self) -> tuple[tuple[int, int, int], ...]:
+        """64 x (root_offset, u, C_v)."""
+        out = []
+        offset = 0
+        while len(out) < 64:
+            u = sequence_number(self.root_sequence_index + offset, self.l_ra)
+            if self.restricted is None:
+                shifts = ([0] if self.n_cs == 0 else
+                          [v * self.n_cs for v in range(self.shifts_per_root)])
+            elif self.restricted == "a":
+                shifts = restricted_cyclic_shifts(u, self.n_cs, self.l_ra)
+            else:
+                raise ValueError(self.restricted)
+            for cv in shifts:
+                if len(out) < 64:
+                    out.append((offset, u, cv))
+            offset += 1
+            assert offset < 838, "cannot build 64 preambles"
+        return tuple(out)
+
     def preamble(self, index: int) -> tuple[int, int]:
         """Preamble index (0..63) -> (u, cyclic shift C_v)."""
-        v_max = self.shifts_per_root
-        root_offset, v = divmod(index, v_max)
-        u = sequence_number(self.root_sequence_index + root_offset, self.l_ra)
-        return u, v * self.n_cs
+        _, u, cv = self.preamble_table[index]
+        return u, cv
 
 
 def generate(cfg: PrachConfig, preamble_index: int) -> jnp.ndarray:
@@ -156,10 +225,12 @@ def detect(rx_freq: jnp.ndarray, cfg: PrachConfig,
     by the overall mean power (noise floor).
     """
     l_ra = cfg.l_ra
-    nroots = -(-64 // cfg.shifts_per_root)
-    roots = np.stack([root_sequence(sequence_number(cfg.root_sequence_index + i,
+    table = cfg.preamble_table
+    offsets = sorted({off for off, _, _ in table})
+    row_of = {off: i for i, off in enumerate(offsets)}
+    roots = np.stack([root_sequence(sequence_number(cfg.root_sequence_index + off,
                                                     l_ra), l_ra)
-                      for i in range(nroots)])
+                      for off in offsets])
     root_f = jnp.asarray(np.fft.fft(roots, axis=-1).astype(np.complex64))
 
     corr_f = rx_freq[None, :] * jnp.conj(root_f)          # (nroots, L)
@@ -173,10 +244,9 @@ def detect(rx_freq: jnp.ndarray, cfg: PrachConfig,
     # (L - C_v) mod L; each preamble's zone starts there and spans N_cs.
     power2 = jnp.concatenate([power, power], axis=-1)     # easy wrap-around
     metrics, delays = [], []
-    for p in range(64):
-        root_offset, v = divmod(p, cfg.shifts_per_root)
-        start = (l_ra - v * cfg.n_cs) % l_ra
-        zone = power2[root_offset, start:start + win]
+    for (off, _, cv) in table:
+        start = (l_ra - cv) % l_ra
+        zone = power2[row_of[off], start:start + win]
         metrics.append(jnp.max(zone) / floor)
         delays.append(jnp.argmax(zone))
     metrics = jnp.stack(metrics)

@@ -132,3 +132,40 @@ def test_prach_ofdm_roundtrip_and_detect():
     det = prach.detect(back, cfg)
     d = np.asarray(det.detected)
     assert d[23] and d.sum() == 1
+
+
+def test_ncs_tables_and_restricted_shifts():
+    assert prach.ncs_from_zcz(1) == 13
+    assert prach.ncs_from_zcz(11, "a") == 128
+    with pytest.raises(ValueError):
+        prach.ncs_from_zcz(15, "a")
+    # u=129 has d_u=13 < N_cs=15 -> unusable root, correctly skipped.
+    assert prach.restricted_cyclic_shifts(129, n_cs=15) == []
+    # find a usable root and check shift-set properties (early logical roots
+    # all have d_u < N_cs by table construction, so search wide)
+    for idx in range(500):
+        u = prach.sequence_number(idx)
+        shifts = prach.restricted_cyclic_shifts(u, n_cs=15)
+        if shifts:
+            break
+    assert shifts and len(set(shifts)) == len(shifts)
+    assert all(0 <= c < 839 for c in shifts)
+    du = prach._cyclic_shift_distance(u, prach.L_LONG)
+    assert du >= 15
+
+
+def test_restricted_set_a_detection():
+    cfg = prach.PrachConfig(root_sequence_index=1, zero_correlation_zone=15,
+                            restricted="a")
+    table = cfg.preamble_table
+    assert len(table) == 64
+    assert len({(u, cv) for _, u, cv in table}) == 64  # distinct preambles
+    # multiple roots needed (restricted sets have few shifts per root)
+    assert len({off for off, _, _ in table}) > 1
+    pre = prach.generate(cfg, preamble_index=37)
+    det = prach.detect(pre, cfg)
+    d = np.asarray(det.detected)
+    assert d[37], np.asarray(det.metrics)[35:40]
+    # other roots stay silent; same-root neighbors may leak slightly but only
+    # the true preamble exceeds the threshold
+    assert d.sum() == 1, np.nonzero(d)

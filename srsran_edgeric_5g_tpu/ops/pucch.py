@@ -32,7 +32,8 @@ from .low_papr import base_sequence
 from .modulation import demodulate_soft, modulate
 from .sequences import np_gold_sequence
 from .polar import code as polar_code, decoder as polar_decoder
-from .polar import encoder as polar_encoder, rate_match as polar_rm
+from .polar import encoder as polar_encoder, list_decoder as polar_list
+from .polar import rate_match as polar_rm
 from .sequences import gold_sequence, scramble_bits, scramble_llrs
 
 NSC = 12
@@ -274,8 +275,9 @@ def format2_decode(rx_grid: jnp.ndarray, cfg: Pucch2Config
         bits, metric = short_block.detect(llr, k)
         ok = metric > 0
         return bits, ok
-    from .crc import crc_check
     c, crc_name = _uci_polar_code(k, cfg.e_total)
-    decoded = polar_decoder.decode(polar_rm.rate_dematch(llr, c), c)
-    ok = crc_check(decoded, crc_name)
+    # CA-SCL (PC-register aware) — the reference's SCL UCI path
+    # (uci_decoder_impl.cpp -> polar SCL); ok = CRC-aided path selection.
+    decoded, ok = polar_list.decode_scl(polar_rm.rate_dematch(llr, c), c,
+                                        list_size=8, crc=crc_name)
     return decoded[:, :k], ok

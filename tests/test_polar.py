@@ -191,3 +191,44 @@ def test_pc_wm_selection():
     # (it was placed by min row weight among the most reliable positions).
     c2 = pcode.construct(16, 96, nmax=pcode.NMAX_UL, i_il=False, n_pc=3)
     assert c2.n_pc == 3
+
+
+@pytest.mark.parametrize("k,e", [(12, 48), (16, 96), (19, 240)])
+def test_pc_roundtrip_scl(k, e):
+    """SCL must honour the PC register: noiseless roundtrip, exact message."""
+    from srsran_edgeric_5g_tpu.ops.polar import list_decoder as scl
+    c = pcode.construct(k, e, nmax=pcode.NMAX_UL, i_il=False, n_pc=3)
+    rng = np.random.default_rng(3 * k + e)
+    msgs = jnp.asarray(rng.integers(0, 2, (4, k), dtype=np.int8))
+    cw = penc.encode(msgs, c)
+    tx = prm.rate_match(cw, c)
+    llr = (1.0 - 2.0 * tx.astype(jnp.float32)) * 8.0
+    out, ok = scl.decode_scl(prm.rate_dematch(llr, c), c, list_size=4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(msgs))
+    assert np.asarray(ok).all()
+
+
+def test_pc_scl_beats_sc_at_low_snr():
+    """CA-SCL-8 on the CRC6+PC UCI code decodes more blocks than SC."""
+    from srsran_edgeric_5g_tpu.ops import crc as crc_mod
+    from srsran_edgeric_5g_tpu.ops.polar import list_decoder as scl
+    k_payload, e = 12, 64
+    k = k_payload + 6  # CRC6-aided, +3 PC bits in construction
+    c = pcode.construct(k, e, nmax=pcode.NMAX_UL, i_il=False, n_pc=3)
+    rng = np.random.default_rng(11)
+    nblk = 64
+    payload = jnp.asarray(rng.integers(0, 2, (nblk, k_payload), dtype=np.int8))
+    with_crc = crc_mod.crc_attach(payload, "crc6")
+    cw = penc.encode(with_crc, c)
+    tx = np.asarray(prm.rate_match(cw, c)).astype(np.float32)
+    sym = 1 - 2 * tx
+    sigma = 10 ** (1.5 / 20)
+    y = sym + rng.normal(size=sym.shape) * sigma
+    llr = prm.rate_dematch(jnp.asarray(2 * y / sigma ** 2), c)
+
+    sc_out = pdec.decode(llr, c)
+    sc_ok = (np.asarray(sc_out) == np.asarray(with_crc)).all(axis=1)
+    scl_out, scl_ok = scl.decode_scl(llr, c, list_size=8, crc="crc6")
+    scl_correct = (np.asarray(scl_out) == np.asarray(with_crc)).all(axis=1)
+    assert scl_correct.sum() >= sc_ok.sum()
+    assert scl_correct.mean() > 0.85, scl_correct.mean()

@@ -108,10 +108,60 @@ def estimate_port(rx_pilots: jnp.ndarray, ref_pilots: jnp.ndarray,
     return h_freq.astype(jnp.complex64), noise_var.astype(jnp.float32), cfo
 
 
+@functools.lru_cache(maxsize=None)
+def _smooth_matrix(npil: int, delay_spread_s: float, pilot_scs: float,
+                   half_len: int = 24) -> np.ndarray:
+    """(npil, npil + 2*half_len) valid-convolution smoothing operator.
+
+    A windowed-sinc low-pass over the (edge-extended) pilot axis whose
+    one-sided passband covers ``delay_spread_s``: channel energy at in-band
+    delays passes ~unity, pilot noise (white over the whole delay range) is
+    cut by ~2*fc.  One matmul — MXU-shaped, unlike a global IDFT truncation
+    which Gibbs-rings on the finite aperture.
+    """
+    # One-sided passband edge in cycles/pilot-sample, plus half the
+    # Hann-windowed-sinc transition width (~3.1/(2L+1)) so in-band delays
+    # sit on the flat part of the response, not the rolloff.
+    fc = delay_spread_s * pilot_scs + 1.6 / (2 * half_len + 1)
+    m = np.arange(-half_len, half_len + 1, dtype=np.float64)
+    k = 2 * fc * np.sinc(2 * fc * m)
+    k *= np.hanning(2 * half_len + 1 + 2)[1:-1]
+    k /= k.sum()
+    s = np.zeros((npil, npil + 2 * half_len), dtype=np.float64)
+    for i in range(npil):
+        s[i, i:i + 2 * half_len + 1] = k
+    return s.astype(np.float32)
+
+
+def _freq_smooth(h_flat: jnp.ndarray, delay_spread_s: float,
+                 pilot_scs: float, half_len: int = 24) -> jnp.ndarray:
+    """Smooth a TA-derotated pilot-domain channel along frequency.
+
+    Band edges are extended with the conjugate-ramp rule
+    ``h[-m] = h0^2 conj(h[m]) / |h0|^2`` (exact continuation for any
+    single-ray residual delay, first-order for multipath) so the low-pass
+    sees a phase-continuous sequence and does not smear the edges.
+    """
+    L = half_len
+    eps = jnp.float32(1e-20)
+
+    def ext(anchor, seg):                    # anchor: (..., 1), seg: (..., L)
+        scale = anchor * anchor / (jnp.abs(anchor) ** 2 + eps)
+        return scale * jnp.conj(seg)
+
+    left = ext(h_flat[..., 0:1], h_flat[..., 1:L + 1][..., ::-1])
+    right = ext(h_flat[..., -1:], h_flat[..., -L - 1:-1][..., ::-1])
+    hext = jnp.concatenate([left, h_flat, right], axis=-1)
+    s = jnp.asarray(_smooth_matrix(h_flat.shape[-1], delay_spread_s,
+                                   pilot_scs, half_len))
+    return (hext.real @ s.T + 1j * (hext.imag @ s.T)).astype(jnp.complex64)
+
+
 def estimate_port_ta(rx_pilots: jnp.ndarray, ref_pilots: jnp.ndarray,
                      pilot_subcarriers: np.ndarray, nsubc: int,
                      scs_hz: float,
                      dmrs_symbol_times_s: np.ndarray | None = None,
+                     delay_spread_s: float | None = None,
                      ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """estimate_port + time-alignment-compensated interpolation.
 
@@ -121,6 +171,13 @@ def estimate_port_ta(rx_pilots: jnp.ndarray, ref_pilots: jnp.ndarray,
     channel, derotate the linear phase ramp (making the channel ~flat across
     the pilot gap so linear interpolation is accurate), interpolate, then
     restore the ramp on the full band.
+
+    ``delay_spread_s`` enables the denoising counterpart of the reference's
+    RC-filter frequency smoothing: the pilot-domain channel is taken to the
+    delay domain, a raised-cosine window spanning [ta - guard, ta +
+    delay_spread] keeps the physical impulse response and zeroes the
+    noise-only taps, and the result returns to frequency.  Noise on the
+    pilots is suppressed by ~(kept taps / total taps).
 
     Returns (h_freq, noise_var, cfo_hz, ta_seconds).
     """
@@ -152,15 +209,24 @@ def estimate_port_ta(rx_pilots: jnp.ndarray, ref_pilots: jnp.ndarray,
     gap = int(pilot_subcarriers[1] - pilot_subcarriers[0])
     pilot_scs = gap * scs_hz
     ta = estimate_ta(h_p, pilot_scs)
+    # When smoothing, derotate to the CENTER of the expected delay window
+    # [ta, ta + spread] so residual delays span +-spread/2: the smoother's
+    # cutoff (and so its noise bandwidth) halves, and edge distortion of
+    # late taps shrinks with their residual phase slope.
+    guard_s = 0.3e-6
+    t_c = ta if delay_spread_s is None else ta + delay_spread_s / 2
     pil_k = jnp.asarray(np.asarray(pilot_subcarriers, dtype=np.float32))
-    deramp = jnp.exp(2j * np.pi * scs_hz * ta[..., None] * pil_k)
+    deramp = jnp.exp(2j * np.pi * scs_hz * t_c[..., None] * pil_k)
     h_flat = h_p * deramp.astype(jnp.complex64)
+
+    if delay_spread_s is not None:
+        h_flat = _freq_smooth(h_flat, delay_spread_s / 2 + guard_s, pilot_scs)
 
     left, frac = _interp_weights(tuple(int(p) for p in pilot_subcarriers), nsubc)
     hl = h_flat[..., jnp.asarray(left)]
     hr = h_flat[..., jnp.asarray(left + 1)]
     h_freq = hl + (hr - hl) * jnp.asarray(frac)
     all_k = jnp.asarray(np.arange(nsubc, dtype=np.float32))
-    reramp = jnp.exp(-2j * np.pi * scs_hz * ta[..., None] * all_k)
+    reramp = jnp.exp(-2j * np.pi * scs_hz * t_c[..., None] * all_k)
     h_freq = h_freq * reramp.astype(jnp.complex64)
     return h_freq.astype(jnp.complex64), noise_var.astype(jnp.float32), cfo, ta

@@ -46,6 +46,9 @@ class PhyConfig:
     rnti_base: int = 0x4601
     tx_address: str = "tcp://*:2101"      # gNB TX sample server
     rx_address: str = "tcp://localhost:2100"  # gNB RX sample puller
+    # UL estimator: 0 disables smoothing; > 0 enables the TA + frequency-
+    # smoothing chain assuming this delay spread (microseconds).
+    delay_spread_us: float = 0.0
 
     def __post_init__(self):
         if self.scs_khz != 15:
@@ -61,6 +64,9 @@ class PhyConfig:
         if self.nof_prb // self.nof_ue < 4:
             raise ValueError(f"{self.nof_ue} UEs do not fit in "
                              f"{self.nof_prb} PRBs (>=4 PRB each)")
+        if not (0.0 <= self.delay_spread_us <= 10.0):
+            raise ValueError(f"delay_spread_us {self.delay_spread_us} out of "
+                             "range [0, 10] (must stay well inside the CP)")
 
     @property
     def nof_prb(self) -> int:
@@ -85,7 +91,8 @@ class PhyConfig:
                           prb_per_ue=self.nof_prb // self.nof_ue,
                           modulation=self.modulation,
                           target_rate=self.target_rate,
-                          n_id=self.pci % 1024)
+                          n_id=self.pci % 1024,
+                          delay_spread_us=self.delay_spread_us)
 
 
 def _parse_scalar(s: str):

@@ -4,11 +4,14 @@ Counterpart of the reference's pdcch_encoder_impl.cpp (CRC24C attach with
 all-ones prefix, RNTI-scrambled CRC, polar K->E), pdcch_modulator_impl.cpp
 (scramble + QPSK + REG mapping) and pdcch_processor_impl.cpp (DM-RS).
 
-Simplifications vs the full CORESET machinery: non-interleaved CCE-to-REG
-mapping on a single-symbol CORESET; one DCI per call (the slot pipeline
-composes multiple).  The receive side implements the UE-style blind decode
-for parity testing: demap -> descramble -> polar SC decode -> CRC check
-against the RNTI mask.
+Simplifications vs the full CORESET machinery: single-symbol CORESET
+(interleaved or non-interleaved CCE-to-REG mapping).  `process` maps one
+DCI; `process_multi` batches several DCIs of one search-space shape (same
+aggregation level / payload size, distinct RNTIs and CCEs) through a single
+vmapped polar encode into one CORESET grid — the counterpart of the
+reference's pdcch_processor handling several PDCCH PDUs per slot.  The
+receive side implements the UE-style blind decode for parity testing:
+demap -> descramble -> polar SC decode -> CRC check against the RNTI mask.
 """
 
 from __future__ import annotations
@@ -115,6 +118,23 @@ def _re_positions(cfg: PdcchConfig) -> tuple[np.ndarray, np.ndarray]:
     return data, dmrs
 
 
+def _dmrs_values(cfg: PdcchConfig, dmrs_sc: np.ndarray) -> np.ndarray:
+    """PDCCH DM-RS (§7.4.1.3) values at absolute pilot subcarriers.
+
+    Gold QPSK, c_init from slot/symbol/n_id; the sequence index of a pilot is
+    its position ⌊sc/4⌋ counted from subcarrier 0 of the CORESET reference
+    point, so non-contiguous (interleaved) bundles index into the sequence
+    rather than consuming it consecutively.
+    """
+    l = cfg.start_symbol
+    cinit = ((1 << 17) * (14 * cfg.slot + l + 1) * (2 * cfg.n_id + 1)
+             + 2 * cfg.n_id) % (1 << 31)
+    idx = np.asarray(dmrs_sc) // 4
+    c = sequences.np_gold_sequence(cinit, 2 * (int(idx.max()) + 1))
+    pil = ((1 - 2 * c[0::2]) + 1j * (1 - 2 * c[1::2])) / np.sqrt(2)
+    return pil[idx].astype(np.complex64)
+
+
 def process(payload: jnp.ndarray, cfg: PdcchConfig, nsymb: int,
             nsubc: int) -> jnp.ndarray:
     """DCI payload -> (nsymb, nsubc) grid contribution (QPSK data + DM-RS)."""
@@ -126,18 +146,52 @@ def process(payload: jnp.ndarray, cfg: PdcchConfig, nsymb: int,
     data_sc, dmrs_sc = _re_positions(cfg)
     grid = jnp.zeros((nsymb, nsubc), jnp.complex64)
     grid = grid.at[cfg.start_symbol, jnp.asarray(data_sc)].set(syms)
+    grid = grid.at[cfg.start_symbol, jnp.asarray(dmrs_sc)].set(
+        jnp.asarray(_dmrs_values(cfg, dmrs_sc)))
+    return grid
 
-    # PDCCH DM-RS (§7.4.1.3): Gold QPSK, c_init from slot/symbol/n_id.
-    l = cfg.start_symbol
-    cinit = ((1 << 17) * (14 * cfg.slot + l + 1) * (2 * cfg.n_id + 1)
-             + 2 * cfg.n_id) % (1 << 31)
-    npil = len(dmrs_sc)
-    # Sequence index counts pilots from subcarrier 0 of the CORESET ref point.
-    first_pil = int(dmrs_sc[0] // 4)
-    c = sequences.np_gold_sequence(cinit, 2 * (npil + first_pil))[2 * first_pil:]
-    pil = ((1 - 2 * c[0::2]) + 1j * (1 - 2 * c[1::2])) / np.sqrt(2)
-    grid = grid.at[l, jnp.asarray(dmrs_sc)].set(
-        jnp.asarray(pil.astype(np.complex64)))
+
+def process_multi(payloads: jnp.ndarray, cfgs: list[PdcchConfig], nsymb: int,
+                  nsubc: int) -> jnp.ndarray:
+    """(N, A) DCI payloads -> one (nsymb, nsubc) CORESET grid.
+
+    All cfgs must share one search-space shape (payload size, aggregation
+    level, start symbol) so the whole set encodes through ONE batched polar
+    chain; RNTIs, CCE indices and scrambling differ per DCI.  Counterpart of
+    the reference's per-slot loop over PDCCH PDUs
+    (pdcch_processor_impl.cpp / downlink_processor process_pdcch), batched.
+    """
+    cfg0 = cfgs[0]
+    assert payloads.shape[0] == len(cfgs)
+    assert all(c.payload_bits == cfg0.payload_bits and c.e == cfg0.e
+               and c.start_symbol == cfg0.start_symbol for c in cfgs), \
+        "process_multi batches one search-space shape; mixed sizes -> compose"
+    assert all(c.n_id == cfg0.n_id and c.slot == cfg0.slot for c in cfgs), \
+        "one CORESET: pdcch-DMRS-ScramblingID and slot must match"
+    n = len(cfgs)
+    pay = payloads.astype(jnp.int8)
+    ones = jnp.ones((n, 24), jnp.int8)
+    crc_bits = crc(jnp.concatenate([ones, pay], axis=1), "crc24c")
+    rnti_mat = np.asarray([[(c.rnti >> (15 - i)) & 1 for i in range(16)]
+                           for c in cfgs], np.int8)
+    crc_bits = crc_bits.at[:, 8:].set(
+        jnp.bitwise_xor(crc_bits[:, 8:], jnp.asarray(rnti_mat)))
+    code = _polar(cfg0)
+    cw = penc.encode(jnp.concatenate([pay, crc_bits], axis=1), code)
+    bits = prm.rate_match(cw, code)                         # (N, E)
+    ci = jnp.asarray([_scrambling_cinit(c) for c in cfgs], jnp.uint32)
+    scr = sequences.scramble_bits(bits, ci)
+    syms = modulation.modulate(scr, "qpsk")                 # (N, E/2)
+
+    grid = jnp.zeros((nsymb, nsubc), jnp.complex64)
+    pos = [_re_positions(c) for c in cfgs]
+    data_sc = np.concatenate([p[0] for p in pos])
+    assert len(np.unique(data_sc)) == len(data_sc), "overlapping CCEs"
+    grid = grid.at[cfg0.start_symbol, jnp.asarray(data_sc)].set(
+        syms.reshape(-1))
+    dmrs_sc = np.unique(np.concatenate([p[1] for p in pos]))
+    grid = grid.at[cfg0.start_symbol, jnp.asarray(dmrs_sc)].set(
+        jnp.asarray(_dmrs_values(cfg0, dmrs_sc)))
     return grid
 
 

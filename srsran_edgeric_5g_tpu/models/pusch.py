@@ -35,10 +35,16 @@ class PuschResult:
 
 
 def channel_estimate(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
-                     symbol_times: np.ndarray):
+                     symbol_times: np.ndarray, scs_hz: float = 15e3,
+                     delay_spread_s: float | None = None):
     """Estimate the allocation's channel from the configured DM-RS symbols.
 
     rx_grid: (nsymb, nsubc).  Returns (h (width,), noise_var (), cfo ()).
+
+    ``delay_spread_s`` switches to the reference's full estimator chain
+    (port_channel_estimator_average_impl: IDFT time alignment + smoothing):
+    TA-derotated interpolation plus windowed-sinc frequency denoising sized
+    to the given delay spread.
     """
     sc0 = cfg.start_prb * N_SC_PER_PRB
     width = cfg.nof_prb * N_SC_PER_PRB
@@ -54,22 +60,31 @@ def channel_estimate(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
     rx_pilots = jnp.stack(rx_p)[None]      # (1, ndmrs, npil)
     ref_pilots = jnp.stack(ref_p)[None]
     times = np.asarray([symbol_times[l] for l in cfg.dmrs_symbols])
-    h, nv, cfo = channel_est.estimate_port(
-        rx_pilots, ref_pilots, pat.subcarriers, width,
-        dmrs_symbol_times_s=times if len(cfg.dmrs_symbols) > 1 else None)
+    times = times if len(cfg.dmrs_symbols) > 1 else None
+    if delay_spread_s is not None:
+        h, nv, cfo, _ = channel_est.estimate_port_ta(
+            rx_pilots, ref_pilots, pat.subcarriers, width, scs_hz,
+            dmrs_symbol_times_s=times, delay_spread_s=delay_spread_s)
+    else:
+        h, nv, cfo = channel_est.estimate_port(
+            rx_pilots, ref_pilots, pat.subcarriers, width,
+            dmrs_symbol_times_s=times)
     return h[0], nv[0], cfo[0]
 
 
 def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
             symbol_times: np.ndarray, rv: int = 0,
             soft_buffer: jnp.ndarray | None = None,
-            num_iters: int = decoder.DEFAULT_ITERS) -> PuschResult:
+            num_iters: int = decoder.DEFAULT_ITERS,
+            scs_hz: float = 15e3,
+            delay_spread_s: float | None = None) -> PuschResult:
     """Full PUSCH receive for one UE from an (nsymb, nsubc) rx grid."""
     seg, rms = _plans(cfg, rv)
     sc0 = cfg.start_prb * N_SC_PER_PRB
     width = cfg.nof_prb * N_SC_PER_PRB
 
-    h, nv, cfo = channel_estimate(rx_grid, cfg, srate, symbol_times)
+    h, nv, cfo = channel_estimate(rx_grid, cfg, srate, symbol_times,
+                                  scs_hz, delay_spread_s)
 
     sym_idx = jnp.asarray(np.asarray(cfg.data_symbols, dtype=np.int32))
     y = rx_grid[sym_idx, sc0:sc0 + width]             # (ndata_sym, width)

@@ -50,8 +50,49 @@ def _row_edges(bg: int, zc: int):
     return g, rows
 
 
+def _syndrome_ok(l_ref, row_edges, zc, widen=None):
+    """Device-side parity check of the current posterior: scalar bool that is
+    True iff EVERY codeword in the tile satisfies every lifted check row
+    (XOR over the row's rotated hard bits == 0 on all Zc lanes)."""
+    par = None
+    for edges in row_edges:
+        if not edges:
+            continue
+        row_par = None
+        for (_, c, s) in edges:
+            lc = l_ref[c] if widen is None else l_ref[c].astype(widen)
+            bit = pltpu.roll(lc, -s % zc, axis=1) < 0
+            row_par = bit if row_par is None else row_par ^ bit
+        par = row_par if par is None else par | row_par
+    return jnp.logical_not(jnp.any(par))
+
+
+def _iterate_kernel(run_sweep, syndrome_ok, num_iters: int, early_stop: bool):
+    """Run ``run_sweep`` (stateful, mutates refs) up to num_iters times,
+    exiting once the whole tile satisfies parity — the reference's CRC early
+    stop (ldpc_decoder_impl.cpp:125-133) at tile granularity, so each grid
+    tile converges independently."""
+    if not early_stop:
+        def body(i, carry):
+            run_sweep()
+            return carry
+        jax.lax.fori_loop(0, num_iters, body, 0)
+        return
+
+    def cond(carry):
+        i, done = carry
+        return jnp.logical_and(i < num_iters, jnp.logical_not(done))
+
+    def body(carry):
+        i, _ = carry
+        run_sweep()
+        return i + 1, syndrome_ok()
+
+    jax.lax.while_loop(cond, body, (0, jnp.bool_(False)))
+
+
 def _make_kernel(bg: int, zc: int, num_iters: int, scaling: float,
-                 b_tile: int):
+                 b_tile: int, early_stop: bool = True):
     g, row_edges = _row_edges(bg, zc)
     cols, n_edges = g.cols, g.num_edges
     kb = g.kb
@@ -62,8 +103,7 @@ def _make_kernel(bg: int, zc: int, num_iters: int, scaling: float,
         l_ref[...] = llr_ref[...]
         r_ref[...] = jnp.zeros((n_edges, b_tile, zc), jnp.float32)
 
-        def sweep(_, carry):
-            del carry
+        def sweep():
             for r, edges in enumerate(row_edges):
                 if not edges:
                     continue
@@ -91,9 +131,10 @@ def _make_kernel(bg: int, zc: int, num_iters: int, scaling: float,
                     r_ref[e] = r_new
                     l_new = t + r_new
                     l_ref[c] = pltpu.roll(l_new, s % zc, axis=1)
-            return 0
 
-        jax.lax.fori_loop(0, num_iters, sweep, 0)
+        _iterate_kernel(sweep,
+                        lambda: _syndrome_ok(l_ref, row_edges, zc),
+                        num_iters, early_stop)
         out_ref[...] = l_ref[...]
 
     return kernel
@@ -102,7 +143,8 @@ def _make_kernel(bg: int, zc: int, num_iters: int, scaling: float,
 LLR_CLAMP = 120  # matches the reference's LLR_MAX / demapper quantisation
 
 
-def _make_kernel_int8(bg: int, zc: int, num_iters: int, b_tile: int):
+def _make_kernel_int8(bg: int, zc: int, num_iters: int, b_tile: int,
+                      early_stop: bool = True):
     """Fixed-point variant: messages R stored int8 (clamped +-LLR_CLAMP like
     the reference) and the posterior L stored int16 WITHOUT clamping —
     hard-clamping L breaks the layered extrinsic identity L = t + R once
@@ -117,8 +159,7 @@ def _make_kernel_int8(bg: int, zc: int, num_iters: int, b_tile: int):
         l_ref[...] = llr_ref[...].astype(jnp.int16)
         r_ref[...] = jnp.zeros((n_edges, b_tile, zc), jnp.int8)
 
-        def sweep(_, carry):
-            del carry
+        def sweep():
             for r, edges in enumerate(row_edges):
                 if not edges:
                     continue
@@ -146,18 +187,21 @@ def _make_kernel_int8(bg: int, zc: int, num_iters: int, b_tile: int):
                     r_ref[e] = r_new.astype(jnp.int8)
                     l_new = t + r_new                      # int16 range, no clamp
                     l_ref[c] = pltpu.roll(l_new, s % zc, axis=1).astype(jnp.int16)
-            return 0
 
-        jax.lax.fori_loop(0, num_iters, sweep, 0)
+        _iterate_kernel(sweep,
+                        lambda: _syndrome_ok(l_ref, row_edges, zc,
+                                             widen=jnp.int32),
+                        num_iters, early_stop)
         out_ref[...] = l_ref[...]
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("bg", "zc", "num_iters",
-                                             "scaling", "b_tile", "interpret"))
+                                             "scaling", "b_tile", "interpret",
+                                             "early_stop"))
 def _decode_pallas_inner(llrs, bg, zc, num_iters, scaling, b_tile,
-                         interpret=False):
+                         interpret=False, early_stop=True):
     g = get_graph(bg, zc)
     b = llrs.shape[0]
     assert b % b_tile == 0, (b, b_tile)
@@ -165,7 +209,7 @@ def _decode_pallas_inner(llrs, bg, zc, num_iters, scaling, b_tile,
     # (B, cols*Zc) -> (cols, B, Zc): lanes = Zc, sublanes = CB tile.
     x = llrs.astype(jnp.float32).reshape(b, g.cols, zc).transpose(1, 0, 2)
 
-    kernel = _make_kernel(bg, zc, num_iters, scaling, b_tile)
+    kernel = _make_kernel(bg, zc, num_iters, scaling, b_tile, early_stop)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -188,7 +232,8 @@ def decode_pallas(llrs: jnp.ndarray, bg: int, zc: int,
                   num_iters: int = DEFAULT_ITERS,
                   scaling: float = DEFAULT_SCALING,
                   b_tile: int = 8,
-                  interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+                  interpret: bool = False,
+                  early_stop: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in for decoder.decode on supported Zc: (B, cols*Zc) LLRs ->
     ((B, K) hard bits, (B,) parity ok).  B must be a multiple of b_tile.
 
@@ -196,23 +241,24 @@ def decode_pallas(llrs: jnp.ndarray, bg: int, zc: int,
     assert pallas_supported(zc), zc
     g = get_graph(bg, zc)
     post = _decode_pallas_inner(llrs, bg, zc, num_iters, scaling, b_tile,
-                                interpret=interpret)
+                                interpret=interpret, early_stop=early_stop)
     hard = (post < 0).astype(jnp.int8)
     ok = check_parity(hard, bg, zc)
     return hard[:, :g.kb * zc], ok
 
 
 @functools.partial(jax.jit, static_argnames=("bg", "zc", "num_iters",
-                                             "b_tile", "interpret"))
+                                             "b_tile", "interpret",
+                                             "early_stop"))
 def _decode_pallas_int8_inner(llrs_i8, bg, zc, num_iters, b_tile,
-                              interpret=False):
+                              interpret=False, early_stop=True):
     g = get_graph(bg, zc)
     b = llrs_i8.shape[0]
     assert b % b_tile == 0, (b, b_tile)
     n_tiles = b // b_tile
     x = llrs_i8.reshape(b, g.cols, zc).transpose(1, 0, 2)
 
-    kernel = _make_kernel_int8(bg, zc, num_iters, b_tile)
+    kernel = _make_kernel_int8(bg, zc, num_iters, b_tile, early_stop)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -233,7 +279,8 @@ def _decode_pallas_int8_inner(llrs_i8, bg, zc, num_iters, b_tile,
 def decode_pallas_int8(llrs: jnp.ndarray, bg: int, zc: int,
                        num_iters: int = DEFAULT_ITERS,
                        b_tile: int = 32,
-                       interpret: bool = False
+                       interpret: bool = False,
+                       early_stop: bool = True
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """int8-state decode: (B, cols*Zc) LLRs (any float/int scale already in
     the +-127 wire range — e.g. the quantized demapper output) ->
@@ -247,7 +294,8 @@ def decode_pallas_int8(llrs: jnp.ndarray, bg: int, zc: int,
     x = jnp.clip(jnp.round(llrs.astype(jnp.float32)), -127, 127
                  ).astype(jnp.int8)
     post = _decode_pallas_int8_inner(x, bg, zc, num_iters, b_tile,
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     early_stop=early_stop)
     hard = (post < 0).astype(jnp.int8)
     ok = check_parity(hard, bg, zc)
     return hard[:, :g.kb * zc], ok

@@ -54,6 +54,10 @@ class CellConfig:
     slot: int = 0
     mu: int = 0
     first_prb: int = 0            # static start of the contiguous UE span
+    # Channel-estimator options: 0 = plain LS + linear interpolation;
+    # > 0 enables the reference's TA + frequency-smoothing estimator chain
+    # with this expected delay spread (microseconds).
+    delay_spread_us: float = 0.0
 
     @property
     def timing(self) -> SlotTiming:
@@ -262,9 +266,17 @@ def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
     y = y.reshape(s, ndata, u, w).transpose(0, 2, 1, 3).reshape(s * u, ndata, w)
     rx_p = shard(rx_p, mesh, (UE_AXIS,))
 
-    h, nv, cfo = channel_est.estimate_port(
-        rx_p, ref_p, pat.subcarriers, w,
-        dmrs_symbol_times_s=times if len(cell.dmrs_symbols) > 1 else None)
+    times_opt = times if len(cell.dmrs_symbols) > 1 else None
+    if cell.delay_spread_us > 0:
+        scs_hz = 15e3 * (1 << cell.mu)
+        h, nv, cfo, _ = channel_est.estimate_port_ta(
+            rx_p, ref_p, pat.subcarriers, w, scs_hz,
+            dmrs_symbol_times_s=times_opt,
+            delay_spread_s=cell.delay_spread_us * 1e-6)
+    else:
+        h, nv, cfo = channel_est.estimate_port(
+            rx_p, ref_p, pat.subcarriers, w,
+            dmrs_symbol_times_s=times_opt)
     # h: (S*U, w), nv: (S*U,)
 
     hh = jnp.broadcast_to(h[:, None, :], y.shape)
@@ -292,3 +304,35 @@ def _ul_back(llr: jnp.ndarray, cell: CellConfig, rv: int = 0,
     payload, tb_ok = segmenter.desegment_tb(hard, seg)
     payload = shard(payload, mesh, (UE_AXIS,))
     return payload, tb_ok
+
+
+def multi_cell_dl_slot_batch(payloads: jnp.ndarray, rntis: jnp.ndarray,
+                             cell: CellConfig, rv: int = 0,
+                             mesh=None) -> jnp.ndarray:
+    """Multi-carrier DL: (NC, S, U, TBS) payloads + (NC, U) rntis ->
+    (NC, S, total) samples.
+
+    Cells are fully independent (the reference runs one upper/lower PHY
+    instance per sector); the cell dimension shards over the mesh 'cell'
+    axis with zero cross-cell collectives — within each cell shard the
+    per-cell constraints partition over ('ue','cb') as usual.
+    """
+    from .mesh import CELL_AXIS
+    payloads = shard(payloads, mesh, (CELL_AXIS,))
+    td = jax.vmap(lambda p, r: dl_slot_batch(p, r, cell, rv, mesh))(
+        payloads, rntis)
+    return shard(td, mesh, (CELL_AXIS,))
+
+
+def multi_cell_ul_slot_batch(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
+                             cell: CellConfig, rv: int = 0,
+                             num_iters: int = decoder.DEFAULT_ITERS,
+                             mesh=None):
+    """Multi-carrier UL: (NC, S, total) samples + (NC, U) rntis -> stacked
+    per-cell ul_slot_batch results, cell dimension sharded over 'cell'."""
+    from .mesh import CELL_AXIS
+    rx_samples = shard(rx_samples, mesh, (CELL_AXIS,))
+    payload, tb_ok, nv, cfo = jax.vmap(
+        lambda x, r: ul_slot_batch(x, r, cell, rv, num_iters, mesh))(
+        rx_samples, rntis)
+    return shard(payload, mesh, (CELL_AXIS,)), tb_ok, nv, cfo

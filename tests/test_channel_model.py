@@ -53,3 +53,22 @@ def test_loopback_through_fading_channel():
     res = pusch.process(rx_grid, cfg, t.srate, times)
     assert np.asarray(res.tb_crc_ok).all()
     np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))
+
+
+def test_fading_loopback_with_ta_smoothing():
+    """Full PUSCH chain through TDL-A fading at lower SNR with the
+    reference-style TA + frequency-smoothing estimator enabled."""
+    cfg = pdsch.PdschConfig(rnti=0x11, nof_prb=24, start_prb=4,
+                            modulation="qam16", target_rate=0.4)
+    t = num.slot_timing(**num.CELL_10MHZ)
+    rng = np.random.default_rng(4)
+    tbs = cfg.derived_tbs()
+    payload = jnp.asarray(rng.integers(0, 2, (1, tbs), dtype=np.int8))
+    grid = pdsch.process(payload, cfg, t.nsymb, t.nof_subc)
+    td = ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
+    rx, h = chm.fade_awgn(jax.random.PRNGKey(9), td, "tdla", t.srate, 15.0)
+    rx_grid = ofdm.demodulate_slot(rx, t, scale=1.0)
+    times = np.asarray(t.cp.data_starts) / t.srate
+    res = pusch.process(rx_grid, cfg, t.srate, times, delay_spread_s=1.0e-6)
+    assert np.asarray(res.tb_crc_ok).all()
+    np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))

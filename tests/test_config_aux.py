@@ -83,3 +83,13 @@ def test_tracer_disabled_is_noop():
         pass
     tr.instant("y")
     assert not tr._events
+
+
+def test_config_delay_spread_plumbs_to_cell():
+    from srsran_edgeric_5g_tpu import config as cfg_mod
+    c = cfg_mod.from_dict({"cell": {"bandwidth_mhz": 10, "nof_ue": 2,
+                                    "delay_spread_us": 1.5}})
+    assert c.cell_config().delay_spread_us == 1.5
+    import pytest
+    with pytest.raises(ValueError):
+        cfg_mod.from_dict({"cell": {"delay_spread_us": 99.0}})

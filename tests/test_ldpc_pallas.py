@@ -24,7 +24,8 @@ def test_pallas_matches_layered(bg, zc):
     hard_ref, ok_ref = decoder.decode(jnp.asarray(llr), bg, zc, num_iters=4,
                                       schedule="layered")
     hard_pl, ok_pl = decoder_pallas.decode_pallas(jnp.asarray(llr), bg, zc,
-                                                  num_iters=4, interpret=True)
+                                                  num_iters=4, interpret=True,
+                                                  early_stop=False)
     np.testing.assert_array_equal(np.asarray(ok_pl), np.asarray(ok_ref))
     np.testing.assert_array_equal(np.asarray(hard_pl), np.asarray(hard_ref))
     assert np.asarray(ok_pl).all()
@@ -46,6 +47,29 @@ def test_pallas_tile_independence():
                                            b_tile=16, interpret=True)
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
     assert np.asarray(ok1).all() and np.asarray(ok2).all()
+
+
+@pytest.mark.parametrize("int8", [False, True])
+def test_pallas_early_stop_matches(int8):
+    """The in-kernel syndrome early exit (while_loop) recovers the same
+    payloads as the fixed-iteration run on a noisy batch."""
+    bg, zc = 2, 128
+    g = get_graph(bg, zc)
+    rng = np.random.default_rng(21)
+    b = 8
+    msgs = rng.integers(0, 2, size=(b, g.k), dtype=np.int8)
+    cw = np.asarray(encoder.encode(jnp.asarray(msgs), bg, zc, impl="gather"))
+    sym = 1 - 2 * cw[:, 2 * zc:].astype(np.float32)
+    sigma = 10 ** (-3.0 / 20)
+    y = sym + rng.normal(size=sym.shape) * sigma
+    llr = np.concatenate([np.zeros((b, 2 * zc), np.float32),
+                          20 * np.clip(2 * y / sigma ** 2 / 20, -1, 1)], axis=1)
+    fn = (decoder_pallas.decode_pallas_int8 if int8
+          else decoder_pallas.decode_pallas)
+    hard, ok = fn(jnp.asarray(llr), bg, zc, num_iters=8, b_tile=8,
+                  interpret=True, early_stop=True)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(hard), msgs)
 
 
 def test_pallas_int8_awgn():

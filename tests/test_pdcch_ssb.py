@@ -43,6 +43,42 @@ def test_pdcch_awgn():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(payload))
 
 
+def test_pdcch_multi_dci():
+    """process_multi == sum of per-DCI grids; every DCI blind-decodes."""
+    cfgs = [pdcch.PdcchConfig(rnti=0x4601 + i, n_id=7, aggregation_level=2,
+                              cce_index=2 * i, payload_bits=40)
+            for i in range(4)]
+    rng = np.random.default_rng(9)
+    payloads = jnp.asarray(rng.integers(0, 2, (4, 40), dtype=np.int8))
+    grid = pdcch.process_multi(payloads, cfgs, nsymb=14, nsubc=624)
+    composed = sum(pdcch.process(payloads[i:i + 1], cfgs[i], 14, 624)
+                   for i in range(4))
+    np.testing.assert_allclose(np.asarray(grid), np.asarray(composed),
+                               atol=1e-6)
+    for i, cfg in enumerate(cfgs):
+        out, ok = pdcch.blind_decode(grid, cfg)
+        assert np.asarray(ok).all()
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(payloads[i:i + 1]))
+
+
+def test_pdcch_multi_dci_interleaved():
+    """Batched DCIs through an interleaved CORESET still round-trip."""
+    cfgs = [pdcch.PdcchConfig(rnti=0x100 + i, n_id=3, aggregation_level=2,
+                              cce_index=2 * i, coreset_nof_prb=48,
+                              interleaved=True, interleaver_rows=2,
+                              shift_index=5)
+            for i in range(3)]
+    rng = np.random.default_rng(10)
+    payloads = jnp.asarray(rng.integers(0, 2, (3, 40), dtype=np.int8))
+    grid = pdcch.process_multi(payloads, cfgs, nsymb=14, nsubc=624)
+    for i, cfg in enumerate(cfgs):
+        out, ok = pdcch.blind_decode(grid, cfg)
+        assert np.asarray(ok).all()
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(payloads[i:i + 1]))
+
+
 def test_ssb_structure():
     cfg = ssb.SsbConfig(pci=123)
     rng = np.random.default_rng(1)

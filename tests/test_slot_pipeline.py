@@ -66,3 +66,37 @@ def test_8ue_20mhz_cell():
     payloads, payload_hat, tb_ok, _ = _run(cell, mesh=mesh, snr_db=25.0, seed=3)
     assert np.asarray(tb_ok).all()
     np.testing.assert_array_equal(np.asarray(payload_hat), np.asarray(payloads))
+
+
+def test_cell_with_estimator_smoothing():
+    """delay_spread_us > 0 routes the UL front-end through the TA +
+    frequency-smoothing estimator; the noisy loopback still decodes."""
+    cell = sp.CellConfig(nof_prb=52, nfft=768, nof_ue=4, prb_per_ue=12,
+                         modulation="qam16", target_rate=0.4,
+                         delay_spread_us=1.0)
+    payloads, payload_hat, tb_ok, _ = _run(cell, snr_db=14.0, seed=2)
+    assert np.asarray(tb_ok).all()
+    np.testing.assert_array_equal(np.asarray(payload_hat), np.asarray(payloads))
+
+
+def test_multi_cell_mesh_loopback():
+    """Two independent carriers sharded over the 'cell' axis of a
+    (2 cell, 2 ue, 2 cb) mesh: both cells' slot batches decode exactly."""
+    from srsran_edgeric_5g_tpu.parallel.mesh import make_cell_mesh
+    cell = small_cell(nof_ue=2)
+    mesh = make_cell_mesh(n_cell=2, n_ue=2, n_cb=2)
+    rng = np.random.default_rng(7)
+    tbs = cell.derived_tbs()
+    s = 2
+    payloads = jnp.asarray(
+        rng.integers(0, 2, (2, s, cell.nof_ue, tbs), dtype=np.int8))
+    rntis = jnp.asarray(0x10 + np.arange(2 * cell.nof_ue, dtype=np.uint32)
+                        .reshape(2, cell.nof_ue))
+
+    step = jax.jit(lambda p, r: sp.multi_cell_ul_slot_batch(
+        sp.multi_cell_dl_slot_batch(p, r, cell, mesh=mesh), r, cell,
+        mesh=mesh))
+    payload_hat, tb_ok, _, _ = step(payloads, rntis)
+    assert np.asarray(tb_ok).all()
+    np.testing.assert_array_equal(np.asarray(payload_hat),
+                                  np.asarray(payloads))

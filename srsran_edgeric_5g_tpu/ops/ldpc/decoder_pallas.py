@@ -192,7 +192,10 @@ def _make_kernel_int8(bg: int, zc: int, num_iters: int, b_tile: int,
                         lambda: _syndrome_ok(l_ref, row_edges, zc,
                                              widen=jnp.int32),
                         num_iters, early_stop)
-        out_ref[...] = l_ref[...]
+        # Hard decisions only (int8): halves the output VMEM footprint vs an
+        # int16 posterior — at B=128 BG1 Zc=384 the posterior output pushed
+        # the scoped-VMEM total past the 16 MB limit.
+        out_ref[...] = (l_ref[...] < 0).astype(jnp.int8)
 
     return kernel
 
@@ -266,7 +269,7 @@ def _decode_pallas_int8_inner(llrs_i8, bg, zc, num_iters, b_tile,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((g.cols, b_tile, zc), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g.cols, b, zc), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((g.cols, b, zc), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((g.cols, b_tile, zc), jnp.int16),
             pltpu.VMEM((g.num_edges, b_tile, zc), jnp.int8),
@@ -293,9 +296,8 @@ def decode_pallas_int8(llrs: jnp.ndarray, bg: int, zc: int,
     g = get_graph(bg, zc)
     x = jnp.clip(jnp.round(llrs.astype(jnp.float32)), -127, 127
                  ).astype(jnp.int8)
-    post = _decode_pallas_int8_inner(x, bg, zc, num_iters, b_tile,
+    hard = _decode_pallas_int8_inner(x, bg, zc, num_iters, b_tile,
                                      interpret=interpret,
                                      early_stop=early_stop)
-    hard = (post < 0).astype(jnp.int8)
     ok = check_parity(hard, bg, zc)
     return hard[:, :g.kb * zc], ok

@@ -38,3 +38,62 @@ cell:
     doc = json.loads(trace.read_text())
     names = {e["name"] for e in doc["traceEvents"]}
     assert "dl_slot" in names and "ul_slot" in names
+
+
+def test_loopback_app_with_edgeric_muapp(tmp_path):
+    """App publishes per-TTI metrics to a live (fake) muApp and applies the
+    RT-E2 round trip: the muApp computes MaxCQI-style weights from received
+    metrics and the app reports the received policy at exit."""
+    import pytest
+    zmq = pytest.importorskip("zmq")
+    import threading
+    from srsran_edgeric_5g_tpu.runtime.protobufs import edgeric_pb2 as pb
+
+    cfg = tmp_path / "cell.yml"
+    cfg.write_text("cell:\n  bandwidth_mhz: 10\n  nof_ue: 2\n")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    seen = []
+
+    def muapp():
+        ctx = zmq.Context()
+        sub = ctx.socket(zmq.SUB)
+        sub.setsockopt(zmq.CONFLATE, 1)
+        sub.setsockopt(zmq.SUBSCRIBE, b"")
+        sub.setsockopt(zmq.RCVTIMEO, 30000)
+        sub.connect("ipc:///tmp/metrics")
+        pub = ctx.socket(zmq.PUB)
+        pub.bind("ipc:///tmp/control_weights_actions")
+        try:
+            while True:
+                m = pb.Metrics.FromString(sub.recv())
+                seen.append(m)
+                ues = sorted(m.ue_metrics, key=lambda u: -u.cqi)
+                w = pb.SchedulingWeights(ran_index=m.tti_cnt)
+                for i, u in enumerate(ues):
+                    w.weights.extend([float(u.rnti), 1.0 if i == 0 else 0.1])
+                pub.send(w.SerializeToString())
+        except zmq.Again:
+            pass
+        finally:
+            sub.close(linger=0)
+            pub.close(linger=0)
+            ctx.term()
+
+    t = threading.Thread(target=muapp, daemon=True)
+    t.start()
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "run_loopback_app.py"),
+         str(cfg), "--slots", "6", "--snr", "25", "--port", "47823",
+         "--edgeric"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "edgeric:" in out.stdout, out.stdout
+    # The muApp saw real metrics...
+    assert seen and all(len(m.ue_metrics) == 2 for m in seen)
+    assert any(u.cqi > 0 for m in seen for u in m.ue_metrics)
+    # ...and by the last TTIs the app received a normalized weight policy.
+    assert "weights={" in out.stdout, out.stdout

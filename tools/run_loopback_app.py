@@ -24,6 +24,9 @@ def main(argv=None):
     ap.add_argument("--snr", type=float, default=25.0)
     ap.add_argument("--port", type=int, default=47655)
     ap.add_argument("--trace", default=None, help="write chrome trace JSON")
+    ap.add_argument("--edgeric", action="store_true",
+                    help="publish per-TTI metrics to an EdgeRIC muApp "
+                         "(ipc:///tmp/metrics) and poll policy channels")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -39,6 +42,11 @@ def main(argv=None):
     cell = cfg.cell_config()
     proc = CellProcessor(cell, pci=cfg.pci)
     proc.metrics.add_sink(StdoutSink(every=max(1, args.slots // 10)))
+    er_sink = None
+    if args.edgeric:
+        from srsran_edgeric_5g_tpu.runtime import edgeric
+        er_sink = edgeric.EdgericMetricsSink(edgeric.EdgericAgent())
+        proc.metrics.add_sink(er_sink)
     if args.trace:
         l1_tracer.enable()
 
@@ -93,6 +101,11 @@ def main(argv=None):
           f"TB success {ok_count}/{n}", flush=True)
     print("throughput (Mbit/s @1k slots/s):",
           {hex(k): round(v, 2) for k, v in tp.items()}, flush=True)
+    if er_sink is not None:
+        print(f"edgeric: {er_sink.agent.tti} TTIs published; last policy: "
+              f"weights={er_sink.weights} mcs={er_sink.mcs} "
+              f"(None = fail-open)", flush=True)
+        er_sink.agent.close()
     if args.trace:
         l1_tracer.write(args.trace)
         print(f"trace written to {args.trace}", flush=True)

@@ -40,6 +40,10 @@ class PdschConfig:
     n_scid: int = 0
     slot: int = 0
     tbs: int | None = None            # explicit TBS (bits); derived if None
+    # Limited-buffer rate matching (TS 38.212 §5.4.2.1): 0 = full buffer
+    # N_cb = N; > 0 shortens the circular buffer to N_ref derived from this
+    # TBS_LBRM (the reference derives it from the max supported TB size).
+    tbs_lbrm: int = 0
 
     @property
     def data_symbols(self) -> tuple[int, ...]:
@@ -79,8 +83,10 @@ def _plans(cfg: PdschConfig, rv: int = 0):
     tbs = cfg.derived_tbs()
     bg = segmenter.select_base_graph(tbs, cfg.target_rate)
     seg = segmenter.get_segment_plan(tbs, bg, cfg.g_total, cfg.qm)
+    n_cb = (rate_match.lbrm_n_cb(seg.bg, seg.zc, seg.c, cfg.tbs_lbrm)
+            if cfg.tbs_lbrm > 0 else None)
     rms = tuple(rate_match.get_rate_match_plan(seg.bg, seg.zc, e, rv, cfg.qm,
-                                               seg.k_prime)
+                                               seg.k_prime, n_cb=n_cb)
                 for e in sorted(set(seg.e)))
     return seg, rms
 

@@ -71,7 +71,13 @@ def _iterate_kernel(run_sweep, syndrome_ok, num_iters: int, early_stop: bool):
     """Run ``run_sweep`` (stateful, mutates refs) up to num_iters times,
     exiting once the whole tile satisfies parity — the reference's CRC early
     stop (ldpc_decoder_impl.cpp:125-133) at tile granularity, so each grid
-    tile converges independently."""
+    tile converges independently.
+
+    Measured on v5e (B=128 BG1 Zc=384, instantly-converging input): only 9%
+    faster than 6 fixed sweeps — Mosaic's while_loop costs roughly what it
+    saves — and the int8 syndrome hits a Mosaic compare limitation, so
+    ``early_stop`` defaults to False here; batch-level early exit lives in
+    the XLA paths (decoder._iterate) where it wins 22% end-to-end."""
     if not early_stop:
         def body(i, carry):
             run_sweep()
@@ -236,7 +242,7 @@ def decode_pallas(llrs: jnp.ndarray, bg: int, zc: int,
                   scaling: float = DEFAULT_SCALING,
                   b_tile: int = 8,
                   interpret: bool = False,
-                  early_stop: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
+                  early_stop: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in for decoder.decode on supported Zc: (B, cols*Zc) LLRs ->
     ((B, K) hard bits, (B,) parity ok).  B must be a multiple of b_tile.
 
@@ -283,7 +289,7 @@ def decode_pallas_int8(llrs: jnp.ndarray, bg: int, zc: int,
                        num_iters: int = DEFAULT_ITERS,
                        b_tile: int = 32,
                        interpret: bool = False,
-                       early_stop: bool = True
+                       early_stop: bool = False
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """int8-state decode: (B, cols*Zc) LLRs (any float/int scale already in
     the +-127 wire range — e.g. the quantized demapper output) ->

@@ -58,6 +58,8 @@ class CellConfig:
     # > 0 enables the reference's TA + frequency-smoothing estimator chain
     # with this expected delay spread (microseconds).
     delay_spread_us: float = 0.0
+    # Limited-buffer rate matching: 0 = full buffer; > 0 = TBS_LBRM bits.
+    tbs_lbrm: int = 0
 
     @property
     def timing(self) -> SlotTiming:
@@ -94,8 +96,10 @@ def _plans(cell: CellConfig, rv: int = 0):
     bg = segmenter.select_base_graph(tbs, cell.target_rate)
     seg = segmenter.get_segment_plan(tbs, bg, cell.g_total, cell.qm)
     assert len(set(seg.e)) == 1, "uniform-E configs only in the cell pipeline"
+    n_cb = (rate_match.lbrm_n_cb(seg.bg, seg.zc, seg.c, cell.tbs_lbrm)
+            if cell.tbs_lbrm > 0 else None)
     rm = rate_match.get_rate_match_plan(seg.bg, seg.zc, seg.e[0], rv, cell.qm,
-                                        seg.k_prime)
+                                        seg.k_prime, n_cb=n_cb)
     return seg, rm
 
 

@@ -126,3 +126,23 @@ def test_harq_soft_combining():
         f"1st tx ok={bool(np.asarray(r1.tb_crc_ok))}, "
         f"2nd (combined) must pass")
     np.testing.assert_array_equal(np.asarray(r2.payload), np.asarray(payload))
+
+
+def test_lbrm_loopback():
+    """Limited-buffer rate matching: TBS_LBRM shortens N_cb below N (buffer
+    wrap at high E, shifted rv k0); the loopback stays exact."""
+    from srsran_edgeric_5g_tpu.models.pdsch import _plans
+    from srsran_edgeric_5g_tpu.ops.ldpc import rate_match as rm_mod
+
+    cfg = make_cfg(modulation="qam16", target_rate=0.6, tbs_lbrm=6500)
+    seg, _ = _plans(cfg, 0)
+    n_cb = rm_mod.lbrm_n_cb(seg.bg, seg.zc, seg.c, cfg.tbs_lbrm)
+    full_n = rm_mod.lbrm_n_cb(seg.bg, seg.zc, seg.c, 10**9)
+    assert n_cb < full_n, (n_cb, full_n)
+    # rv=2 start position honours the shortened buffer.
+    assert rm_mod.k0_offset(seg.bg, 2, n_cb, seg.zc) != \
+        rm_mod.k0_offset(seg.bg, 2, full_n, seg.zc)
+
+    payload, res, _ = run_loopback(cfg, snr_db=28.0, seed=3)
+    assert np.asarray(res.tb_crc_ok).all()
+    np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))

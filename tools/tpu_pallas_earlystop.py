@@ -61,7 +61,12 @@ def main():
             ("int8 es=1", lambda l: decoder_pallas.decode_pallas_int8(
                 l, bg, zc, b_tile=32, early_stop=True)),
         ):
-            dt, ok = timeit_chained(fn, llr)
+            try:
+                dt, ok = timeit_chained(fn, llr)
+            except Exception as e:  # Mosaic/compile failures: report, go on
+                print(f"{tag:7s} {name}: FAILED "
+                      f"{str(e).splitlines()[0][:110]}", flush=True)
+                continue
             mbps = b * k_bits / dt / 1e6
             print(f"{tag:7s} {name}: {dt*1e3:7.3f} ms  {mbps:6.0f} Mbit/s "
                   f"ok={ok.all()}", flush=True)

@@ -44,6 +44,12 @@ class PdschConfig:
     # N_cb = N; > 0 shortens the circular buffer to N_ref derived from this
     # TBS_LBRM (the reference derives it from the max supported TB size).
     tbs_lbrm: int = 0
+    # DFT-s-OFDM (PUSCH transform precoding, TS 38.211 §6.3.1.4): per-symbol
+    # DFT spread on TX, iDFT despread after equalization on RX (the
+    # reference's transform_precoder_dft_impl / pusch_demodulator_impl:202).
+    # DM-RS stays the configured Gold sequence (deviation: the spec's
+    # low-PAPR DM-RS only changes pilot PAPR, not the estimation chain).
+    transform_precoding: bool = False
 
     @property
     def data_symbols(self) -> tuple[int, ...]:
@@ -145,4 +151,7 @@ def process(payload: jnp.ndarray, cfg: PdschConfig, nsymb: int, nsubc: int,
     """Full PDSCH: (1, TBS) payload -> (nsymb, nsubc) grid contribution."""
     bits = encode_transport_block(payload, cfg, rv)
     syms = modulation.modulate(bits, cfg.modulation)
+    if cfg.transform_precoding:
+        from ..ops import precoding
+        syms = precoding.transform_precode(syms, cfg.nof_prb * N_SC_PER_PRB)
     return map_to_grid(syms, cfg, nsymb, nsubc, amplitude)

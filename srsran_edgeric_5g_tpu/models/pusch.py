@@ -92,6 +92,15 @@ def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
     x_hat, nv_out = equalizer.equalize_mmse_1xn(
         y[None], hh[None], nv[None, None])            # port axis added
 
+    if cfg.transform_precoding:
+        # iDFT despread per data symbol (pusch_demodulator_impl.cpp:202);
+        # the block iDFT whitens the per-RE noise, so demap with the
+        # block-average variance.
+        from ..ops import precoding
+        x_hat = precoding.transform_deprecode(x_hat, width)
+        nv_out = jnp.broadcast_to(
+            jnp.mean(nv_out, axis=-1, keepdims=True), nv_out.shape)
+
     # Soft demap with per-RE noise variance, then descramble.
     llr = modulation.demodulate_soft(x_hat.reshape(1, -1), nv_out.reshape(1, -1),
                                      cfg.modulation, quantize=False)

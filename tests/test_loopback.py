@@ -146,3 +146,28 @@ def test_lbrm_loopback():
     payload, res, _ = run_loopback(cfg, snr_db=28.0, seed=3)
     assert np.asarray(res.tb_crc_ok).all()
     np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))
+
+
+def test_dfts_ofdm_loopback():
+    """Transform-precoded (DFT-s-OFDM) PUSCH: TX DFT spread, RX iDFT
+    despread after MMSE; survives AWGN + a multipath-ish flat gain, and the
+    time-domain PAPR drops vs plain OFDM."""
+    cfg = make_cfg(modulation="qam16", target_rate=0.4,
+                   transform_precoding=True)
+    payload, res, _ = run_loopback(cfg, snr_db=16.0, seed=21)
+    assert np.asarray(res.tb_crc_ok).all()
+    np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))
+
+    # Single-carrier property: data-symbol PAPR strictly below plain OFDM's.
+    t = num.slot_timing(**num.CELL_10MHZ)
+    rng = np.random.default_rng(3)
+    tbs = cfg.derived_tbs()
+    p = jnp.asarray(rng.integers(0, 2, (1, tbs), dtype=np.int8))
+
+    def papr(c):
+        td = np.asarray(ofdm.modulate_slot(
+            pdsch.process(p, c, t.nsymb, t.nof_subc), t, scale=1.0 / t.nfft))
+        pw = np.abs(td) ** 2
+        return pw.max() / pw.mean()
+
+    assert papr(cfg) < papr(make_cfg(modulation="qam16", target_rate=0.4))

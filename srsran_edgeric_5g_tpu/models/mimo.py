@@ -1,0 +1,191 @@
+"""2-layer MIMO PDSCH/PUSCH: the multi-port path of the reference's
+resource grid ([subcarrier x symbol x port], resource_grid_impl.h:41-51),
+channel precoder (layers->ports), 2-port type-1 DM-RS CDM (w_f OCC,
+dmrs_helper.h) and 2xN MMSE equalizer (equalize_zf_2xn.h counterpart).
+
+TX: one TB encoded at 2-layer TBS -> layer mapping d(2i)/d(2i+1) ->
+layers 0/1 (TS 38.211 §7.3.1.3) -> identity precoding (port p = layer p)
+-> per-port grids with CDM-group-0 DM-RS (ports 0/1 share subcarriers,
+frequency OCC [+,+]/[+,-]).
+
+RX: per (rx antenna, tx port) channel estimation by OCC de-spreading pilot
+pairs (half-rate virtual pilots at pair centers re-using the single-port
+estimator's interpolation), then closed-form per-RE 2x2 MMSE, layer
+demapping, demap/descramble/dematch/decode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import channel_est, dmrs as dmrs_mod, equalizer, modulation, sequences
+from ..ops.ldpc import decoder, rate_match, segmenter
+from ..ran.numerology import N_SC_PER_PRB
+from ..ran.tbs import nof_re, tbs as tbs_calc
+from .pdsch import PdschConfig, scrambling_c_init
+from .pusch import PuschResult
+
+N_LAYERS = 2
+
+
+def derived_tbs(cfg: PdschConfig) -> int:
+    nre = nof_re(cfg.nof_prb, cfg.nof_symbols, 12 * len(cfg.dmrs_symbols))
+    return tbs_calc(nre, cfg.target_rate, cfg.qm, N_LAYERS)
+
+
+@functools.lru_cache(maxsize=None)
+def _plans2(cfg: PdschConfig, rv: int = 0):
+    tbs2 = derived_tbs(cfg)
+    g2 = N_LAYERS * cfg.g_total
+    bg = segmenter.select_base_graph(tbs2, cfg.target_rate)
+    seg = segmenter.get_segment_plan(tbs2, bg, g2, cfg.qm)
+    rms = tuple(rate_match.get_rate_match_plan(seg.bg, seg.zc, e, rv, cfg.qm,
+                                               seg.k_prime)
+                for e in sorted(set(seg.e)))
+    return seg, rms
+
+
+def _encode2(payload: jnp.ndarray, cfg: PdschConfig, rv: int) -> jnp.ndarray:
+    """(1, TBS2) -> (1, 2*G) scrambled codeword bits (one codeword)."""
+    seg, rms = _plans2(cfg, rv)
+    cbs = segmenter.segment_tb(payload, seg)
+    from ..ops.ldpc import encoder
+    cw = encoder.encode(cbs, seg.bg, seg.zc)
+    if len(rms) == 1:
+        bits = rate_match.rate_match(cw, rms[0]).reshape(1, -1)
+    else:
+        parts, idx = [], 0
+        for e in seg.e:
+            plan = next(p for p in rms if p.e == e)
+            parts.append(rate_match.rate_match(cw[idx:idx + 1], plan))
+            idx += 1
+        bits = jnp.concatenate([p.reshape(-1) for p in parts])[None, :]
+    ci = jnp.asarray([scrambling_c_init(cfg.rnti, cfg.n_id)], dtype=jnp.uint32)
+    return sequences.scramble_bits(bits, ci)
+
+
+def layer_map(syms: jnp.ndarray) -> jnp.ndarray:
+    """(1, 2M) codeword symbols -> (2, M): d(2i)->layer0, d(2i+1)->layer1."""
+    return syms.reshape(-1, N_LAYERS).T
+
+
+def layer_demap(x: jnp.ndarray) -> jnp.ndarray:
+    """(2, M) layer values -> (1, 2M) codeword order."""
+    return x.T.reshape(1, -1)
+
+
+def process_2layer(payload: jnp.ndarray, cfg: PdschConfig, nsymb: int,
+                   nsubc: int, rv: int = 0) -> jnp.ndarray:
+    """(1, TBS2) payload -> (2, nsymb, nsubc) per-port grids."""
+    bits = _encode2(payload, cfg, rv)
+    syms = modulation.modulate(bits, cfg.modulation)      # (1, 2M)
+    layers = layer_map(syms)                              # (2, M)
+
+    sc0 = cfg.start_prb * N_SC_PER_PRB
+    width = cfg.nof_prb * N_SC_PER_PRB
+    sym_idx = jnp.asarray(np.asarray(cfg.data_symbols, dtype=np.int32))
+    grids = []
+    for p in range(N_LAYERS):
+        g = jnp.zeros((nsymb, nsubc), jnp.complex64)
+        data = layers[p].reshape(len(cfg.data_symbols), width)
+        g = g.at[sym_idx, sc0:sc0 + width].set(data.astype(jnp.complex64))
+        pat = dmrs_mod.dmrs_pattern(1, cfg.nof_prb, port=p)
+        for l in cfg.dmrs_symbols:
+            ci = jnp.asarray([dmrs_mod.dmrs_c_init(cfg.slot, l, cfg.n_id,
+                                                   cfg.n_scid)], jnp.uint32)
+            pil = dmrs_mod.dmrs_sequence(ci, len(pat.subcarriers),
+                                         skip_pilots=6 * cfg.start_prb)[0]
+            g = g.at[l, jnp.asarray(pat.subcarriers + sc0)].set(
+                pil * jnp.asarray(pat.wf))
+        grids.append(g)
+    return jnp.stack(grids)
+
+
+def _estimate_ports_occ(rx_grid: jnp.ndarray, cfg: PdschConfig,
+                        symbol_times: np.ndarray):
+    """One rx antenna -> per-tx-port channels via CDM OCC de-spreading.
+
+    Ports 0/1 share CDM group 0 subcarriers with w_f = [+,+] / [+,-] over
+    pilot pairs: u = r(2j)/p(2j), v = r(2j+1)/p(2j+1) give
+    h_port0 = (u+v)/2 and h_port1 = (u-v)/2 at the pair centre.  The
+    de-spread half-rate pilots feed the standard estimator interpolation.
+    Returns ((2, width) h, noise_var, cfo).
+    """
+    sc0 = cfg.start_prb * N_SC_PER_PRB
+    width = cfg.nof_prb * N_SC_PER_PRB
+    pat = dmrs_mod.dmrs_pattern(1, cfg.nof_prb, port=0)
+    npil = len(pat.subcarriers)
+
+    rx_p, ref_p = [], []
+    for l in cfg.dmrs_symbols:
+        ci = jnp.asarray([dmrs_mod.dmrs_c_init(cfg.slot, l, cfg.n_id,
+                                               cfg.n_scid)], jnp.uint32)
+        pil = dmrs_mod.dmrs_sequence(ci, npil, skip_pilots=6 * cfg.start_prb)[0]
+        rx_p.append(rx_grid[l, jnp.asarray(pat.subcarriers + sc0)])
+        ref_p.append(pil)
+    r = jnp.stack(rx_p)[None]                  # (1, ndmrs, npil)
+    p = jnp.stack(ref_p)[None]
+    raw = r * jnp.conj(p) / jnp.maximum(jnp.abs(p) ** 2, 1e-12)
+    u, v = raw[..., 0::2], raw[..., 1::2]      # pilot pairs
+    centers = ((pat.subcarriers[0::2] + pat.subcarriers[1::2]) // 2)
+
+    times = (np.asarray([symbol_times[l] for l in cfg.dmrs_symbols])
+             if len(cfg.dmrs_symbols) > 1 else None)
+    ones = jnp.ones_like(u)
+    hs, nvs, cfos = [], [], []
+    for hp in ((u + v) / 2, (u - v) / 2):
+        h, nv, cfo = channel_est.estimate_port(
+            hp, ones, centers, width, dmrs_symbol_times_s=times)
+        hs.append(h[0])
+        nvs.append(nv[0])
+        cfos.append(cfo[0])
+    return jnp.stack(hs), (nvs[0] + nvs[1]) / 2, (cfos[0] + cfos[1]) / 2
+
+
+def receive_2layer(rx_grids: jnp.ndarray, cfg: PdschConfig, srate: float,
+                   symbol_times: np.ndarray, rv: int = 0,
+                   num_iters: int = decoder.DEFAULT_ITERS) -> PuschResult:
+    """(n_rx, nsymb, nsubc) antenna grids -> decoded 2-layer TB."""
+    seg, rms = _plans2(cfg, rv)
+    n_rx = rx_grids.shape[0]
+    sc0 = cfg.start_prb * N_SC_PER_PRB
+    width = cfg.nof_prb * N_SC_PER_PRB
+    sym_idx = jnp.asarray(np.asarray(cfg.data_symbols, dtype=np.int32))
+
+    hs, nvs, cfos = [], [], []
+    for a in range(n_rx):
+        h, nv, cfo = _estimate_ports_occ(rx_grids[a], cfg, symbol_times)
+        hs.append(h)
+        nvs.append(nv)
+        cfos.append(cfo)
+    h = jnp.stack(hs)                           # (n_rx, 2, width)
+    nv = jnp.stack(nvs)                         # (n_rx,)
+
+    y = rx_grids[:, sym_idx, sc0:sc0 + width]   # (n_rx, ndata, width)
+    hh = jnp.broadcast_to(h[:, :, None, :], h.shape[:2] + y.shape[1:])
+    x_hat, nv_out = equalizer.equalize_mmse_2xn(
+        y, hh, nv[:, None, None])               # (2, ndata, width) each
+
+    m = x_hat.reshape(N_LAYERS, -1)
+    llr = modulation.demodulate_soft(
+        layer_demap(m), layer_demap(nv_out.reshape(N_LAYERS, -1)).real,
+        cfg.modulation, quantize=False)
+    ci = jnp.asarray([scrambling_c_init(cfg.rnti, cfg.n_id)], dtype=jnp.uint32)
+    llr = sequences.scramble_llrs(llr, ci)
+
+    per_cb, off = [], 0
+    for e in seg.e:
+        plan = next(p for p in rms if p.e == e)
+        per_cb.append(rate_match.rate_dematch(llr[:, off:off + e], plan))
+        off += e
+    full = jnp.concatenate(per_cb, axis=0)
+    hard, cb_ok = decoder.decode(full, seg.bg, seg.zc, num_iters=num_iters)
+    payload, tb_ok = segmenter.desegment_tb(hard, seg)
+    mean_nv = jnp.mean(nv)
+    sinr = -10.0 * jnp.log10(jnp.maximum(mean_nv, 1e-9))
+    return PuschResult(payload=payload, tb_crc_ok=tb_ok, cb_crc_ok=cb_ok,
+                       soft_buffer=None, noise_var=mean_nv,
+                       cfo_hz=jnp.mean(jnp.stack(cfos)), evm_sinr_db=sinr)

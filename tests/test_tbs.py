@@ -43,3 +43,18 @@ def test_known_tbs_value():
     a = tbs_mod.tbs_for_alloc(106, 12, 12, m)
     assert 100_000 < a < 130_000
     assert (a + 24) % 8 == 0
+
+
+def test_riv_roundtrip_exhaustive():
+    """RIV encode/decode (TS 38.214 5.1.2.2.2) round-trips every legal
+    (start, length) on a 52- and a 106-PRB BWP, and RIVs are unique."""
+    from srsran_edgeric_5g_tpu.ran.alloc import riv_decode, riv_encode
+    for n in (52, 106):
+        seen = set()
+        for s in range(n):
+            for l in range(1, n - s + 1):
+                riv = riv_encode(n, s, l)
+                assert riv not in seen
+                seen.add(riv)
+                assert riv_decode(n, riv) == (s, l)
+        assert max(seen) < n * (n + 1) // 2 + n

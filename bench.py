@@ -44,6 +44,9 @@ def main():
     t = cell.timing
     tbs = cell.derived_tbs()
     s_batch = 16  # slots per dispatch (run-ahead pipelining analogue)
+    for a in sys.argv:
+        if a.startswith("--sbatch="):
+            s_batch = int(a.split("=")[1])
     rng = np.random.default_rng(0)
     payloads = jnp.asarray(rng.integers(0, 2, (s_batch, 4, tbs), dtype=np.int8))
     rntis = jnp.asarray(0x4601 + np.arange(4), dtype=np.uint32)

@@ -200,8 +200,10 @@ def _make_kernel_int8(bg: int, zc: int, num_iters: int, b_tile: int,
                         num_iters, early_stop)
         # Hard decisions only (int8): halves the output VMEM footprint vs an
         # int16 posterior — at B=128 BG1 Zc=384 the posterior output pushed
-        # the scoped-VMEM total past the 16 MB limit.
-        out_ref[...] = (l_ref[...] < 0).astype(jnp.int8)
+        # the scoped-VMEM total past the 16 MB limit.  Sign via arithmetic
+        # shift (Mosaic rejects some narrow-int comparisons).
+        out_ref[...] = ((l_ref[...].astype(jnp.int32) >> 31) & 1
+                        ).astype(jnp.int8)
 
     return kernel
 

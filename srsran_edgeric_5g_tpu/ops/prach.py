@@ -8,8 +8,9 @@ windows with a noise-floor threshold).
 TPU design: the detector correlates a received frequency-domain preamble
 window against ALL 64 candidate preambles of the cell at once — the per-root
 conj-multiply + IDFT is batched over roots, and the per-preamble peak search
-is a windowed max over the delay axis.  Unrestricted sets (the zmq-loopback
-scenario) are supported; restricted sets A/B are a planned extension.
+is a windowed max over the delay axis.  Long (L=839) and short (L=139)
+preambles, unrestricted + restricted set A cyclic-shift sets (the reference
+gNB itself only generates unrestricted, prach_generator_impl.cpp:260).
 """
 
 from __future__ import annotations
@@ -54,12 +55,22 @@ NCS_125K = {
 }
 
 
+# TS 38.211 Table 6.3.3.1-7: short preambles (15 kHz x 2^mu SCS),
+# unrestricted sets only.
+NCS_SHORT = (0, 2, 4, 6, 8, 10, 12, 13, 15, 17, 19, 23, 27, 34, 46, 69)
+
+
 def ncs_from_zcz(zcz_config: int, restricted: str | None = None) -> int:
     """zeroCorrelationZoneConfig -> N_cs for 1.25 kHz long preambles."""
     v = NCS_125K[restricted][zcz_config]
     if v is None:
         raise ValueError(f"zcz {zcz_config} reserved for set {restricted}")
     return v
+
+
+def ncs_from_zcz_short(zcz_config: int) -> int:
+    """zeroCorrelationZoneConfig -> N_cs for short (L=139) preambles."""
+    return NCS_SHORT[zcz_config]
 
 
 def _cyclic_shift_distance(u: int, l_ra: int) -> int:

@@ -169,3 +169,23 @@ def test_restricted_set_a_detection():
     # other roots stay silent; same-root neighbors may leak slightly but only
     # the true preamble exceeds the threshold
     assert d.sum() == 1, np.nonzero(d)
+
+
+def test_prach_short_format_roundtrip():
+    """Short (L=139, 15 kHz) preamble: generate -> OFDM occasion -> detect
+    the right preamble index and delay through AWGN (format A/B family)."""
+    cfg = prach.PrachConfig(root_sequence_index=1,
+                            zero_correlation_zone=prach.ncs_from_zcz_short(11),
+                            l_ra=prach.L_SHORT)
+    assert len(cfg.preamble_table) == 64
+    info = prach.prach_ofdm_info(11_520_000, prach.L_SHORT, cp_us=2.0)
+    rng = np.random.default_rng(2)
+    for idx in (0, 17, 63):
+        fd = prach.generate(cfg, idx)
+        td = prach.ofdm_modulate_prach(fd, info)
+        noise = (rng.normal(size=td.shape) + 1j * rng.normal(size=td.shape))
+        rx = jnp.asarray((np.asarray(td) + 0.05 * noise).astype(np.complex64))
+        back = prach.ofdm_demodulate_prach(rx, info)
+        det = prach.detect(back, cfg)
+        found = np.nonzero(np.asarray(det.detected))[0]
+        assert list(found) == [idx], (idx, found)

@@ -47,8 +47,8 @@ class PdschConfig:
     # DFT-s-OFDM (PUSCH transform precoding, TS 38.211 §6.3.1.4): per-symbol
     # DFT spread on TX, iDFT despread after equalization on RX (the
     # reference's transform_precoder_dft_impl / pusch_demodulator_impl:202).
-    # DM-RS stays the configured Gold sequence (deviation: the spec's
-    # low-PAPR DM-RS only changes pilot PAPR, not the estimation chain).
+    # DM-RS switches to the low-PAPR ZC sequence (§6.4.1.1.3, u = n_id mod
+    # 30, no hopping) via pilot_values().
     transform_precoding: bool = False
 
     @property
@@ -121,6 +121,24 @@ def encode_transport_block(payload: jnp.ndarray, cfg: PdschConfig,
     return sequences.scramble_bits(bits, ci)
 
 
+def pilot_values(cfg: PdschConfig, l: int, pat) -> jnp.ndarray:
+    """DM-RS values for symbol ``l`` over ``pat``'s pilots (without w_f).
+
+    CP-OFDM: Gold pseudo-random QPSK (TS 38.211 §7.4.1.1.1).  Transform
+    precoding (DFT-s-OFDM): low-PAPR ZC-based sequence r_{u,v} with
+    u = n_id mod 30, v = 0, alpha = 0 (no group/sequence hopping, TS 38.211
+    §6.4.1.1.3 — the reference's low_papr_sequence_generator path).
+    """
+    if cfg.transform_precoding:
+        from ..ops import low_papr
+        seq = low_papr.base_sequence(cfg.n_id % 30, 0, len(pat.subcarriers))
+        return jnp.asarray(seq.astype(np.complex64))
+    ci = jnp.asarray([dmrs_mod.dmrs_c_init(cfg.slot, l, cfg.n_id, cfg.n_scid)],
+                     dtype=jnp.uint32)
+    return dmrs_mod.dmrs_sequence(ci, len(pat.subcarriers),
+                                  skip_pilots=6 * cfg.start_prb)[0]
+
+
 def map_to_grid(symbols: jnp.ndarray, cfg: PdschConfig, nsymb: int,
                 nsubc: int, amplitude: float = 1.0) -> jnp.ndarray:
     """(1, nof_data_re) symbols -> (nsymb, nsubc) grid contribution.
@@ -137,10 +155,7 @@ def map_to_grid(symbols: jnp.ndarray, cfg: PdschConfig, nsymb: int,
 
     pat = dmrs_mod.dmrs_pattern(1, cfg.nof_prb, port=0)
     for l in cfg.dmrs_symbols:
-        ci = jnp.asarray([dmrs_mod.dmrs_c_init(cfg.slot, l, cfg.n_id, cfg.n_scid)],
-                         dtype=jnp.uint32)
-        pil = dmrs_mod.dmrs_sequence(ci, len(pat.subcarriers),
-                                     skip_pilots=6 * cfg.start_prb)[0]
+        pil = pilot_values(cfg, l, pat)
         vals = pil * jnp.asarray(pat.wf) * jnp.float32(amplitude)
         grid = grid.at[l, jnp.asarray(pat.subcarriers + sc0)].set(vals)
     return grid

@@ -50,11 +50,9 @@ def channel_estimate(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
     width = cfg.nof_prb * N_SC_PER_PRB
     pat = dmrs_mod.dmrs_pattern(1, cfg.nof_prb, port=0)
     rx_p, ref_p = [], []
+    from .pdsch import pilot_values
     for l in cfg.dmrs_symbols:
-        ci = jnp.asarray([dmrs_mod.dmrs_c_init(cfg.slot, l, cfg.n_id, cfg.n_scid)],
-                         dtype=jnp.uint32)
-        pil = dmrs_mod.dmrs_sequence(ci, len(pat.subcarriers),
-                                     skip_pilots=6 * cfg.start_prb)[0]
+        pil = pilot_values(cfg, l, pat)      # Gold QPSK / low-PAPR ZC
         ref_p.append(pil * jnp.asarray(pat.wf))
         rx_p.append(rx_grid[l, jnp.asarray(pat.subcarriers + sc0)])
     rx_pilots = jnp.stack(rx_p)[None]      # (1, ndmrs, npil)

@@ -64,7 +64,7 @@ def main():
             sigma = jnp.sqrt(sig_pow * 10.0 ** (-snr_db / 10.0) / 2.0)
             n = jax.random.normal(sub, td.shape + (2,), jnp.float32) * sigma
             td = td + jax.lax.complex(n[..., 0], n[..., 1])
-        payload_hat, tb_ok, nv, cfo = sp.ul_slot_batch(td, rntis, cell)
+        payload_hat, tb_ok, nv, cfo, _ = sp.ul_slot_batch(td, rntis, cell)
         # eps' = 0 derived from this iteration's result.
         eps_next = (payload_hat[0, 0, 0] & jnp.int8(0))
         return payload_hat, tb_ok, eps_next, key

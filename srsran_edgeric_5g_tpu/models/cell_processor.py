@@ -75,22 +75,29 @@ class CellProcessor:
         self._dl = jax.jit(lambda p, rv: sp.dl_slot(p, self.rntis, cell,
                                                     rv=rv, mesh=mesh),
                            static_argnums=1)
-        self._ul = jax.jit(lambda s: sp.ul_slot(s, self.rntis, cell,
-                                                mesh=mesh))
+        self._ul = jax.jit(lambda s, rv: sp.ul_slot(s, self.rntis, cell,
+                                                    rv=rv, mesh=mesh),
+                           static_argnums=1)
+        self._ul_harq = jax.jit(
+            lambda s, sb, rv: sp.ul_slot(s, self.rntis, cell, rv=rv,
+                                         mesh=mesh, soft_buffer=sb),
+            static_argnums=2)
         self._slot = 0
 
     # ------------------------------------------------------------------ DL
 
     def process_dl_slot(self, payloads: jnp.ndarray,
                         mib: jnp.ndarray | None = None,
-                        dci: jnp.ndarray | None = None) -> jnp.ndarray:
+                        dci: jnp.ndarray | None = None,
+                        rv: int = 0) -> jnp.ndarray:
         """(U, TBS) payloads -> (total,) DL samples for this slot.
 
         Adds SSB every `ssb_period` slots and a PDCCH when `dci` given —
         the downlink_processor 'process pdcch/pdsch/ssb then send' sequence.
+        ``rv`` drives HARQ retransmissions (rv_sequence 0,2,3,1).
         """
         with l1_tracer.span("dl_slot", slot=self._slot):
-            td = self._dl(payloads, 0)
+            td = self._dl(payloads, rv)
         # Control-channel grid contributions are modulated separately and
         # added in the time domain (disjoint REs -> additive grids).
         extra = None
@@ -146,11 +153,31 @@ class CellProcessor:
 
         return csi_mod.srs_estimate(rx_grid, srs_cfg)
 
-    def process_ul_slot(self, rx_samples: jnp.ndarray, pid: int = 0):
-        """(total,) UL samples -> decode results; updates HARQ + metrics."""
+    def process_ul_slot(self, rx_samples: jnp.ndarray, pid: int = 0,
+                        rv: int = 0):
+        """(total,) UL samples -> decode results; updates HARQ + metrics.
+
+        If any UE of this HARQ process holds a soft buffer from a failed
+        attempt, the whole-cell buffer is assembled (zeros = no prior
+        information for fresh UEs) and soft-combined in the decoder — the
+        reference's persistent rx_buffer_pool reservation per (rnti, pid).
+        """
+        u_cnt = self.cell.nof_ue
+        prevs = [self.harq.get(int(self.rntis[u]), pid).soft_buffer
+                 for u in range(u_cnt)]
         with l1_tracer.span("ul_slot", slot=self._slot):
-            payload, tb_ok, nv, cfo = self._ul(rx_samples)
+            if any(p is not None for p in prevs):
+                c = next(p for p in prevs if p is not None).shape[0]
+                n_cb = next(p for p in prevs if p is not None).shape[1]
+                full = jnp.concatenate(
+                    [p if p is not None else jnp.zeros((c, n_cb), jnp.float32)
+                     for p in prevs], axis=0)
+                payload, tb_ok, nv, cfo, soft = self._ul_harq(
+                    rx_samples, full, rv)
+            else:
+                payload, tb_ok, nv, cfo, soft = self._ul(rx_samples, rv)
         ok = np.asarray(tb_ok)
+        c_per_ue = soft.shape[0] // u_cnt
         ues = []
         for u in range(self.cell.nof_ue):
             rnti = int(self.rntis[u])
@@ -159,6 +186,7 @@ class CellProcessor:
                 h.reset()
             else:
                 h.tx_count += 1
+                h.soft_buffer = soft[u * c_per_ue:(u + 1) * c_per_ue]
             nv_u = float(np.asarray(nv)[u])
             ues.append(UeSlotMetrics(
                 rnti=rnti, tb_crc_ok=bool(ok[u]), tbs=self.tbs,

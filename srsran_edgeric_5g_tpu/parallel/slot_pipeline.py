@@ -208,8 +208,12 @@ def dl_slot_batch(payloads: jnp.ndarray, rntis: jnp.ndarray,
 
 def ul_slot_batch(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
                   cell: CellConfig, rv: int = 0,
-                  num_iters: int = decoder.DEFAULT_ITERS, mesh=None):
-    """Slot-batched UL: (S, total) samples -> per-slot decode results.
+                  num_iters: int = decoder.DEFAULT_ITERS, mesh=None,
+                  soft_buffer: jnp.ndarray | None = None):
+    """Slot-batched UL: (S, total) samples -> per-slot decode results
+    (payload, tb_ok, noise_var, cfo, soft) with soft the (S, U*C, n_cb)
+    HARQ circular buffers (feed back as ``soft_buffer`` with the
+    retransmission's ``rv`` for chase/IR combining).
 
     The front-end (demod -> chest -> MMSE -> demap) runs natively batched
     over slots; the decode stays per-slot under vmap (small codeblock
@@ -218,18 +222,25 @@ def ul_slot_batch(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
     """
     s = rx_samples.shape[0]
     llr, nv, cfo = _ul_front(rx_samples, rntis, cell, rv, mesh)  # (S, U, G)
-    payload, tb_ok = jax.vmap(
-        lambda l: _ul_back(l, cell, rv, num_iters, mesh))(llr)
-    return payload, tb_ok, nv, cfo
+    if soft_buffer is None:
+        payload, tb_ok, soft = jax.vmap(
+            lambda l: _ul_back(l, cell, rv, num_iters, mesh))(llr)
+    else:
+        payload, tb_ok, soft = jax.vmap(
+            lambda l, sb: _ul_back(l, cell, rv, num_iters, mesh, sb))(
+            llr, soft_buffer)
+    return payload, tb_ok, nv, cfo, soft
 
 
 def ul_slot(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
-            rv: int = 0, num_iters: int = decoder.DEFAULT_ITERS, mesh=None):
+            rv: int = 0, num_iters: int = decoder.DEFAULT_ITERS, mesh=None,
+            soft_buffer: jnp.ndarray | None = None):
     """UL direction: (total,) samples -> decoded (U, TBS), (U,) crc_ok,
-    (U,) noise_var, (U,) cfo."""
+    (U,) noise_var, (U,) cfo, (U*C, n_cb) HARQ soft buffer."""
     llr, nv, cfo = _ul_front(rx_samples[None], rntis, cell, rv, mesh)
-    payload, tb_ok = _ul_back(llr[0], cell, rv, num_iters, mesh)
-    return payload, tb_ok, nv[0], cfo[0]
+    payload, tb_ok, soft = _ul_back(llr[0], cell, rv, num_iters, mesh,
+                                    soft_buffer)
+    return payload, tb_ok, nv[0], cfo[0], soft
 
 
 def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
@@ -297,17 +308,24 @@ def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
 
 
 def _ul_back(llr: jnp.ndarray, cell: CellConfig, rv: int = 0,
-             num_iters: int = decoder.DEFAULT_ITERS, mesh=None):
-    """Rate dematch + LDPC decode + TB CRC for a flat (B_tb, G) LLR batch."""
+             num_iters: int = decoder.DEFAULT_ITERS, mesh=None,
+             soft_buffer: jnp.ndarray | None = None):
+    """Rate dematch (+ HARQ soft combine) + LDPC decode + TB CRC for a flat
+    (B_tb, G) LLR batch.  Returns (payload, tb_ok, new_soft) where new_soft
+    is the accumulated (B_tb*C, n_cb) circular buffer — the HBM-resident
+    rx_buffer state the reference keeps per HARQ process
+    (rx_buffer_pool_impl.cpp)."""
     seg, rm = _plans(cell, rv)
     b_tb = llr.shape[0]
+    zc = seg.zc
     cb_llr = llr.reshape(b_tb * seg.c, rm.e)
-    full = rate_match.rate_dematch(cb_llr, rm)             # (B_tb*C, colsZc)
+    full = rate_match.rate_dematch(cb_llr, rm, soft_buffer)  # (B_tb*C, colsZc)
     full = shard(full, mesh, ((UE_AXIS, CB_AXIS),))
+    new_soft = full[:, 2 * zc:2 * zc + rm.n_cb]
     hard, cb_ok = decoder.decode(full, seg.bg, seg.zc, num_iters=num_iters)
     payload, tb_ok = segmenter.desegment_tb(hard, seg)
     payload = shard(payload, mesh, (UE_AXIS,))
-    return payload, tb_ok
+    return payload, tb_ok, new_soft
 
 
 def multi_cell_dl_slot_batch(payloads: jnp.ndarray, rntis: jnp.ndarray,
@@ -336,7 +354,7 @@ def multi_cell_ul_slot_batch(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
     per-cell ul_slot_batch results, cell dimension sharded over 'cell'."""
     from .mesh import CELL_AXIS
     rx_samples = shard(rx_samples, mesh, (CELL_AXIS,))
-    payload, tb_ok, nv, cfo = jax.vmap(
+    payload, tb_ok, nv, cfo, soft = jax.vmap(
         lambda x, r: ul_slot_batch(x, r, cell, rv, num_iters, mesh))(
         rx_samples, rntis)
-    return shard(payload, mesh, (CELL_AXIS,)), tb_ok, nv, cfo
+    return shard(payload, mesh, (CELL_AXIS,)), tb_ok, nv, cfo, soft

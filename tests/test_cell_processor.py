@@ -97,3 +97,33 @@ def test_prach_pucch_srs_occasions():
     grid = csi_mod.map_srs(grid, scfg)
     h, snr = proc.process_srs(grid * np.complex64(0.8), scfg)
     np.testing.assert_allclose(np.abs(np.asarray(h)), 0.8, atol=1e-5)
+
+
+def test_cell_harq_retransmission_combines():
+    """First transmission at too-low SNR fails; the rv=2 retransmission
+    soft-combines through the pipeline's HARQ buffer and decodes."""
+    cell = sp.CellConfig(nof_prb=52, nfft=768, nof_ue=2, prb_per_ue=12,
+                         modulation="qam16", target_rate=0.6)
+    proc = cp.CellProcessor(cell, pci=5)
+    rng = np.random.default_rng(4)
+    payloads = jnp.asarray(rng.integers(0, 2, (2, proc.tbs), dtype=np.int8))
+    snr_db = 4.5  # too low for one-shot 16QAM r0.6
+
+    def tx(rv, seed):
+        td = np.asarray(proc.process_dl_slot(payloads, rv=rv))
+        nv = float((np.abs(td) ** 2).mean()) * 10 ** (-snr_db / 10)
+        r = np.random.default_rng(seed)
+        noise = r.normal(size=td.shape) + 1j * r.normal(size=td.shape)
+        return jnp.asarray((td + noise * np.sqrt(nv / 2)).astype(np.complex64))
+
+    _, ok1 = proc.process_ul_slot(tx(0, 1), pid=3, rv=0)
+    assert not np.asarray(ok1).all(), "first tx unexpectedly passed"
+    assert any(proc.harq.get(int(r), 3).soft_buffer is not None
+               for r in np.asarray(proc.rntis))
+
+    hat, ok2 = proc.process_ul_slot(tx(2, 2), pid=3, rv=2)
+    assert np.asarray(ok2).all(), "combined retransmission must decode"
+    np.testing.assert_array_equal(np.asarray(hat), np.asarray(payloads))
+    # Successful UEs' processes were reset.
+    assert all(proc.harq.get(int(r), 3).soft_buffer is None
+               for r in np.asarray(proc.rntis))

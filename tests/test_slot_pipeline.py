@@ -27,7 +27,7 @@ def _run(cell, mesh=None, snr_db=20.0, seed=0):
     rx = jnp.asarray((np.asarray(td) + noise * np.sqrt(nv / 2)).astype(np.complex64))
 
     ul = jax.jit(lambda s: sp.ul_slot(s, rntis, cell, mesh=mesh))
-    payload_hat, tb_ok, nv_est, cfo = ul(rx)
+    payload_hat, tb_ok, nv_est, cfo, _ = ul(rx)
     return payloads, payload_hat, tb_ok, nv_est
 
 
@@ -96,7 +96,7 @@ def test_multi_cell_mesh_loopback():
     step = jax.jit(lambda p, r: sp.multi_cell_ul_slot_batch(
         sp.multi_cell_dl_slot_batch(p, r, cell, mesh=mesh), r, cell,
         mesh=mesh))
-    payload_hat, tb_ok, _, _ = step(payloads, rntis)
+    payload_hat, tb_ok, _, _, _ = step(payloads, rntis)
     assert np.asarray(tb_ok).all()
     np.testing.assert_array_equal(np.asarray(payload_hat),
                                   np.asarray(payloads))

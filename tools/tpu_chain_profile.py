@@ -61,7 +61,7 @@ def main():
     def v_full(p, eps):
         p = jnp.bitwise_xor(p, eps)
         td = sp.dl_slot_batch(p, rntis, cell)
-        ph, ok, nv, cfo = sp.ul_slot_batch(td, rntis, cell)
+        ph, ok, nv, cfo, _ = sp.ul_slot_batch(td, rntis, cell)
         return ph, ph[0, 0, 0] & jnp.int8(0)
 
     rows = [("dl_only", v_dl), ("+ul_front", v_ulfront),

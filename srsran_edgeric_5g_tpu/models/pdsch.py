@@ -103,8 +103,11 @@ def scrambling_c_init(rnti: int, n_id: int, q: int = 0) -> int:
 
 
 def encode_transport_block(payload: jnp.ndarray, cfg: PdschConfig,
-                           rv: int = 0) -> jnp.ndarray:
-    """(1, TBS) payload bits -> (1, G) scrambled codeword bits."""
+                           rv: int = 0, scramble: bool = True) -> jnp.ndarray:
+    """(1, TBS) payload bits -> (1, G) scrambled codeword bits.
+
+    ``scramble=False`` returns the pre-scrambling stream (UCI-on-PUSCH
+    multiplexing happens between rate matching and scrambling)."""
     seg, rms = _plans(cfg, rv)
     cbs = segmenter.segment_tb(payload, seg)          # (C, K)
     cw = encoder.encode(cbs, seg.bg, seg.zc)          # (C, cols*Zc)
@@ -117,6 +120,8 @@ def encode_transport_block(payload: jnp.ndarray, cfg: PdschConfig,
             parts.append(rate_match.rate_match(cw[idx:idx + 1], plan))
             idx += 1
         bits = jnp.concatenate([p.reshape(-1) for p in parts])[None, :]
+    if not scramble:
+        return bits
     ci = jnp.asarray([scrambling_c_init(cfg.rnti, cfg.n_id)], dtype=jnp.uint32)
     return sequences.scramble_bits(bits, ci)
 

@@ -17,10 +17,63 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import channel_est, dmrs as dmrs_mod, equalizer, modulation, sequences
+from ..ops import channel_est, dmrs as dmrs_mod, equalizer, modulation, \
+    sequences, short_block, ulsch_demux
 from ..ops.ldpc import decoder, rate_match, segmenter
 from ..ran.numerology import N_SC_PER_PRB
 from .pdsch import PdschConfig, _plans, scrambling_c_init
+
+
+@dataclasses.dataclass(frozen=True)
+class UciConfig:
+    """UCI piggybacked on PUSCH (TS 38.212 §6.2.7 / the reference's
+    ulsch_demultiplex + pusch UCI decoder buffers,
+    pusch_processor_impl.cpp:222-289).
+
+    n_* are payload bits (short-block coded, <= 11); g_* are the coded bit
+    counts reserved on the PUSCH (SCH bits there are punctured to erasures).
+    """
+
+    n_ack: int = 0
+    g_ack: int = 0
+    n_csi1: int = 0
+    g_csi1: int = 0
+
+
+def _uci_plan(cfg: PdschConfig, uci: UciConfig):
+    return ulsch_demux.get_demux_plan(
+        cfg.g_total, cfg.qm, cfg.nof_prb * N_SC_PER_PRB,
+        cfg.data_symbols, cfg.dmrs_symbols[0], uci.g_ack, uci.g_csi1)
+
+
+def transmit(payload: jnp.ndarray, cfg: PdschConfig, nsymb: int, nsubc: int,
+             rv: int = 0, uci: UciConfig | None = None,
+             ack_bits: jnp.ndarray | None = None,
+             csi1_bits: jnp.ndarray | None = None) -> jnp.ndarray:
+    """UE-side PUSCH transmit: UL-SCH (+ optional UCI mux) -> grid.
+
+    Identical to pdsch.process when no UCI; with UCI the short-block-coded
+    ACK/CSI bits overwrite their reserved PUSCH positions before scrambling.
+    """
+    from . import pdsch as pdsch_mod
+
+    bits = pdsch_mod.encode_transport_block(payload, cfg, rv,
+                                            scramble=uci is None)
+    if uci is not None:
+        plan = _uci_plan(cfg, uci)
+        ack_c = short_block.encode(ack_bits, uci.g_ack) \
+            if uci.n_ack else None
+        csi_c = short_block.encode(csi1_bits, uci.g_csi1) \
+            if uci.n_csi1 else None
+        bits = ulsch_demux.multiplex(bits, plan, ack_c, csi_c)
+        ci = jnp.asarray([scrambling_c_init(cfg.rnti, cfg.n_id)],
+                         dtype=jnp.uint32)
+        bits = sequences.scramble_bits(bits, ci)
+    syms = modulation.modulate(bits, cfg.modulation)
+    if cfg.transform_precoding:
+        from ..ops import precoding
+        syms = precoding.transform_precode(syms, cfg.nof_prb * N_SC_PER_PRB)
+    return pdsch_mod.map_to_grid(syms, cfg, nsymb, nsubc)
 
 
 @dataclasses.dataclass
@@ -32,6 +85,8 @@ class PuschResult:
     noise_var: jnp.ndarray      # scalar estimated noise variance
     cfo_hz: jnp.ndarray         # scalar estimated CFO
     evm_sinr_db: jnp.ndarray    # scalar post-equalization SINR estimate
+    ack_bits: jnp.ndarray | None = None   # (1, n_ack) detected HARQ-ACK
+    csi1_bits: jnp.ndarray | None = None  # (1, n_csi1) detected CSI part 1
 
 
 def channel_estimate(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
@@ -75,7 +130,8 @@ def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
             soft_buffer: jnp.ndarray | None = None,
             num_iters: int = decoder.DEFAULT_ITERS,
             scs_hz: float = 15e3,
-            delay_spread_s: float | None = None) -> PuschResult:
+            delay_spread_s: float | None = None,
+            uci: UciConfig | None = None) -> PuschResult:
     """Full PUSCH receive for one UE from an (nsymb, nsubc) rx grid."""
     seg, rms = _plans(cfg, rv)
     sc0 = cfg.start_prb * N_SC_PER_PRB
@@ -105,6 +161,17 @@ def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
     ci = jnp.asarray([scrambling_c_init(cfg.rnti, cfg.n_id)], dtype=jnp.uint32)
     llr = sequences.scramble_llrs(llr, ci)            # (1, G)
 
+    # UCI-on-PUSCH: pull ACK/CSI LLRs out, erase their SCH positions
+    # (pusch_processor_impl.cpp:222-289 buffer split + ulsch_demultiplex).
+    ack_bits = csi1_bits = None
+    if uci is not None:
+        plan_u = _uci_plan(cfg, uci)
+        llr, ack_llr, csi_llr = ulsch_demux.demultiplex(llr, plan_u)
+        if uci.n_ack:
+            ack_bits, _ = short_block.detect(ack_llr, uci.n_ack)
+        if uci.n_csi1:
+            csi1_bits, _ = short_block.detect(csi_llr, uci.n_csi1)
+
     # Split G into per-codeblock E spans and rate-dematch each.
     per_cb = []
     off = 0
@@ -127,4 +194,5 @@ def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
                           1e-9), 1e-9))
     return PuschResult(payload=payload, tb_crc_ok=tb_ok, cb_crc_ok=cb_ok,
                        soft_buffer=new_soft, noise_var=nv, cfo_hz=cfo,
-                       evm_sinr_db=sinr)
+                       evm_sinr_db=sinr, ack_bits=ack_bits,
+                       csi1_bits=csi1_bits)

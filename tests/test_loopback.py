@@ -171,3 +171,47 @@ def test_dfts_ofdm_loopback():
         return pw.max() / pw.mean()
 
     assert papr(cfg) < papr(make_cfg(modulation="qam16", target_rate=0.4))
+
+
+def test_uci_on_pusch_model_loopback():
+    """UCI piggybacked on PUSCH through the model API: ACK + CSI1 punch
+    through the SCH stream; the receiver recovers payload AND both UCI
+    fields through AWGN."""
+    from srsran_edgeric_5g_tpu.models import pusch as pusch_mod
+
+    cfg = make_cfg(modulation="qam16", target_rate=0.4)
+    uci = pusch_mod.UciConfig(n_ack=2, g_ack=32, n_csi1=4, g_csi1=64)
+    t = num.slot_timing(**num.CELL_10MHZ)
+    rng = np.random.default_rng(31)
+    tbs = cfg.derived_tbs()
+    payload = jnp.asarray(rng.integers(0, 2, (1, tbs), dtype=np.int8))
+    ack = jnp.asarray(rng.integers(0, 2, (1, 2), dtype=np.int8))
+    csi = jnp.asarray(rng.integers(0, 2, (1, 4), dtype=np.int8))
+
+    grid = pusch_mod.transmit(payload, cfg, t.nsymb, t.nof_subc,
+                              uci=uci, ack_bits=ack, csi1_bits=csi)
+    td = ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
+    sig = float(jnp.mean(jnp.abs(td) ** 2))
+    nv = sig * 10 ** (-16.0 / 10)
+    noise = (rng.normal(size=td.shape) + 1j * rng.normal(size=td.shape))
+    rx = jnp.asarray((np.asarray(td) + noise * np.sqrt(nv / 2))
+                     .astype(np.complex64))
+    rx_grid = ofdm.demodulate_slot(rx, t, scale=1.0)
+    times = np.asarray(t.cp.data_starts) / t.srate
+    res = pusch_mod.process(rx_grid, cfg, t.srate, times, uci=uci)
+    assert np.asarray(res.tb_crc_ok).all()
+    np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))
+    np.testing.assert_array_equal(np.asarray(res.ack_bits), np.asarray(ack))
+    np.testing.assert_array_equal(np.asarray(res.csi1_bits), np.asarray(csi))
+
+
+def test_transmit_equals_pdsch_process_without_uci():
+    cfg = make_cfg()
+    from srsran_edgeric_5g_tpu.models import pusch as pusch_mod
+    t = num.slot_timing(**num.CELL_10MHZ)
+    rng = np.random.default_rng(1)
+    payload = jnp.asarray(rng.integers(0, 2, (1, cfg.derived_tbs()),
+                                       dtype=np.int8))
+    g1 = pusch_mod.transmit(payload, cfg, t.nsymb, t.nof_subc)
+    g2 = pdsch.process(payload, cfg, t.nsymb, t.nof_subc)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)

@@ -43,7 +43,12 @@ def main():
                          modulation="qam64", target_rate=0.5)
     t = cell.timing
     tbs = cell.derived_tbs()
-    s_batch = 16  # slots per dispatch (run-ahead pipelining analogue)
+    # Slots per dispatch (run-ahead pipelining analogue).  S=32 measured
+    # 1.58x faster per slot than S=16 on v5e (0.166 vs 0.262 ms/slot) —
+    # the batch amortizes per-layer overheads; run-ahead latency is 32 ms,
+    # the same order as the reference's nof_slot_tti_in_advance headroom
+    # scaled to batch mode.
+    s_batch = 32
     for a in sys.argv:
         if a.startswith("--sbatch="):
             s_batch = int(a.split("=")[1])

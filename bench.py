@@ -43,12 +43,13 @@ def main():
                          modulation="qam64", target_rate=0.5)
     t = cell.timing
     tbs = cell.derived_tbs()
-    # Slots per dispatch (run-ahead pipelining analogue).  S=32 measured
-    # 1.58x faster per slot than S=16 on v5e (0.166 vs 0.262 ms/slot) —
-    # the batch amortizes per-layer overheads; run-ahead latency is 32 ms,
-    # the same order as the reference's nof_slot_tti_in_advance headroom
-    # scaled to batch mode.
-    s_batch = 32
+    # Slots per dispatch (run-ahead pipelining analogue).  Measured on v5e:
+    # S=16 0.262 ms/slot, S=32 0.166, S=64 0.138 — the batch amortizes
+    # per-layer overheads.  S=64 = 64 ms of run-ahead buffering: a
+    # throughput-serving operating point (the real-time analogue of the
+    # reference's nof_slot_tti_in_advance headroom, scaled to batch mode);
+    # use --sbatch=8/16 for latency-constrained operation.
+    s_batch = 64
     for a in sys.argv:
         if a.startswith("--sbatch="):
             s_batch = int(a.split("=")[1])

@@ -147,6 +147,31 @@ class CellProcessor:
         bits, ok = pucch_mod.format2_decode(rx_grid, pucch_cfg)
         return bits, ok
 
+    def process_pucch_f0(self, rx_grid: jnp.ndarray, cfg01,
+                         m0_candidates: tuple[int, ...]):
+        """PUCCH F0 detection from the rx grid (pucch_detector_format0
+        counterpart): slice the single-PRB resource, correlate m0
+        hypotheses.  Returns (metrics, best_index)."""
+        from ..ops import pucch as pucch_mod
+
+        sc0 = cfg01.prb * 12
+        rx = rx_grid[cfg01.start_symbol:cfg01.start_symbol + cfg01.nof_symbols,
+                     sc0:sc0 + 12]
+        return pucch_mod.format0_detect(rx, cfg01, m0_candidates)
+
+    def process_pucch_f1(self, rx_grid: jnp.ndarray, cfg01, nof_bits: int,
+                         occ_index: int = 0):
+        """PUCCH F1 detection from the rx grid (pucch_detector_format1
+        counterpart): despread the data symbols (even offsets) with the
+        time-domain OCC.  Returns (bits, metric)."""
+        from ..ops import pucch as pucch_mod
+
+        sc0 = cfg01.prb * 12
+        data_syms = [cfg01.start_symbol + 2 * m
+                     for m in range(cfg01.nof_symbols // 2)]
+        rx = rx_grid[jnp.asarray(data_syms), sc0:sc0 + 12]
+        return pucch_mod.format1_detect(rx, cfg01, nof_bits, occ_index)
+
     def process_srs(self, rx_grid: jnp.ndarray, srs_cfg):
         """SRS channel snapshot + wideband SNR from the rx grid."""
         from ..ops import csi_rs as csi_mod

@@ -127,3 +127,32 @@ def test_cell_harq_retransmission_combines():
     # Successful UEs' processes were reset.
     assert all(proc.harq.get(int(r), 3).soft_buffer is None
                for r in np.asarray(proc.rntis))
+
+
+def test_cell_pucch_f0_f1_occasions():
+    """F0 (sequence-detect SR/ACK) and F1 (OCC BPSK) occasions consumed from
+    a full rx grid through the cell processor wrappers."""
+    from srsran_edgeric_5g_tpu.ops import pucch as pucch_mod
+    proc = make_proc()
+    t = proc.cell.timing
+    rng = np.random.default_rng(8)
+
+    c0 = pucch_mod.Pucch01Config(n_id=5, slot=0, start_symbol=12,
+                                 nof_symbols=2, initial_cs=0, prb=1)
+    grid = jnp.zeros((t.nsymb, t.nof_subc), jnp.complex64)
+    grid = grid.at[12:14, 12:24].set(pucch_mod.format0_generate(c0, m0=6))
+    noise = (rng.normal(size=grid.shape) + 1j * rng.normal(size=grid.shape)) * 0.1
+    rx = jnp.asarray((np.asarray(grid) + noise).astype(np.complex64))
+    metrics, best = proc.process_pucch_f0(rx, c0, (0, 3, 6, 9))
+    assert int(best) == 2   # m0 = 6
+
+    c1 = pucch_mod.Pucch01Config(n_id=5, slot=0, start_symbol=4,
+                                 nof_symbols=8, initial_cs=3, prb=2)
+    f1 = pucch_mod.format1_generate(c1, np.array([1]), occ_index=1)
+    grid = jnp.zeros((t.nsymb, t.nof_subc), jnp.complex64)
+    for m in range(4):
+        grid = grid.at[4 + 2 * m, 24:36].set(f1[m])
+    noise = (rng.normal(size=grid.shape) + 1j * rng.normal(size=grid.shape)) * 0.1
+    rx = jnp.asarray((np.asarray(grid) + noise).astype(np.complex64))
+    bits, metric = proc.process_pucch_f1(rx, c1, nof_bits=1, occ_index=1)
+    assert np.asarray(bits).ravel()[0] == 1

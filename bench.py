@@ -50,29 +50,48 @@ def main():
     # reference's nof_slot_tti_in_advance headroom, scaled to batch mode);
     # use --sbatch=8/16 for latency-constrained operation.
     s_batch = 64
+    n_cells = 1
     for a in sys.argv:
         if a.startswith("--sbatch="):
             s_batch = int(a.split("=")[1])
+        if a.startswith("--cells="):
+            n_cells = int(a.split("=")[1])
     rng = np.random.default_rng(0)
-    payloads = jnp.asarray(rng.integers(0, 2, (s_batch, 4, tbs), dtype=np.int8))
-    rntis = jnp.asarray(0x4601 + np.arange(4), dtype=np.uint32)
+    # --cells=N processes N independent carriers per dispatch (the per-cell
+    # PHY instances of the reference, vmapped): same amortization as a deep
+    # slot batch but the run-ahead latency stays at s_batch slots.
+    pshape = (s_batch, 4, tbs) if n_cells == 1 else (n_cells, s_batch, 4, tbs)
+    payloads = jnp.asarray(rng.integers(0, 2, pshape, dtype=np.int8))
+    rntis = jnp.asarray((0x4601 + np.arange(4 * n_cells)).astype(np.uint32))
+    if n_cells > 1:
+        rntis = rntis.reshape(n_cells, 4)
 
     snr_db = None if "--clean" in sys.argv else 25.0
 
+    def awgn(td, key):
+        key, sub = jax.random.split(key)
+        sig_pow = jnp.mean(jnp.abs(td) ** 2)
+        sigma = jnp.sqrt(sig_pow * 10.0 ** (-snr_db / 10.0) / 2.0)
+        n = jax.random.normal(sub, td.shape + (2,), jnp.float32) * sigma
+        return td + jax.lax.complex(n[..., 0], n[..., 1]), key
+
     @jax.jit
     def step(p, eps, key):
-        """One DL+UL slot-batch with a chained perturbation input."""
+        """One DL+UL (multi-cell) slot-batch with a chained perturbation."""
         p = jnp.bitwise_xor(p, eps)            # eps == 0, but data-dependent
-        td = sp.dl_slot_batch(p, rntis, cell)
-        if snr_db is not None:
-            key, sub = jax.random.split(key)
-            sig_pow = jnp.mean(jnp.abs(td) ** 2)
-            sigma = jnp.sqrt(sig_pow * 10.0 ** (-snr_db / 10.0) / 2.0)
-            n = jax.random.normal(sub, td.shape + (2,), jnp.float32) * sigma
-            td = td + jax.lax.complex(n[..., 0], n[..., 1])
-        payload_hat, tb_ok, nv, cfo, _ = sp.ul_slot_batch(td, rntis, cell)
-        # eps' = 0 derived from this iteration's result.
-        eps_next = (payload_hat[0, 0, 0] & jnp.int8(0))
+        if n_cells == 1:
+            td = sp.dl_slot_batch(p, rntis, cell)
+            if snr_db is not None:
+                td, key = awgn(td, key)
+            payload_hat, tb_ok, nv, cfo, _ = sp.ul_slot_batch(td, rntis, cell)
+            eps_next = (payload_hat[0, 0, 0] & jnp.int8(0))
+        else:
+            td = sp.multi_cell_dl_slot_batch(p, rntis, cell)
+            if snr_db is not None:
+                td, key = awgn(td, key)
+            payload_hat, tb_ok, nv, cfo, _ = sp.multi_cell_ul_slot_batch(
+                td, rntis, cell)
+            eps_next = (payload_hat[0, 0, 0, 0] & jnp.int8(0))
         return payload_hat, tb_ok, eps_next, key
 
     eps = jnp.int8(0)
@@ -88,7 +107,7 @@ def main():
         payload_hat, tb_ok, eps, key = step(payloads, eps, key)
     _ = int(eps)  # host sync through the dependency chain
     tb_ok.block_until_ready()
-    slot_s = (time.perf_counter() - t0) / (iters * s_batch)
+    slot_s = (time.perf_counter() - t0) / (iters * s_batch * n_cells)
 
     slot_samples = t.cp.total  # 23040 @ 20 MHz
     samples_per_sec = slot_samples / slot_s
@@ -100,9 +119,10 @@ def main():
         "unit": "samples/s/chip (20MHz 4UE DL+UL)",
         "vs_baseline": round(samples_per_sec / realtime, 3),
     }))
-    print(f"# chained timing, S={s_batch}: {slot_s*1e3:.3f} ms/slot; "
-          f"TBS {tbs} x 4 UE; coded throughput "
-          f"{2 * 4 * tbs / slot_s / 1e6:.0f} Mbit/s", file=sys.stderr)
+    print(f"# chained timing, S={s_batch} x {n_cells} cell(s): "
+          f"{slot_s*1e3:.3f} ms/cell-slot; TBS {tbs} x 4 UE; "
+          f"coded throughput {2 * 4 * tbs / slot_s / 1e6:.0f} Mbit/s",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

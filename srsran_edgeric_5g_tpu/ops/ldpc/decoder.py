@@ -91,11 +91,20 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
     (large positive LLR).
 
     ``schedule``:
-      * 'auto' (default): 'layered_rolls' on TPU, 'layered' on CPU (the
+      * 'auto' (default): 'layered_rolls_bf16' on TPU, 'layered' on CPU (the
         unrolled program compiles slowly on the CPU backend).
       * 'layered_rolls': reference-equivalent layered convergence, formulated
         as static slices + lane rotations (no gathers) — the fast XLA path on
-        TPU (~6x the gather formulation).
+        TPU (~6x the gather formulation), f32 message storage.
+      * 'layered_rolls_bf16': same, with bf16 posterior/message storage
+        (halves the HBM traffic of the R tensor — the decode hot loop is
+        bandwidth-bound on it; 1.30x at the pipeline decode shape, and
+        bf16's 8-bit mantissa still exceeds the reference's int8 wire).
+      * 'layered_rolls_i8': reference fixed-point semantics (the reference
+        decoder IS int8: saturating int8 posteriors + messages,
+        ldpc_decoder_impl.cpp int8 LLR clamp; wire quantization clip +-20 ->
+        +-120 per demodulation_mapper int8 quantizer) — 4x less message
+        bandwidth.
       * 'layered': same algorithm via dynamic gather/scatter index tensors.
       * 'flooding': all rows parallel per iteration; needs ~2x iterations
         for equal BLER.
@@ -108,7 +117,7 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
             schedule = "pallas" if (pallas_supported(zc)
                                     and llrs.shape[0] % 8 == 0
                                     and llrs.shape[0] >= 64) \
-                else "layered_rolls"
+                else "layered_rolls_bf16"
         else:
             schedule = "layered"
     if schedule == "pallas":
@@ -119,6 +128,12 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
     if schedule == "layered_rolls":
         return _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
                                      early_stop)
+    if schedule == "layered_rolls_bf16":
+        return _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
+                                     early_stop, msg_dtype=jnp.bfloat16)
+    if schedule == "layered_rolls_i8":
+        return _decode_layered_rolls_i8(llrs, bg, zc, num_iters, scaling,
+                                        early_stop)
     plan = get_decode_plan(bg, zc)
     b = llrs.shape[0]
     zc_, rows, max_deg = plan.zc, plan.rows, plan.max_deg
@@ -225,8 +240,17 @@ def _decode_flooding(llrs, bg, zc, num_iters, scaling):
     return hard[:, :plan.kb * zc_], ok
 
 
+def _row_edge_lists(g):
+    """Per-row static edge lists: (edge_id, col, shift)."""
+    row_edges: list[list[tuple[int, int, int]]] = [[] for _ in range(g.rows)]
+    for eid, (r, c, s) in enumerate(zip(g.edge_row, g.edge_col, g.edge_shift)):
+        row_edges[int(r)].append((eid, int(c), int(s)))
+    return row_edges
+
+
 def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
-                          early_stop: bool = True):
+                          early_stop: bool = True,
+                          msg_dtype=jnp.float32):
     """Layered min-sum with NO gathers: the lifted-graph cyclic shifts become
     static `jnp.roll` lane rotations and block accesses become static slices.
 
@@ -235,6 +259,10 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
     the codeblock batch fills the sublanes, and the whole layer schedule is
     unrolled at trace time from the static edge list.  XLA keeps L and the
     per-edge messages in registers/VMEM across the unrolled sweep.
+
+    ``msg_dtype`` selects the posterior/message STORAGE dtype (f32 default;
+    bf16 halves the HBM traffic of the dominant (B, edges, Zc) R tensor —
+    the hot loop is bandwidth-bound on it, per the xplane profile).
     """
     from .graph import get_graph
 
@@ -242,14 +270,10 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
     plan = get_decode_plan(bg, zc)
     b = llrs.shape[0]
     rows = g.rows
+    row_edges = _row_edge_lists(g)
 
-    # Per-row static edge lists: (edge_id, col, shift).
-    row_edges: list[list[tuple[int, int, int]]] = [[] for _ in range(rows)]
-    for eid, (r, c, s) in enumerate(zip(g.edge_row, g.edge_col, g.edge_shift)):
-        row_edges[int(r)].append((eid, int(c), int(s)))
-
-    l0 = llrs.astype(jnp.float32).reshape(b, g.cols, zc)
-    r0 = jnp.zeros((b, g.num_edges, zc), jnp.float32)
+    l0 = llrs.astype(msg_dtype).reshape(b, g.cols, zc)
+    r0 = jnp.zeros((b, g.num_edges, zc), msg_dtype)
 
     def sweep(state):
         l, r_msgs = state
@@ -258,7 +282,8 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
             t = jnp.stack(
                 [jnp.roll(l[:, c], -s, axis=-1) - r_msgs[:, eid]
                  for (eid, c, s) in edges], axis=1)          # (B, deg, Zc)
-            r_new = _minsum(t, jnp.bool_(True), scaling, deg_axis=1)
+            r_new = _minsum(t, jnp.bool_(True), scaling,
+                            deg_axis=1).astype(msg_dtype)
             v = t + r_new
             for j, (eid, c, s) in enumerate(edges):
                 l = l.at[:, c].set(jnp.roll(v[:, j], s, axis=-1))
@@ -269,6 +294,104 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
         # Roll-based syndrome (no gathers): XOR the rotated hard bits per
         # check row, accumulate violations.  Much cheaper than check_parity's
         # gather formulation when evaluated every sweep.
+        l = state[0]
+        viol = None
+        for r in range(rows):
+            row_par = None
+            for (_, c, s) in row_edges[r]:
+                bit = jnp.roll(l[:, c], -s, axis=-1) < 0
+                row_par = bit if row_par is None else row_par ^ bit
+            if row_par is not None:
+                viol = row_par if viol is None else viol | row_par
+        return jnp.logical_not(jnp.any(viol, axis=-1))
+
+    l, _ = _iterate(sweep, (l0, r0), num_iters, early_stop, parity)
+    l = l.reshape(b, g.cols * zc)
+    hard = (l < 0).astype(jnp.int8)
+    ok = check_parity(hard, bg, zc)
+    return hard[:, :plan.kb * zc], ok
+
+
+def _decode_layered_rolls_i8(llrs, bg, zc, num_iters, scaling,
+                             early_stop: bool = True):
+    """Fixed-point layered min-sum with the reference's int8 semantics.
+
+    The reference decoder runs entirely in saturating int8 lanes
+    (ldpc_decoder_avx2.cpp; int8 LLR clamp per ldpc_decoder_impl.cpp) on a
+    wire quantized by the demapper to clip(+-20) -> +-120
+    (demodulation_mapper_qam16.cpp:36, LLR_MAX=120).  Its exact fixed-point
+    semantics (log_likelihood_ratio.h:44, .cpp promotion_sum):
+      * finite LLRs live in [-120, 120]; +-127 = LLR_INFTY marks a FIXED bit;
+      * load clamps posteriors to +-64 (soft_bits_clamp, decoder_impl.h:193);
+      * v2c = soft - c2v saturates at +-120, but an infinite soft stays
+        infinite (frozen bits keep broadcasting certainty);
+      * the min-sum scaling skips infinities (scale_llr);
+      * the posterior update is a PROMOTION sum: |v2c + c2v| > 120 pins the
+        bit to +-127 forever — this freezing is what keeps the saturated
+        fixed-point iteration stable after convergence.
+    Posteriors L and messages R are STORED int8 (4x less HBM traffic than
+    f32 on the dominant (B, edges, Zc) R tensor); arithmetic runs widened
+    to int32 on the VPU.  scaling 0.8 becomes round(mag * 205 / 256).
+    """
+    from .graph import get_graph
+
+    g = get_graph(bg, zc)
+    plan = get_decode_plan(bg, zc)
+    b = llrs.shape[0]
+    rows = g.rows
+    row_edges = _row_edge_lists(g)
+
+    if llrs.dtype == jnp.int8:
+        q = llrs.astype(jnp.int32)
+    else:
+        # Reference wire quantization (clip +-20 -> +-120).
+        from ..modulation import LLR_MAX, RANGE_LIMIT
+        q = jnp.clip(jnp.round(llrs.astype(jnp.float32)
+                               * (LLR_MAX / RANGE_LIMIT)),
+                     -LLR_MAX, LLR_MAX).astype(jnp.int32)
+    q = jnp.clip(q, -64, 64)                 # soft_bits_clamp at load
+
+    scale_num = int(round(scaling * 256))
+    maxv = jnp.int32(120)                    # LLR_MAX
+    inf = jnp.int32(127)                     # LLR_INFTY (fixed bit)
+    l0 = q.reshape(b, g.cols, zc).astype(jnp.int8)
+    r0 = jnp.zeros((b, g.num_edges, zc), jnp.int8)
+
+    def sweep(state):
+        l, r_msgs = state
+        for r in range(rows):
+            edges = row_edges[r]
+            le = jnp.stack(
+                [jnp.roll(l[:, c], -s, axis=-1) for (_, c, s) in edges],
+                axis=1).astype(jnp.int32)                    # (B, deg, Zc)
+            re_old = jnp.stack([r_msgs[:, eid] for (eid, _, _) in edges],
+                               axis=1).astype(jnp.int32)
+            l_inf = jnp.abs(le) >= inf
+            t = jnp.clip(le - re_old, -maxv, maxv)
+            t = jnp.where(l_inf, le, t)                      # inf propagates
+            at = jnp.abs(t)
+            m1 = jnp.min(at, axis=1, keepdims=True)
+            is_min = at == m1
+            first_min = is_min & (jnp.cumsum(is_min, axis=1) == 1)
+            m2 = jnp.min(jnp.where(first_min, inf, at), axis=1, keepdims=True)
+            mag = jnp.where(first_min, m2, m1)
+            mag = jnp.where(mag >= inf, inf,
+                            (mag * scale_num + 128) >> 8)    # scale_llr
+            neg = t < 0
+            sign_all = (jnp.sum(neg, axis=1, keepdims=True) & 1) == 1
+            r_new = jnp.where(sign_all ^ neg, -mag, mag)
+            # promotion_sum: beyond +-120 the bit freezes at +-127; an
+            # already-fixed v2c stays fixed regardless of the message.
+            v = t + r_new
+            v = jnp.where(v > maxv, inf, jnp.where(v < -maxv, -inf, v))
+            v = jnp.where(l_inf, t, v)
+            for j, (eid, c, s) in enumerate(edges):
+                l = l.at[:, c].set(
+                    jnp.roll(v[:, j].astype(jnp.int8), s, axis=-1))
+                r_msgs = r_msgs.at[:, eid].set(r_new[:, j].astype(jnp.int8))
+        return l, r_msgs
+
+    def parity(state):
         l = state[0]
         viol = None
         for r in range(rows):

@@ -217,6 +217,47 @@ def test_decode_flooding_awgn():
     np.testing.assert_array_equal(np.asarray(hard), msgs)
 
 
+def test_decode_reduced_precision_schedules_awgn():
+    """bf16-storage and reference-fixed-point int8 rolls schedules decode the
+    AWGN scenario that the f32 path decodes (the i8 path mirrors the
+    reference's int8 semantics: +-120 finite range, +-64 load clamp,
+    promotion of saturated posteriors to the +-127 fixed-bit value)."""
+    bg, zc = 2, 64
+    g = graph.get_graph(bg, zc)
+    rng = np.random.default_rng(31)
+    b = 8
+    msgs = rng.integers(0, 2, size=(b, g.k), dtype=np.int8)
+    cw = np.asarray(encoder.encode(jnp.asarray(msgs), bg, zc))
+    sym = 1 - 2 * cw[:, 2 * zc:].astype(np.float32)
+    sigma = 10 ** (-3.0 / 20)
+    y = sym + rng.normal(size=sym.shape) * sigma
+    llr = np.concatenate([np.zeros((b, 2 * zc), np.float32), 2 * y / sigma**2],
+                         axis=1)
+    for sched in ("layered_rolls_bf16", "layered_rolls_i8"):
+        hard, ok = decoder.decode(jnp.asarray(llr), bg, zc, num_iters=8,
+                                  schedule=sched)
+        assert np.asarray(ok).all(), sched
+        np.testing.assert_array_equal(np.asarray(hard), msgs)
+
+
+def test_decode_i8_fixed_bit_freezing():
+    """A clean high-confidence wire converges and STAYS converged through
+    extra iterations (the promotion-to-infinity freezing; without it the
+    saturated fixed-point iteration oscillates after convergence)."""
+    bg, zc = 1, 224
+    g = graph.get_graph(bg, zc)
+    rng = np.random.default_rng(7)
+    b = 4
+    msgs = rng.integers(0, 2, size=(b, g.k), dtype=np.int8)
+    cw = np.asarray(encoder.encode(jnp.asarray(msgs), bg, zc))
+    llr = (1.0 - 2.0 * cw.astype(np.float32)) * 30.0  # saturates the wire
+    llr[:, :2 * zc] = 0.0
+    hard, ok = decoder.decode(jnp.asarray(llr), bg, zc, num_iters=10,
+                              schedule="layered_rolls_i8", early_stop=False)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(hard), msgs)
+
+
 def test_lbrm_buffer_roundtrip():
     """Limited-buffer rate matching: N_cb < N restricts the circular buffer;
     encode->rate match->dematch->decode still succeeds at moderate rate."""

@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def run_step_traced(s_batch: int, clean: bool, iters: int, trace_dir: str):
     import jax
@@ -64,56 +66,55 @@ def run_step_traced(s_batch: int, clean: bool, iters: int, trace_dir: str):
     print(f"traced: {dt*1e3:.3f} ms/slot", flush=True)
 
 
-def summarize(trace_dir: str, top: int = 40):
-    """Convert the captured xplane to HLO op stats and print top self-time."""
+def summarize(trace_dir: str, top: int = 45):
+    """Parse the captured xplane directly (the xprof CSV converter is broken
+    in this env) and rank XLA ops on the TPU device plane by total time,
+    grouped by op name with trailing .NNN ids stripped."""
+    import re
+    from collections import defaultdict
+
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
     assert paths, f"no xplane.pb under {trace_dir}"
     path = max(paths, key=os.path.getmtime)
-    try:
-        from xprof.convert import raw_to_tool_data as rtd
-    except ImportError:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    sys.path.insert(0, "/opt/venv/lib/python3.12/site-packages/tensorflow")
+    from tsl.profiler.protobuf import xplane_pb2
 
-    data, _ = rtd.xspace_to_tool_data([path], "framework_op_stats", {})
-    import csv
-    import io
-    if isinstance(data, bytes):
-        data = data.decode()
-    rows = list(csv.DictReader(io.StringIO(data)))
-    # columns vary by version; find the self-time and name columns
-    if not rows:
-        print("no rows in op stats; raw keys unavailable")
-        return
-    cols = rows[0].keys()
-    print(f"columns: {sorted(cols)}", flush=True)
-    name_c = next(c for c in cols if "operation" in c.lower()
-                  or c.lower() in ("op_name", "name"))
-    self_c = next(c for c in cols if "self" in c.lower()
-                  and "time" in c.lower() and "%" not in c
-                  and "fraction" not in c.lower())
-    type_c = next((c for c in cols if "type" in c.lower()), None)
-    dev_c = next((c for c in cols if "host" in c.lower()
-                  and "device" in c.lower()), None)
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+    plane = next(p for p in xs.planes if p.name.startswith("/device:TPU"))
+    md = plane.event_metadata
 
-    def val(r, c):
-        try:
-            return float(r[c])
-        except (ValueError, TypeError):
-            return 0.0
+    groups = defaultdict(lambda: [0.0, 0, ""])  # key -> [ps, count, example]
+    total_ps = 0.0
+    shape_re = re.compile(r"=\s*(\(?[a-z0-9]+\[[^\]{]*\])")
+    for line in plane.lines:
+        if line.name != "XLA Ops":
+            continue
+        for ev in line.events:
+            m = md[ev.metadata_id]
+            kind = re.sub(r"[.\d]+$", "", m.display_name or m.name)
+            sm = shape_re.search(m.name or "")
+            key = f"{kind} {sm.group(1) if sm else '?'}"
+            g = groups[key]
+            g[0] += ev.duration_ps
+            g[1] += 1
+            if not g[2]:
+                # first ~160 chars of the HLO text carry shape info
+                g[2] = (m.name or "").split(", calls=")[0][:160]
+            total_ps += ev.duration_ps
 
-    rows = [r for r in rows
-            if dev_c is None or "device" in str(r.get(dev_c, "")).lower()]
-    rows.sort(key=lambda r: -val(r, self_c))
-    total = sum(val(r, self_c) for r in rows)
-    print(f"\ntotal device self time: {total/1e6:.3f} s-units; top {top} ops:")
+    ranked = sorted(groups.items(), key=lambda kv: -kv[1][0])
+    print(f"\ntotal device op time: {total_ps/1e12:.4f} s; "
+          f"{len(ranked)} op groups; top {top}:")
     acc = 0.0
-    for r in rows[:top]:
-        v = val(r, self_c)
-        acc += v
-        t = (r.get(type_c, "") or "")[:18] if type_c else ""
-        print(f"{v/total*100:6.2f}% (cum {acc/total*100:5.1f}%)  {t:18s} "
-              f"{str(r[name_c])[:120]}")
+    for key, (ps, n, example) in ranked[:top]:
+        acc += ps
+        print(f"{ps/total_ps*100:6.2f}% (cum {acc/total_ps*100:5.1f}%) "
+              f"x{n:5d}  {ps/1e9:8.3f} ms  {key}")
+        print(f"        {example}")
 
 
 def main():

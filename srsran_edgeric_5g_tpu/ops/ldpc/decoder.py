@@ -111,13 +111,13 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
     """
     if schedule == "auto":
         if jax.default_backend() == "tpu":
-            from .decoder_pallas import pallas_supported
-            # Pallas wins for large standalone batches; small batches stay in
-            # VMEM under the XLA rolls formulation (measured on v5e).
-            schedule = "pallas" if (pallas_supported(zc)
-                                    and llrs.shape[0] % 8 == 0
-                                    and llrs.shape[0] >= 64) \
-                else "layered_rolls_bf16"
+            # Measured on v5e at the pipeline decode shape (512 CBs, BG1
+            # Zc=224, 25 dB wire): flat rolls_bf16 0.095 ms/slot vs pallas
+            # 0.41 — the XLA-level roll-syndrome early stop (2-3 sweeps vs
+            # the kernel's fixed 6) plus bf16 storage beats the VMEM-resident
+            # kernel, which only wins for full-iteration workloads (request
+            # schedule='pallas' explicitly for those).
+            schedule = "layered_rolls_bf16"
         else:
             schedule = "layered"
     if schedule == "pallas":

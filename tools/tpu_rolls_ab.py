@@ -45,12 +45,26 @@ def main():
     llr[:, :2 * zc] = 0.0
     llr = jnp.asarray(llr.reshape(s_batch, cbs, -1))
 
-    for sched in ("layered_rolls", "layered_rolls_bf16", "layered_rolls_i8"):
-        def step(l, eps, _sched=sched):
+    variants = [
+        ("vmap:layered_rolls", "layered_rolls", False),
+        ("vmap:rolls_bf16", "layered_rolls_bf16", False),
+        ("vmap:rolls_i8", "layered_rolls_i8", False),
+        ("flat:rolls_bf16", "layered_rolls_bf16", True),
+        ("flat:pallas", "pallas", True),
+    ]
+    for name, sched, flat in variants:
+        def step(l, eps, _sched=sched, _flat=flat):
             l = l + eps
-            hard, ok = jax.vmap(
-                lambda li: decoder.decode(li, bg, zc, num_iters=6,
-                                          schedule=_sched))(l)
+            if _flat:
+                lf = l.reshape(s_batch * cbs, -1)
+                hard, ok = decoder.decode(lf, bg, zc, num_iters=6,
+                                          schedule=_sched)
+                hard = hard.reshape(s_batch, cbs, -1)
+                ok = ok.reshape(s_batch, cbs)
+            else:
+                hard, ok = jax.vmap(
+                    lambda li: decoder.decode(li, bg, zc, num_iters=6,
+                                              schedule=_sched))(l)
             eps_next = hard[0, 0, 0].astype(jnp.float32) * 0.0
             return hard, ok, eps_next
 
@@ -68,7 +82,7 @@ def main():
         ok.block_until_ready()
         dt = (time.perf_counter() - t0) / iters
         info_bits = s_batch * cbs * g.k
-        print(f"{sched:22s}: {dt*1e3:8.3f} ms/batch "
+        print(f"{name:22s}: {dt*1e3:8.3f} ms/batch "
               f"({dt/s_batch*1e3:6.4f} ms/slot, "
               f"{info_bits/dt/1e6:7.0f} Mb/s info) ok={okv} "
               f"compile={compile_s:.0f}s", flush=True)

@@ -173,10 +173,14 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
     return hard[:, :plan.kb * zc_], ok
 
 
-def _iterate(sweep, state, num_iters: int, early_stop: bool, parity_fn):
+def _iterate(sweep, state, num_iters: int, early_stop: bool, parity_fn,
+             done0=None):
     """Run ``sweep`` num_iters times, exiting early once every codeword in
     the batch satisfies parity (the reference's CRC early stop,
-    ldpc_decoder_impl.cpp:125-133, at batch granularity)."""
+    ldpc_decoder_impl.cpp:125-133, at batch granularity).
+
+    ``done0``: convergence state of ``state`` as given (used when the caller
+    already ran a specialized first sweep outside the loop)."""
     if not early_stop:
         return jax.lax.fori_loop(0, num_iters, lambda _, s: sweep(s), state)
 
@@ -189,7 +193,8 @@ def _iterate(sweep, state, num_iters: int, early_stop: bool, parity_fn):
         s = sweep(s)
         return i + 1, jnp.all(parity_fn(s)), s
 
-    return jax.lax.while_loop(cond, body, (0, jnp.bool_(False), state))[2]
+    init_done = jnp.bool_(False) if done0 is None else done0
+    return jax.lax.while_loop(cond, body, (0, init_done, state))[2]
 
 
 def _minsum(t: jnp.ndarray, lmask: jnp.ndarray, scaling: float,
@@ -273,22 +278,35 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
     row_edges = _row_edge_lists(g)
 
     l0 = llrs.astype(msg_dtype).reshape(b, g.cols, zc)
-    r0 = jnp.zeros((b, g.num_edges, zc), msg_dtype)
 
-    def sweep(state):
-        l, r_msgs = state
+    def sweep_body(l, r_msgs, first):
+        """One layered sweep.  ``first=True`` specializes R==0: no R reads
+        and the R tensor is BUILT from the sweep's outputs (stacked in edge
+        order) instead of scatter-updating a zero-initialized carry — saving
+        the (B, edges, Zc) zero broadcast and one full R read (the hot loop
+        is HBM-bound on R, per the xplane profile)."""
+        r_out = [None] * g.num_edges if first else None
         for r in range(rows):
             edges = row_edges[r]
             t = jnp.stack(
-                [jnp.roll(l[:, c], -s, axis=-1) - r_msgs[:, eid]
+                [jnp.roll(l[:, c], -s, axis=-1) if first
+                 else jnp.roll(l[:, c], -s, axis=-1) - r_msgs[:, eid]
                  for (eid, c, s) in edges], axis=1)          # (B, deg, Zc)
             r_new = _minsum(t, jnp.bool_(True), scaling,
                             deg_axis=1).astype(msg_dtype)
             v = t + r_new
             for j, (eid, c, s) in enumerate(edges):
                 l = l.at[:, c].set(jnp.roll(v[:, j], s, axis=-1))
-                r_msgs = r_msgs.at[:, eid].set(r_new[:, j])
+                if first:
+                    r_out[eid] = r_new[:, j]
+                else:
+                    r_msgs = r_msgs.at[:, eid].set(r_new[:, j])
+        if first:
+            r_msgs = jnp.stack(r_out, axis=1)
         return l, r_msgs
+
+    def sweep(state):
+        return sweep_body(state[0], state[1], first=False)
 
     def parity(state):
         # Roll-based syndrome (no gathers): XOR the rotated hard bits per
@@ -305,7 +323,9 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
                 viol = row_par if viol is None else viol | row_par
         return jnp.logical_not(jnp.any(viol, axis=-1))
 
-    l, _ = _iterate(sweep, (l0, r0), num_iters, early_stop, parity)
+    state = sweep_body(l0, None, first=True)
+    done0 = jnp.all(parity(state)) if early_stop else None
+    l, _ = _iterate(sweep, state, num_iters - 1, early_stop, parity, done0)
     l = l.reshape(b, g.cols * zc)
     hard = (l < 0).astype(jnp.int8)
     ok = check_parity(hard, bg, zc)

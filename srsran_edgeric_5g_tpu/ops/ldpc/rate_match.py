@@ -9,6 +9,8 @@ N_cb) the whole select-skip-wrap-interleave composition collapses into ONE
 precomputed index vector, so rate matching is a single gather and rate
 dematching is a single segment-sum (scatter-add) of LLRs into the circular
 buffer — soft combining across retransmissions comes free from the add.
+(An inverse-gather-per-wrap dematch exists behind ``use_gather`` — see the
+layout note at the call site for why the scatter stays default.)
 
 Alternative formulation (``use_runs=True``): the Qm-wise interleaver is a
 pure (rows, Qm) transpose, and the filler-skipping circular bit selection is
@@ -67,6 +69,13 @@ class RateMatchPlan:
     select_idx: np.ndarray    # (E,) indices into the N_cb circular buffer
     runs: tuple               # ((src, dst, len), ...) contiguous spans of
                               # select_idx in pre-interleave (e-domain) order
+    inv_idx: np.ndarray       # (n_wraps, N_cb) int32: for each buffer
+                              # position, the k-th output index selecting it
+                              # (sentinel E -> a zero pad slot).  Lets the
+                              # dematch run as n_wraps GATHERS instead of one
+                              # scatter-add — scatters are the slow path on
+                              # TPU (5.3% of the pipeline step in the xplane
+                              # profile; usually n_wraps == 1).
     key: tuple
 
     def __hash__(self):
@@ -109,8 +118,18 @@ def get_rate_match_plan(bg: int, zc: int, e: int, rv: int, qm: int,
     starts = np.concatenate([[0], breaks, [e]])
     runs = tuple((int(s), int(sel[s]), int(t - s))
                  for s, t in zip(starts[:-1], starts[1:]))
+    # Inverse map for the gather-formulated dematch: occurrence k of buffer
+    # position p -> output index (sentinel e for "no k-th contribution").
+    count = np.zeros(n_cb, dtype=np.int64)
+    np.add.at(count, fused, 1)
+    n_wraps = max(1, int(count.max()))
+    inv = np.full((n_wraps, n_cb), e, dtype=np.int32)
+    occ = np.zeros(n_cb, dtype=np.int64)
+    for p_out, bufpos in enumerate(fused):
+        inv[occ[bufpos], bufpos] = p_out
+        occ[bufpos] += 1
     return RateMatchPlan(bg=bg, zc=zc, e=e, rv=rv, qm=qm, k_prime=k_prime,
-                         n_cb=n_cb, select_idx=fused, runs=runs,
+                         n_cb=n_cb, select_idx=fused, runs=runs, inv_idx=inv,
                          key=(bg, zc, e, rv, qm, k_prime, n_cb))
 
 
@@ -143,7 +162,8 @@ def rate_match(full_codeword: jnp.ndarray, plan: RateMatchPlan,
 
 def rate_dematch(llrs: jnp.ndarray, plan: RateMatchPlan,
                  soft_buffer: jnp.ndarray | None = None,
-                 use_runs: bool = False) -> jnp.ndarray:
+                 use_runs: bool = False,
+                 use_gather: bool = False) -> jnp.ndarray:
     """(B, E) LLRs -> (B, cols*Zc) decoder input, soft-combining into
     ``soft_buffer`` (HARQ) when given.
 
@@ -165,6 +185,19 @@ def rate_dematch(llrs: jnp.ndarray, plan: RateMatchPlan,
             .transpose(0, 2, 1).reshape(b, plan.e)
         for (s, d, ln) in plan.runs:
             buf = buf.at[:, d:d + ln].add(deint[:, s:s + ln])
+    elif use_gather:
+        # Gather formulation of the scatter-add: per wrap layer, gather each
+        # buffer position's contribution (sentinel -> appended zero slot) and
+        # add.  Usually one wrap; repetition (E > N_cb) adds layers.
+        # Default OFF on the pipeline path: the gather demands a row-major
+        # (B, E) operand, and in the fused UL program that forces a full
+        # transpose copy of the demapper output (29% of device time on v5e;
+        # the scatter tolerates the demapper's native layout).
+        ext = jnp.concatenate(
+            [llrs.astype(jnp.float32), jnp.zeros((b, 1), jnp.float32)],
+            axis=-1)
+        for k in range(plan.inv_idx.shape[0]):
+            buf = buf + ext[:, jnp.asarray(plan.inv_idx[k])]
     else:
         buf = buf.at[:, jnp.asarray(plan.select_idx)].add(
             llrs.astype(jnp.float32))

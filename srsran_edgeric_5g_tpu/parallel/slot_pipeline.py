@@ -138,6 +138,11 @@ def _dl_code(payloads: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
     u = cell.nof_ue
     reps = b_tb // u
     ci_row = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
+    # NOTE: c_init is slot-invariant, so the Gold matmul could be hoisted to
+    # (U, G) and tiled — measured on v5e this PERTURBS XLA's layout
+    # assignment into materializing full transpose copies of the bit/LLR
+    # streams (57% of device time; 15.8x -> 7.0x), so the per-row
+    # formulation stays: the xor fuses into the stream with no transition.
     ci = jnp.tile(ci_row, reps)
     bits = sequences.scramble_bits(bits, ci)
     return modulation.modulate(bits, cell.modulation)      # (B_tb, G/Qm)
@@ -304,6 +309,8 @@ def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
                                      nv_out.reshape(s * u, -1),
                                      cell.modulation, quantize=False)
     ci_row = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
+    # Per-row Gold sequences (see the layout note in _dl_code: hoisting the
+    # slot-invariant sequence perturbs layout assignment catastrophically).
     ci = jnp.tile(ci_row, s)
     llr = sequences.scramble_llrs(llr, ci)                 # (S*U, G)
     g_len = llr.shape[-1]

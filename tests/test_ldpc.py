@@ -125,6 +125,32 @@ def test_rate_match_runs_equal_index_formulation():
         assert (got[:, f0:f1] == rate_match.FILLER_LLR).all()
 
 
+def test_rate_dematch_gather_equals_scatter():
+    """The inverse-gather dematch (use_gather=True, default off — forces a
+    transpose copy in the fused pipeline) matches the scatter-add
+    formulation across wraps, fillers, and LBRM."""
+    cases = [
+        (1, 64, 2 * 66 * 64, 0, 2, None),       # E = 2N: double wrap
+        (1, 64, 3000, 2, 6, None),               # mid-buffer k0 + fillers
+        (1, 64, 3000, 3, 2, 2560),               # LBRM, high rv wrap
+        (2, 40, 2 * 50 * 40 + 400, 3, 8, None),  # >2 wraps
+    ]
+    rng = np.random.default_rng(5)
+    for bg, zc, e, rv, qm, tbs_lbrm in cases:
+        g = graph.get_graph(bg, zc)
+        k_prime = g.k - 2 * zc // 2
+        n_cb = (rate_match.lbrm_n_cb(bg, zc, 1, tbs_lbrm)
+                if tbs_lbrm else None)
+        plan = rate_match.get_rate_match_plan(bg, zc, e, rv, qm, k_prime,
+                                              n_cb=n_cb)
+        llr = jnp.asarray(rng.normal(size=(3, e)).astype(np.float32))
+        soft = jnp.asarray(rng.normal(size=(3, plan.n_cb)).astype(np.float32))
+        want = np.asarray(rate_match.rate_dematch(llr, plan, soft))
+        got = np.asarray(rate_match.rate_dematch(llr, plan, soft,
+                                                 use_gather=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
 @pytest.mark.parametrize("rv", [0, 1, 2, 3])
 def test_rate_match_rv_offsets(rv):
     bg, zc = 2, 16

@@ -96,7 +96,7 @@ def main():
         return payload_hat, tb_ok, eps_next, key
 
     eps = jnp.int8(0)
-    key = jax.random.PRNGKey(42)
+    key = jax.random.key(42, impl="rbg")  # HW RNG: threefry was ~4% of device time
     payload_hat, tb_ok, eps, key = step(payloads, eps, key)
     ok = np.asarray(tb_ok)
     assert ok.all(), f"loopback CRC failed: {ok}"

@@ -81,11 +81,46 @@ def modulate(bits: jnp.ndarray, modulation: str) -> jnp.ndarray:
 
 
 def _axis_maxlog(y: jnp.ndarray, noise_var_rcp: jnp.ndarray, qm: int) -> jnp.ndarray:
-    """Exact max-log LLRs for one real axis.
+    """Exact max-log LLRs for one real axis, closed form.
 
     ``y`` (...,) real part; returns (..., m) float LLRs, bit order MSB-first.
     LLR = (min_{bit=1} d^2 - min_{bit=0} d^2) * rcp_noise  (positive <=> bit 0).
+
+    Uses the Gray-fold recursion instead of materializing per-level distance
+    tensors: in the NR nesting (pam_levels) bit j splits the current
+    coordinate u_j by sign with 2^{m-1-j} levels at odd multiples of ``a``
+    per side, and the next bit lives in the reflected coordinate
+    u_{j+1} = 2^{m-1-j}·a - |u_j| (an isometry on each side, so subset
+    distances are preserved).  The nearest level of each sign subset is a
+    round+clamp, giving the exact subset minima in O(1) per bit — the
+    per-level (..., 2^m) intermediates of the naive subset-min formulation
+    (kept as the test oracle, `_axis_maxlog_subset`) were ~12% of the UL
+    pipeline's device time at 64QAM.
     """
+    m = qm // 2
+    a = np.float32(1.0 / np.sqrt(2.0 * (4 ** m - 1) / 3.0))
+    u = y
+    out = []
+    for j in range(m):
+        k = 1 << (m - 1 - j)          # levels per side of u_j
+        if k == 1:
+            lj = (4.0 * a) * u        # (u+a)^2 - (u-a)^2
+        else:
+            kpos = jnp.clip(jnp.round((u - a) / (2.0 * a)), 0, k - 1)
+            kneg = jnp.clip(jnp.round((-u - a) / (2.0 * a)), 0, k - 1)
+            p = (2.0 * a) * kpos + a          # nearest bit-0 (positive) level
+            n = -((2.0 * a) * kneg + a)       # nearest bit-1 (negative) level
+            lj = (u - n) ** 2 - (u - p) ** 2
+        out.append(lj)
+        if j < m - 1:
+            u = (k * a) - jnp.abs(u)
+    return jnp.stack(out, axis=-1) * noise_var_rcp[..., None]
+
+
+def _axis_maxlog_subset(y: jnp.ndarray, noise_var_rcp: jnp.ndarray,
+                        qm: int) -> jnp.ndarray:
+    """Subset-distance-minimisation oracle for `_axis_maxlog` (same result,
+    materializes the (..., 2^m) distance tensor)."""
     levels, masks = _axis_tables(qm)
     d2 = (y[..., None] - jnp.asarray(levels, dtype=y.dtype)) ** 2  # (..., L)
     big = jnp.asarray(np.inf, dtype=y.dtype)

@@ -79,3 +79,19 @@ def test_quantization_points():
     llrs = jnp.asarray([0.0, 20.0, -20.0, 25.0, 10.0], dtype=jnp.float32)
     q = np.asarray(mod.quantize_llrs(llrs))
     np.testing.assert_array_equal(q, [0, 120, -120, 120, 60])
+
+
+@pytest.mark.parametrize("name", [m for m in MODS if mod.QM[m] >= 2])
+def test_axis_maxlog_closed_form_equals_subset(name):
+    """The folded closed-form axis demapper matches the subset-min oracle,
+    including far outside the constellation (slope-doubling regions)."""
+    qm = mod.QM[name]
+    rng = np.random.default_rng(qm)
+    y = jnp.asarray(np.concatenate([
+        rng.normal(scale=0.5, size=4096),
+        rng.uniform(-3.0, 3.0, size=1024),   # beyond the outermost level
+    ]).astype(np.float32))
+    rcp = jnp.asarray(rng.uniform(0.5, 30.0, size=y.shape).astype(np.float32))
+    got = np.asarray(mod._axis_maxlog(y, rcp, qm))
+    want = np.asarray(mod._axis_maxlog_subset(y, rcp, qm))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

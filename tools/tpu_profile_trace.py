@@ -50,7 +50,7 @@ def run_step_traced(s_batch: int, clean: bool, iters: int, trace_dir: str):
         return payload_hat, tb_ok, eps_next, key
 
     eps = jnp.int8(0)
-    key = jax.random.PRNGKey(42)
+    key = jax.random.key(42, impl="rbg")  # HW RNG: threefry was ~4% of device time
     payload_hat, tb_ok, eps, key = step(payloads, eps, key)
     tb_ok.block_until_ready()
     print(f"warmed up; tracing {iters} iters at S={s_batch} "

@@ -44,13 +44,14 @@ def main():
     t = cell.timing
     tbs = cell.derived_tbs()
     # Slots per dispatch (run-ahead pipelining analogue).  Measured on v5e:
-    # S=16 0.262 ms/slot, S=32 0.166, S=64 0.138, S=128 0.110 (the knee;
-    # S=256 regresses) — the batch amortizes per-layer overheads.  S=128 =
-    # 128 ms of run-ahead buffering: a throughput-serving operating point
-    # (the real-time analogue of the reference's nof_slot_tti_in_advance
+    # S=16 0.262 ms/slot, S=32 0.166, S=64 0.138, S=128 0.110, and after the
+    # decode-side optimizations the knee moved: S=128 0.052 vs S=256 0.051
+    # (19.75x) — the batch amortizes per-layer overheads.  S=256 = 256 ms of
+    # run-ahead buffering: a throughput-serving operating point (the
+    # real-time analogue of the reference's nof_slot_tti_in_advance
     # headroom, scaled to batch mode); use --sbatch=8/16 for
     # latency-constrained operation.
-    s_batch = 128
+    s_batch = 256
     n_cells = 1
     for a in sys.argv:
         if a.startswith("--sbatch="):

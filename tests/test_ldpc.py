@@ -359,3 +359,54 @@ def test_lbrm_rv_offsets_use_limited_buffer():
     n_cb = rate_match.lbrm_n_cb(bg, zc, nof_cb=1, tbs_lbrm=800)
     k0 = rate_match.k0_offset(bg, 1, n_cb, zc)
     assert k0 == zc * ((13 * n_cb) // (50 * zc))
+
+@pytest.mark.parametrize("bg", [1, 2])
+def test_wave_schedule_is_exact_reordering(bg):
+    """The wave-packed layer schedule only commutes column-disjoint rows:
+    rows within a wave are pairwise disjoint, and every column-sharing pair
+    keeps its original relative order (so the packed sweep is bit-identical
+    to the sequential layered sweep)."""
+    g = graph.get_graph(bg, 2)
+    row_cols = [set() for _ in range(g.rows)]
+    for r, c in zip(g.edge_row, g.edge_col):
+        row_cols[int(r)].add(int(c))
+    waves = decoder._wave_schedule(bg)
+    assert sorted(r for w in waves for r in w) == list(range(g.rows))
+    wave_of = {r: i for i, w in enumerate(waves) for r in w}
+    for w in waves:
+        for i, r1 in enumerate(w):
+            for r2 in w[i + 1:]:
+                assert not (row_cols[r1] & row_cols[r2])
+    for r1 in range(g.rows):
+        for r2 in range(r1 + 1, g.rows):
+            if row_cols[r1] & row_cols[r2]:
+                assert wave_of[r1] < wave_of[r2]
+
+
+@pytest.mark.parametrize("sched_pair", [
+    ("layered_rolls", "layered_waves"),
+    ("layered_rolls_bf16", "layered_waves_bf16"),
+])
+def test_decode_waves_bit_identical_to_rolls(sched_pair):
+    """Wave-packed sweeps are bit-identical to the sequential layered sweep
+    (on CPU; on TPU bf16 post-convergence ties may flip with fusion layout,
+    the same nondeterminism as recompiling the sequential program)."""
+    ref_sched, wave_sched = sched_pair
+    bg, zc = 1, 32
+    g = graph.get_graph(bg, zc)
+    rng = np.random.default_rng(37)
+    b = 6
+    msgs = rng.integers(0, 2, size=(b, g.k), dtype=np.int8)
+    cw = np.asarray(encoder.encode(jnp.asarray(msgs), bg, zc))
+    sym = 1 - 2 * cw[:, 2 * zc:].astype(np.float32)
+    sigma = 0.7
+    y = sym + rng.normal(size=sym.shape) * sigma
+    llr = jnp.asarray(np.concatenate(
+        [np.zeros((b, 2 * zc), np.float32), 2 * y / sigma**2], axis=1))
+    for es in (False, True):
+        h_ref, ok_ref = decoder.decode(llr, bg, zc, num_iters=4,
+                                       schedule=ref_sched, early_stop=es)
+        h_wav, ok_wav = decoder.decode(llr, bg, zc, num_iters=4,
+                                       schedule=wave_sched, early_stop=es)
+        np.testing.assert_array_equal(np.asarray(h_ref), np.asarray(h_wav))
+        np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(ok_wav))

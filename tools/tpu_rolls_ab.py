@@ -50,8 +50,14 @@ def main():
         ("vmap:rolls_bf16", "layered_rolls_bf16", False),
         ("vmap:rolls_i8", "layered_rolls_i8", False),
         ("flat:rolls_bf16", "layered_rolls_bf16", True),
+        ("flat:waves_bf16", "layered_waves_bf16", True),
+        ("flat:waves_f32", "layered_waves", True),
         ("flat:pallas", "pallas", True),
     ]
+    only = [a.split("=")[1] for a in sys.argv if a.startswith("--only=")]
+    if only:
+        keep = only[0].split(",")
+        variants = [v for v in variants if any(k in v[0] for k in keep)]
     for name, sched, flat in variants:
         def step(l, eps, _sched=sched, _flat=flat):
             l = l + eps

@@ -137,6 +137,12 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
     if schedule == "layered_waves_bf16":
         return _decode_layered_waves(llrs, bg, zc, num_iters, scaling,
                                      early_stop, msg_dtype=jnp.bfloat16)
+    if schedule == "layered_rolls_cr":
+        return _decode_layered_rolls_cr(llrs, bg, zc, num_iters, scaling,
+                                        early_stop, msg_dtype=jnp.bfloat16)
+    if schedule == "layered_rolls_cr_f32":
+        return _decode_layered_rolls_cr(llrs, bg, zc, num_iters, scaling,
+                                        early_stop, msg_dtype=jnp.float32)
     if schedule == "layered_rolls_i8":
         return _decode_layered_rolls_i8(llrs, bg, zc, num_iters, scaling,
                                         early_stop)
@@ -449,6 +455,116 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
         # Roll-based syndrome (no gathers): XOR the rotated hard bits per
         # check row, accumulate violations.  Much cheaper than check_parity's
         # gather formulation when evaluated every sweep.
+        l = state[0]
+        viol = None
+        for r in range(rows):
+            row_par = None
+            for (_, c, s) in row_edges[r]:
+                bit = jnp.roll(l[:, c], -s, axis=-1) < 0
+                row_par = bit if row_par is None else row_par ^ bit
+            if row_par is not None:
+                viol = row_par if viol is None else viol | row_par
+        return jnp.logical_not(jnp.any(viol, axis=-1))
+
+    state = sweep_body(l0, None, first=True)
+    done0 = jnp.all(parity(state)) if early_stop else None
+    l, _ = _iterate(sweep, state, num_iters - 1, early_stop, parity, done0)
+    l = l.reshape(b, g.cols * zc)
+    hard = (l < 0).astype(jnp.int8)
+    ok = check_parity(hard, bg, zc)
+    return hard[:, :plan.kb * zc], ok
+
+
+def _decode_layered_rolls_cr(llrs, bg, zc, num_iters, scaling,
+                             early_stop: bool = True,
+                             msg_dtype=jnp.bfloat16):
+    """Compressed-R layered min-sum: bit-identical to `_decode_layered_rolls`
+    but the check-to-variable messages are stored PER ROW instead of per edge.
+
+    Min-sum row outputs have only two magnitudes — m1 everywhere, m2 at the
+    (first) minimum slot — and per-edge signs, so the (B, edges, Zc) R tensor
+    (the decode loop's dominant HBM stream; 316 edges for BG1) collapses to
+    four (B, rows, Zc) lanes: scaled m1/m2 (msg_dtype), the first-min slot
+    (int8), and the edge sign bits packed into one int32 (row degree <= 19).
+    BG1: 316 edges x 2 B -> 46 rows x 9 B, ~1.5x less R traffic; R[e] is
+    reconstructed exactly at read (sign_e = popcount-parity ^ bit_e, mag_e =
+    m2 if e is the stored argmin else m1 — the same f32-computed, msg_dtype-
+    rounded values the per-edge store would hold, so the iteration is
+    bit-identical).
+
+    MEASURED DEAD END on v5e (kept as a tested opt-in): 0.094 (bf16) /
+    0.120 (f32) vs 0.084 ms/slot for the per-edge store at the pipeline
+    decode shape — the per-edge reconstruction (bit extract, popcount,
+    argmin select as materialized (B, deg, Zc) temporaries) costs more than
+    the shrunken R carry saves, i.e. the while body is fusion/compute-
+    limited at this point, not R-carry-bandwidth-limited.
+    """
+    from .graph import get_graph
+
+    g = get_graph(bg, zc)
+    plan = get_decode_plan(bg, zc)
+    b = llrs.shape[0]
+    rows = g.rows
+    row_edges = _row_edge_lists(g)
+
+    l0 = llrs.astype(msg_dtype).reshape(b, g.cols, zc)
+    big = jnp.float32(1e30)
+
+    def row_minsum(t):
+        """_minsum numerics (f32 compute of the msg_dtype inputs, one
+        msg_dtype round at the end) + the compressed row state."""
+        at = jnp.abs(t).astype(jnp.float32)
+        st_neg = t < 0
+        st = jnp.where(st_neg, -1.0, 1.0)
+        m1 = jnp.min(at, axis=1, keepdims=True)
+        is_min = at == m1
+        first_min = is_min & (jnp.cumsum(is_min, axis=1) == 1)
+        m2 = jnp.min(jnp.where(first_min, big, at), axis=1, keepdims=True)
+        mag = jnp.where(first_min, m2, m1)
+        sign_all = jnp.prod(st, axis=1, keepdims=True)
+        r_new = (scaling * (sign_all * st) * mag).astype(msg_dtype)
+        deg = t.shape[1]
+        w = jnp.asarray([1 << j for j in range(deg)],
+                        jnp.int32)[None, :, None]
+        cr_row = ((scaling * m1[:, 0]).astype(msg_dtype),
+                  (scaling * m2[:, 0]).astype(msg_dtype),
+                  jnp.argmax(first_min, axis=1).astype(jnp.int8),
+                  jnp.sum(st_neg.astype(jnp.int32) * w, axis=1))
+        return r_new, cr_row
+
+    def reconstruct(cr, r, deg):
+        m1s, m2s, am, sb = (c[:, r][:, None, :] for c in cr)
+        j = jnp.arange(deg, dtype=jnp.int32)[None, :, None]
+        bit = (sb >> j) & 1
+        par = jax.lax.population_count(sb) & 1
+        mag = jnp.where(j == am.astype(jnp.int32), m2s, m1s)
+        return jnp.where((bit ^ par) == 1, -mag, mag)
+
+    def sweep_body(l, cr, first):
+        parts = ([], [], [], []) if first else None
+        for r in range(rows):
+            edges = row_edges[r]
+            t = jnp.stack([jnp.roll(l[:, c], -s, axis=-1)
+                           for (_, c, s) in edges], axis=1)   # (B, deg, Zc)
+            if not first:
+                t = t - reconstruct(cr, r, len(edges))
+            r_new, cr_row = row_minsum(t)
+            v = t + r_new
+            for j, (_, c, s) in enumerate(edges):
+                l = l.at[:, c].set(jnp.roll(v[:, j], s, axis=-1))
+            if first:
+                for p, x in zip(parts, cr_row):
+                    p.append(x)
+            else:
+                cr = tuple(c.at[:, r].set(x) for c, x in zip(cr, cr_row))
+        if first:
+            cr = tuple(jnp.stack(p, axis=1) for p in parts)
+        return l, cr
+
+    def sweep(state):
+        return sweep_body(state[0], state[1], first=False)
+
+    def parity(state):
         l = state[0]
         viol = None
         for r in range(rows):

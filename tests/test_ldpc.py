@@ -386,11 +386,14 @@ def test_wave_schedule_is_exact_reordering(bg):
 @pytest.mark.parametrize("sched_pair", [
     ("layered_rolls", "layered_waves"),
     ("layered_rolls_bf16", "layered_waves_bf16"),
+    ("layered_rolls", "layered_rolls_cr_f32"),
+    ("layered_rolls_bf16", "layered_rolls_cr"),
 ])
 def test_decode_waves_bit_identical_to_rolls(sched_pair):
-    """Wave-packed sweeps are bit-identical to the sequential layered sweep
-    (on CPU; on TPU bf16 post-convergence ties may flip with fusion layout,
-    the same nondeterminism as recompiling the sequential program)."""
+    """Wave-packed and compressed-R sweeps are bit-identical to the
+    sequential layered sweep (on CPU; on TPU bf16 post-convergence ties may
+    flip with fusion layout, the same nondeterminism as recompiling the
+    sequential program)."""
     ref_sched, wave_sched = sched_pair
     bg, zc = 1, 32
     g = graph.get_graph(bg, zc)

@@ -52,6 +52,8 @@ def main():
         ("flat:rolls_bf16", "layered_rolls_bf16", True),
         ("flat:waves_bf16", "layered_waves_bf16", True),
         ("flat:waves_f32", "layered_waves", True),
+        ("flat:cr_bf16", "layered_rolls_cr", True),
+        ("flat:cr_f32", "layered_rolls_cr_f32", True),
         ("flat:pallas", "pallas", True),
     ]
     only = [a.split("=")[1] for a in sys.argv if a.startswith("--only=")]

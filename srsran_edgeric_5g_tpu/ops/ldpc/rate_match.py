@@ -199,8 +199,20 @@ def rate_dematch(llrs: jnp.ndarray, plan: RateMatchPlan,
         for k in range(plan.inv_idx.shape[0]):
             buf = buf + ext[:, jnp.asarray(plan.inv_idx[k])]
     else:
-        buf = buf.at[:, jnp.asarray(plan.select_idx)].add(
-            llrs.astype(jnp.float32))
+        # No wraps (E <= N_cb) => the selection is injective: tell XLA so
+        # (unique_indices skips collision handling), and with no HARQ
+        # buffer to combine into the add degenerates to a SET into the
+        # zero-initialized buffer (no read-modify-write).
+        uniq = plan.inv_idx.shape[0] == 1
+        idx = jnp.asarray(plan.select_idx)
+        if uniq and soft_buffer is None:
+            buf = buf.at[:, idx].set(llrs.astype(jnp.float32),
+                                     unique_indices=True,
+                                     mode="promise_in_bounds")
+        else:
+            buf = buf.at[:, idx].add(llrs.astype(jnp.float32),
+                                     unique_indices=uniq,
+                                     mode="promise_in_bounds")
 
     f_begin = plan.k_prime - 2 * zc
     f_end = g.k - 2 * zc

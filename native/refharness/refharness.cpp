@@ -1,0 +1,442 @@
+// Oracle harness around the REFERENCE's C++ PHY kernels (compiled directly
+// from /root/reference/srsRAN-5G-ER — nothing vendored into this repo).
+//
+// Purpose (SURVEY.md §4.5 / §6): the reference's MATLAB-generated .dat
+// conformance vectors are not shipped in its tree, so this binary GENERATES
+// golden vectors by running the reference implementations themselves
+// (ldpc_encoder_{generic,avx2}, ldpc_decoder_{generic,avx2}, CRC LUT,
+// ldpc_rate_matcher/dematcher) on deterministic pseudo-random inputs, and
+// doubles as the reference-side throughput benchmark (the counterpart of
+// tests/benchmarks/phy/ldpc_encoder_benchmark.cpp etc., whose harness prints
+// Mbit/s — include/srsran/support/benchmark_utils.h).
+//
+// Output protocol: raw little-endian binary on stdout (parsed by
+// tests/test_reference_parity.py); human-readable bench lines on stderr.
+//
+// Subcommands:
+//   encode    <bg> <zc> <nmsg> <seed> <impl>          -> msg bits, cw bits
+//   crc       <poly> <nbytes> <nmsg> <seed>           -> data bytes, checksums
+//   ratematch <bg> <zc> <E> <rv> <qm> <nfill> <nmsg> <seed> -> cw bits, E bits
+//   dematch   <bg> <zc> <E> <rv> <qm> <nfill> <nmsg> <seed> -> llrs, N llrs
+//   decode    <bg> <zc> <nmsg> <seed> <sigma_x1000> <iters> <impl> <early>
+//                                                     -> msg, llrs, hard, its
+//   bench_encode <bg> <zc> <iters> <impl>
+//   bench_decode <bg> <zc> <iters> <sigma_x1000> <impl> <early>
+
+#include <cinttypes>
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <chrono>
+#include <random>
+#include <string>
+#include <vector>
+
+#include "ldpc_encoder_generic.h"
+#include "ldpc_encoder_avx2.h"
+#include "ldpc_decoder_generic.h"
+#include "ldpc_decoder_avx2.h"
+#include "ldpc_rate_matcher_impl.h"
+#include "ldpc_rate_dematcher_impl.h"
+#include "../crc_calculator_lut_impl.h"
+#include "../crc_calculator_generic_impl.h"
+
+#include "srsran/adt/bit_buffer.h"
+#include "srsran/srsvec/bit.h"
+
+using namespace srsran;
+
+namespace {
+
+// splitmix64: deterministic, trivially re-implementable host-side if needed.
+struct Rng {
+  uint64_t s;
+  explicit Rng(uint64_t seed) : s(seed) {}
+  uint64_t next()
+  {
+    s += 0x9e3779b97f4a7c15ULL;
+    uint64_t z = s;
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+    return z ^ (z >> 31);
+  }
+  uint8_t bit() { return static_cast<uint8_t>(next() & 1); }
+  uint8_t byte() { return static_cast<uint8_t>(next() & 0xff); }
+};
+
+void write_bytes(const void* p, size_t n)
+{
+  std::fwrite(p, 1, n, stdout);
+}
+
+ldpc::lifting_size_t to_ls(unsigned zc)
+{
+  for (auto ls : ldpc::all_lifting_sizes) {
+    if (static_cast<unsigned>(ls) == zc) {
+      return ls;
+    }
+  }
+  std::fprintf(stderr, "bad lifting size %u\n", zc);
+  std::exit(2);
+}
+
+std::unique_ptr<ldpc_encoder> make_encoder(const std::string& impl)
+{
+  if (impl == "avx2") {
+    return std::make_unique<ldpc_encoder_avx2>();
+  }
+  return std::make_unique<ldpc_encoder_generic>();
+}
+
+std::unique_ptr<ldpc_decoder> make_decoder(const std::string& impl)
+{
+  if (impl == "avx2") {
+    return std::make_unique<ldpc_decoder_avx2>();
+  }
+  return std::make_unique<ldpc_decoder_generic>();
+}
+
+struct Dims {
+  unsigned k;       // message bits (22|10)*zc
+  unsigned n_out;   // encoder output bits (66|50 - 2)*zc
+};
+
+Dims dims(unsigned bg, unsigned zc)
+{
+  // Full base graphs: BG1 68 cols, BG2 52; the encoder/rate-matcher domain
+  // drops the 2*Zc punctured systematic columns -> N = 66*Zc | 50*Zc.
+  unsigned kb = (bg == 1) ? 22 : 10;
+  unsigned cols = (bg == 1) ? 68 : 52;
+  return {kb * zc, (cols - 2) * zc};
+}
+
+codeblock_metadata make_cfg(unsigned bg, unsigned zc, unsigned rv = 0,
+                            unsigned qm = 1, unsigned e = 0,
+                            unsigned nfill = 0)
+{
+  codeblock_metadata cfg = {};
+  cfg.tb_common.base_graph =
+      (bg == 1) ? ldpc_base_graph_type::BG1 : ldpc_base_graph_type::BG2;
+  cfg.tb_common.lifting_size = to_ls(zc);
+  cfg.tb_common.rv = rv;
+  switch (qm) {
+    case 2: cfg.tb_common.mod = modulation_scheme::QPSK; break;
+    case 4: cfg.tb_common.mod = modulation_scheme::QAM16; break;
+    case 6: cfg.tb_common.mod = modulation_scheme::QAM64; break;
+    case 8: cfg.tb_common.mod = modulation_scheme::QAM256; break;
+    default: cfg.tb_common.mod = modulation_scheme::BPSK; break;
+  }
+  cfg.tb_common.Nref = 0;
+  cfg.cb_specific.full_length = dims(bg, zc).n_out + 2 * zc;
+  cfg.cb_specific.rm_length = e;
+  cfg.cb_specific.nof_filler_bits = nfill;
+  cfg.cb_specific.cw_offset = 0;
+  return cfg;
+}
+
+// Encode nmsg random messages; emit unpacked message bits then codeword bits.
+// With nfill > 0 the LAST nfill message bits are filler (zero), matching the
+// segmenter's layout (ldpc_segmenter_impl.cpp).
+void gen_codewords(unsigned bg, unsigned zc, unsigned nmsg, uint64_t seed,
+                   const std::string& impl, unsigned nfill,
+                   std::vector<uint8_t>& msgs, std::vector<uint8_t>& cws)
+{
+  Dims d = dims(bg, zc);
+  auto enc = make_encoder(impl);
+  Rng rng(seed);
+  msgs.assign(size_t(nmsg) * d.k, 0);
+  cws.assign(size_t(nmsg) * d.n_out, 0);
+  dynamic_bit_buffer msg_packed(d.k);
+  dynamic_bit_buffer cw_packed(d.n_out);
+  std::vector<uint8_t> cw_unpacked(d.n_out);
+  for (unsigned m = 0; m != nmsg; ++m) {
+    uint8_t* mb = &msgs[size_t(m) * d.k];
+    for (unsigned i = 0; i != d.k - nfill; ++i) {
+      mb[i] = rng.bit();
+    }
+    srsvec::bit_pack(msg_packed, span<const uint8_t>(mb, d.k));
+    auto cfg = make_cfg(bg, zc);
+    cfg.cb_specific.nof_filler_bits = nfill;
+    enc->encode(cw_packed, msg_packed, cfg.tb_common);
+    srsvec::bit_unpack(span<uint8_t>(cw_unpacked), cw_packed);
+    std::memcpy(&cws[size_t(m) * d.n_out], cw_unpacked.data(), d.n_out);
+  }
+}
+
+int cmd_encode(unsigned bg, unsigned zc, unsigned nmsg, uint64_t seed,
+               const std::string& impl)
+{
+  std::vector<uint8_t> msgs, cws;
+  gen_codewords(bg, zc, nmsg, seed, impl, 0, msgs, cws);
+  write_bytes(msgs.data(), msgs.size());
+  write_bytes(cws.data(), cws.size());
+  return 0;
+}
+
+int cmd_crc(const std::string& poly, unsigned nbytes, unsigned nmsg,
+            uint64_t seed)
+{
+  crc_generator_poly p = crc_generator_poly::CRC24A;
+  if (poly == "24B") p = crc_generator_poly::CRC24B;
+  else if (poly == "24C") p = crc_generator_poly::CRC24C;
+  else if (poly == "16") p = crc_generator_poly::CRC16;
+  else if (poly == "11") p = crc_generator_poly::CRC11;
+  else if (poly == "6") p = crc_generator_poly::CRC6;
+  // The LUT impl covers the SCH polys; CRC6/CRC11 (UCI) only exist in the
+  // generic impl (crc_calculator_generic_impl.cpp:52).
+  std::unique_ptr<crc_calculator> crc;
+  if (poly == "6" || poly == "11") {
+    crc = std::make_unique<crc_calculator_generic_impl>(p);
+  } else {
+    crc = std::make_unique<crc_calculator_lut_impl>(p);
+  }
+  Rng rng(seed);
+  std::vector<uint8_t> data(size_t(nmsg) * nbytes);
+  for (auto& b : data) {
+    b = rng.byte();
+  }
+  std::vector<uint32_t> sums(nmsg);
+  for (unsigned m = 0; m != nmsg; ++m) {
+    sums[m] = crc->calculate_byte(
+        span<const uint8_t>(&data[size_t(m) * nbytes], nbytes));
+  }
+  write_bytes(data.data(), data.size());
+  write_bytes(sums.data(), sums.size() * 4);
+  return 0;
+}
+
+int cmd_ratematch(unsigned bg, unsigned zc, unsigned e, unsigned rv,
+                  unsigned qm, unsigned nfill, unsigned nmsg, uint64_t seed)
+{
+  // Drive with REAL encoder output (the matcher reads the filler span as
+  // <FILLER_BIT>, which only exists in genuine codewords).
+  std::vector<uint8_t> msgs, cws;
+  gen_codewords(bg, zc, nmsg, seed, "generic", nfill, msgs, cws);
+  Dims d = dims(bg, zc);
+  ldpc_rate_matcher_impl rm;
+  auto cfg = make_cfg(bg, zc, rv, qm, e, nfill);
+  dynamic_bit_buffer in_packed(d.n_out);
+  dynamic_bit_buffer out_packed(e);
+  std::vector<uint8_t> out_unpacked(e);
+  std::vector<uint8_t> outs(size_t(nmsg) * e);
+  for (unsigned m = 0; m != nmsg; ++m) {
+    srsvec::bit_pack(in_packed,
+                     span<const uint8_t>(&cws[size_t(m) * d.n_out], d.n_out));
+    rm.rate_match(out_packed, in_packed, cfg);
+    srsvec::bit_unpack(span<uint8_t>(out_unpacked), out_packed);
+    std::memcpy(&outs[size_t(m) * e], out_unpacked.data(), e);
+  }
+  write_bytes(msgs.data(), msgs.size());
+  write_bytes(cws.data(), cws.size());
+  write_bytes(outs.data(), outs.size());
+  return 0;
+}
+
+int cmd_dematch(unsigned bg, unsigned zc, unsigned e, unsigned rv,
+                unsigned qm, unsigned nfill, unsigned nmsg, uint64_t seed)
+{
+  Dims d = dims(bg, zc);
+  ldpc_rate_dematcher_impl rdm;
+  auto cfg = make_cfg(bg, zc, rv, qm, e, nfill);
+  Rng rng(seed);
+  std::vector<int8_t> llrs(size_t(nmsg) * e);
+  for (auto& v : llrs) {
+    v = static_cast<int8_t>(int(rng.next() % 241) - 120);
+  }
+  // Reference dematch output = the N = (cols-2)*Zc circular buffer (the
+  // 2*Zc punctured positions are NOT part of its domain).
+  std::vector<int8_t> outs(size_t(nmsg) * d.n_out);
+  std::vector<log_likelihood_ratio> out(d.n_out);
+  for (unsigned m = 0; m != nmsg; ++m) {
+    std::vector<log_likelihood_ratio> in(e);
+    for (unsigned i = 0; i != e; ++i) {
+      in[i] = llrs[size_t(m) * e + i];
+    }
+    // Fresh buffer per call (the rx_buffer pool hands out zeroed
+    // reservations): with k0 inside the parity region the reference's
+    // copy-mode pass zeroes only the info-bit prefix, so a reused buffer
+    // would leak stale LLRs into [nof_info_bits, k0).
+    std::fill(out.begin(), out.end(), log_likelihood_ratio(0));
+    rdm.rate_dematch(span<log_likelihood_ratio>(out),
+                     span<const log_likelihood_ratio>(in),
+                     /*new_data=*/true, cfg);
+    for (unsigned i = 0; i != out.size(); ++i) {
+      outs[size_t(m) * out.size() + i] = out[i].to_int();
+    }
+  }
+  write_bytes(llrs.data(), llrs.size());
+  write_bytes(outs.data(), outs.size());
+  return 0;
+}
+
+// Encode -> BPSK -> AWGN -> reference demapper quantization (clip +-20 ->
+// +-120 int8) -> reference decoder.  Emits msgs, int8 LLRs (full codeword
+// incl. the 2*zc punctured positions as 0), hard decisions, iteration counts
+// (int32, -1 = failed), so the Python side can replay the SAME LLRs through
+// the TPU decoder's reference-semantics int8 schedule.
+int cmd_decode(unsigned bg, unsigned zc, unsigned nmsg, uint64_t seed,
+               unsigned sigma_x1000, unsigned iters, const std::string& impl,
+               unsigned early)
+{
+  std::vector<uint8_t> msgs, cws;
+  gen_codewords(bg, zc, nmsg, seed, "generic", 0, msgs, cws);
+  Dims d = dims(bg, zc);
+  double sigma = sigma_x1000 / 1000.0;
+  std::mt19937_64 g(seed ^ 0xabcdef);
+  std::normal_distribution<double> noise(0.0, sigma);
+
+  auto dec = make_decoder(impl);
+  crc_calculator_lut_impl crc16(crc_generator_poly::CRC16);
+
+  // Decoder input is the N-domain LLR vector (2*Zc punctured positions are
+  // inserted internally, ldpc_decoder_impl.cpp load_soft_bits); the llrs
+  // EXPORT keeps the full-codeword layout (leading 2*Zc zeros) to match the
+  // TPU decoder's input convention.
+  unsigned n_full = d.n_out + 2 * zc;
+  std::vector<int8_t> llrs(size_t(nmsg) * n_full, 0);
+  std::vector<uint8_t> hards(size_t(nmsg) * d.k, 0);
+  std::vector<int32_t> its(nmsg, -1);
+
+  ldpc_decoder::configuration cfg = {};
+  cfg.block_conf = make_cfg(bg, zc);
+  cfg.algorithm_conf.max_iterations = iters;
+  cfg.algorithm_conf.scaling_factor = 0.8;
+
+  dynamic_bit_buffer out_packed(d.k);
+  std::vector<uint8_t> out_unpacked(d.k);
+  for (unsigned m = 0; m != nmsg; ++m) {
+    int8_t* lr = &llrs[size_t(m) * n_full];
+    std::vector<log_likelihood_ratio> in(d.n_out);
+    for (unsigned i = 0; i != d.n_out; ++i) {
+      double x = 1.0 - 2.0 * double(cws[size_t(m) * d.n_out + i]);
+      double y = x + noise(g);
+      double l = 2.0 * y / (sigma * sigma);
+      // Reference demapper int8 quantization: clip +-20, scale to +-120
+      // (demodulation_mapper_qam16.cpp:36-37, log_likelihood_ratio).
+      double q = std::round(l * (120.0 / 20.0));
+      q = std::min(120.0, std::max(-120.0, q));
+      lr[2 * zc + i] = static_cast<int8_t>(q);
+      in[i] = static_cast<int8_t>(q);
+    }
+    auto r = dec->decode(out_packed, span<const log_likelihood_ratio>(in),
+                         early ? &crc16 : nullptr, cfg);
+    // NOTE: with a CRC the decoder checks the last 16 message bits as a
+    // CRC16 over the rest — our random messages don't satisfy that, so for
+    // vector generation early-stop stays off (early=0) unless the caller
+    // builds CRC-valid messages.
+    if (r.has_value()) {
+      its[m] = static_cast<int32_t>(*r);
+    }
+    srsvec::bit_unpack(span<uint8_t>(out_unpacked), out_packed);
+    std::memcpy(&hards[size_t(m) * d.k], out_unpacked.data(), d.k);
+  }
+  write_bytes(msgs.data(), msgs.size());
+  write_bytes(llrs.data(), llrs.size());
+  write_bytes(hards.data(), hards.size());
+  write_bytes(its.data(), its.size() * 4);
+  return 0;
+}
+
+int cmd_bench_encode(unsigned bg, unsigned zc, unsigned iters,
+                     const std::string& impl)
+{
+  Dims d = dims(bg, zc);
+  auto enc = make_encoder(impl);
+  Rng rng(1);
+  std::vector<uint8_t> mb(d.k);
+  for (auto& b : mb) {
+    b = rng.bit();
+  }
+  dynamic_bit_buffer msg_packed(d.k);
+  srsvec::bit_pack(msg_packed, span<const uint8_t>(mb));
+  dynamic_bit_buffer cw_packed(d.n_out);
+  auto cfg = make_cfg(bg, zc);
+  auto t0 = std::chrono::steady_clock::now();
+  for (unsigned i = 0; i != iters; ++i) {
+    enc->encode(cw_packed, msg_packed, cfg.tb_common);
+  }
+  double dt = std::chrono::duration<double>(
+                  std::chrono::steady_clock::now() - t0).count();
+  std::fprintf(stderr,
+               "bench_encode %s bg%u zc%u: %.3f us/cb, %.1f Mbit/s (msg)\n",
+               impl.c_str(), bg, zc, dt / iters * 1e6,
+               double(d.k) * iters / dt / 1e6);
+  std::printf("%.6f\n", double(d.k) * iters / dt / 1e6);
+  return 0;
+}
+
+int cmd_bench_decode(unsigned bg, unsigned zc, unsigned iters,
+                     unsigned sigma_x1000, const std::string& impl,
+                     unsigned early)
+{
+  std::vector<uint8_t> msgs, cws;
+  gen_codewords(bg, zc, 1, 7, "generic", 0, msgs, cws);
+  Dims d = dims(bg, zc);
+  double sigma = sigma_x1000 / 1000.0;
+  std::mt19937_64 g(99);
+  std::normal_distribution<double> noise(0.0, sigma);
+  std::vector<log_likelihood_ratio> in(d.n_out);
+  for (unsigned i = 0; i != d.n_out; ++i) {
+    double x = 1.0 - 2.0 * double(cws[i]);
+    double l = 2.0 * (x + noise(g)) / (sigma * sigma);
+    double q = std::min(120.0, std::max(-120.0, std::round(l * 6.0)));
+    in[i] = static_cast<int8_t>(q);
+  }
+  auto dec = make_decoder(impl);
+  crc_calculator_lut_impl crc16(crc_generator_poly::CRC16);
+  ldpc_decoder::configuration cfg = {};
+  cfg.block_conf = make_cfg(bg, zc);
+  cfg.algorithm_conf.max_iterations = 6;
+  cfg.algorithm_conf.scaling_factor = 0.8;
+  dynamic_bit_buffer out_packed(d.k);
+  auto t0 = std::chrono::steady_clock::now();
+  for (unsigned i = 0; i != iters; ++i) {
+    dec->decode(out_packed, span<const log_likelihood_ratio>(in),
+                early ? &crc16 : nullptr, cfg);
+  }
+  double dt = std::chrono::duration<double>(
+                  std::chrono::steady_clock::now() - t0).count();
+  std::fprintf(stderr,
+               "bench_decode %s bg%u zc%u sigma%.2f early%u: %.3f us/cb, "
+               "%.1f Mbit/s (msg)\n",
+               impl.c_str(), bg, zc, sigma, early, dt / iters * 1e6,
+               double(d.k) * iters / dt / 1e6);
+  std::printf("%.6f\n", double(d.k) * iters / dt / 1e6);
+  return 0;
+}
+
+} // namespace
+
+int main(int argc, char** argv)
+{
+  if (argc < 2) {
+    std::fprintf(stderr, "usage: refharness <cmd> ...\n");
+    return 2;
+  }
+  std::string cmd = argv[1];
+  auto u = [&](int i) { return unsigned(std::strtoul(argv[i], nullptr, 10)); };
+  if (cmd == "encode" && argc >= 7) {
+    return cmd_encode(u(2), u(3), u(4), u(5), argv[6]);
+  }
+  if (cmd == "crc" && argc >= 6) {
+    return cmd_crc(argv[2], u(3), u(4), u(5));
+  }
+  if (cmd == "ratematch" && argc >= 10) {
+    return cmd_ratematch(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));
+  }
+  if (cmd == "dematch" && argc >= 10) {
+    return cmd_dematch(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));
+  }
+  if (cmd == "decode" && argc >= 10) {
+    return cmd_decode(u(2), u(3), u(4), u(5), u(6), u(7), argv[8], u(9));
+  }
+  if (cmd == "bench_encode" && argc >= 6) {
+    return cmd_bench_encode(u(2), u(3), u(4), argv[5]);
+  }
+  if (cmd == "bench_decode" && argc >= 8) {
+    return cmd_bench_decode(u(2), u(3), u(4), u(5), argv[6], u(7));
+  }
+  std::fprintf(stderr, "bad command/args\n");
+  return 2;
+}

@@ -120,30 +120,38 @@ def shard(x, mesh, spec):
 
 
 def _dl_code(payloads: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
-             rv: int = 0, mesh=None) -> jnp.ndarray:
+             rv: int = 0, mesh=None, ci: jnp.ndarray | None = None,
+             row_axes=(UE_AXIS,),
+             cb_axes=((UE_AXIS, CB_AXIS),)) -> jnp.ndarray:
     """Coding front-end for a flat (B_tb, TBS) batch -> (B_tb, G/Qm) symbols.
 
-    All codeblocks of all TBs (any number of slots) go through segment ->
-    encode -> rate match -> scramble -> modulate as one batch.
+    All codeblocks of all TBs (any number of slots — and, for multi-cell,
+    any number of carriers flattened into the batch) go through segment ->
+    encode -> rate match -> scramble -> modulate as one batch.  ``ci``
+    overrides the per-row scrambling init (default: per-UE rntis tiled over
+    slots); ``row_axes``/``cb_axes`` override the sharding specs of the TB
+    and codeblock batch dims.
     """
     seg, rm = _plans(cell, rv)
     b_tb = payloads.shape[0]
-    payloads = shard(payloads, mesh, (UE_AXIS,))
+    payloads = shard(payloads, mesh, row_axes)
     cbs = segmenter.segment_tb(payloads, seg)              # (B_tb*C, K)
-    cbs = shard(cbs, mesh, ((UE_AXIS, CB_AXIS),))
+    cbs = shard(cbs, mesh, cb_axes)
     cw = encoder.encode(cbs, seg.bg, seg.zc)               # (B_tb*C, colsZc)
     bits = rate_match.rate_match(cw, rm)                   # (B_tb*C, E)
     bits = bits.reshape(b_tb, -1)                          # (B_tb, G)
-    bits = shard(bits, mesh, (UE_AXIS,))
-    u = cell.nof_ue
-    reps = b_tb // u
-    ci_row = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
-    # NOTE: c_init is slot-invariant, so the Gold matmul could be hoisted to
-    # (U, G) and tiled — measured on v5e this PERTURBS XLA's layout
-    # assignment into materializing full transpose copies of the bit/LLR
-    # streams (57% of device time; 15.8x -> 7.0x), so the per-row
-    # formulation stays: the xor fuses into the stream with no transition.
-    ci = jnp.tile(ci_row, reps)
+    bits = shard(bits, mesh, row_axes)
+    if ci is None:
+        u = cell.nof_ue
+        reps = b_tb // u
+        ci_row = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
+        # NOTE: c_init is slot-invariant, so the Gold matmul could be hoisted
+        # to (U, G) and tiled — measured on v5e this PERTURBS XLA's layout
+        # assignment into materializing full transpose copies of the bit/LLR
+        # streams (57% of device time; 15.8x -> 7.0x), so the per-row
+        # formulation stays: the xor fuses into the stream with no
+        # transition.
+        ci = jnp.tile(ci_row, reps)
     bits = sequences.scramble_bits(bits, ci)
     return modulation.modulate(bits, cell.modulation)      # (B_tb, G/Qm)
 
@@ -252,9 +260,12 @@ def ul_slot(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
 
 
 def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
-              rv: int = 0, mesh=None):
+              rv: int = 0, mesh=None, ci: jnp.ndarray | None = None,
+              row_axes=(UE_AXIS,)):
     """OFDM demod -> chest -> MMSE -> demap -> descramble, natively batched:
-    (S, total) samples -> ((S, U, G) LLRs, (S, U) noise_var, (S, U) cfo)."""
+    (S, total) samples -> ((S, U, G) LLRs, (S, U) noise_var, (S, U) cfo).
+    ``ci``/``row_axes`` as in `_dl_code` (multi-cell flattens carriers into
+    the S dim)."""
     seg, rm = _plans(cell, rv)
     t = cell.timing
     s = rx_samples.shape[0]
@@ -287,7 +298,7 @@ def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
     ref_p = jnp.tile(ref_p, (s, 1, 1))                     # (S*U, ndmrs, npil)
     y = jnp.stack([band[:, l] for l in cell.data_symbols], axis=1)
     y = y.reshape(s, ndata, u, w).transpose(0, 2, 1, 3).reshape(s * u, ndata, w)
-    rx_p = shard(rx_p, mesh, (UE_AXIS,))
+    rx_p = shard(rx_p, mesh, row_axes)
 
     times_opt = times if len(cell.dmrs_symbols) > 1 else None
     if cell.delay_spread_us > 0:
@@ -308,10 +319,12 @@ def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
     llr = modulation.demodulate_soft(x_hat.reshape(s * u, -1),
                                      nv_out.reshape(s * u, -1),
                                      cell.modulation, quantize=False)
-    ci_row = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
-    # Per-row Gold sequences (see the layout note in _dl_code: hoisting the
-    # slot-invariant sequence perturbs layout assignment catastrophically).
-    ci = jnp.tile(ci_row, s)
+    if ci is None:
+        ci_row = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
+        # Per-row Gold sequences (see the layout note in _dl_code: hoisting
+        # the slot-invariant sequence perturbs layout assignment
+        # catastrophically).
+        ci = jnp.tile(ci_row, s)
     llr = sequences.scramble_llrs(llr, ci)                 # (S*U, G)
     g_len = llr.shape[-1]
     return (llr.reshape(s, u, g_len), nv.reshape(s, u), cfo.reshape(s, u))
@@ -319,7 +332,8 @@ def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
 
 def _ul_back(llr: jnp.ndarray, cell: CellConfig, rv: int = 0,
              num_iters: int = decoder.DEFAULT_ITERS, mesh=None,
-             soft_buffer: jnp.ndarray | None = None):
+             soft_buffer: jnp.ndarray | None = None,
+             row_axes=(UE_AXIS,), cb_axes=((UE_AXIS, CB_AXIS),)):
     """Rate dematch (+ HARQ soft combine) + LDPC decode + TB CRC for a flat
     (B_tb, G) LLR batch.  Returns (payload, tb_ok, new_soft) where new_soft
     is the accumulated (B_tb*C, n_cb) circular buffer — the HBM-resident
@@ -330,12 +344,21 @@ def _ul_back(llr: jnp.ndarray, cell: CellConfig, rv: int = 0,
     zc = seg.zc
     cb_llr = llr.reshape(b_tb * seg.c, rm.e)
     full = rate_match.rate_dematch(cb_llr, rm, soft_buffer)  # (B_tb*C, colsZc)
-    full = shard(full, mesh, ((UE_AXIS, CB_AXIS),))
+    full = shard(full, mesh, cb_axes)
     new_soft = full[:, 2 * zc:2 * zc + rm.n_cb]
     hard, cb_ok = decoder.decode(full, seg.bg, seg.zc, num_iters=num_iters)
     payload, tb_ok = segmenter.desegment_tb(hard, seg)
-    payload = shard(payload, mesh, (UE_AXIS,))
+    payload = shard(payload, mesh, row_axes)
     return payload, tb_ok, new_soft
+
+
+def _cell_ci(rntis: jnp.ndarray, cell: CellConfig, nc: int,
+             s: int) -> jnp.ndarray:
+    """(NC, U) rntis -> per-row scrambling inits for the (NC*S*U,) flat
+    batch (row order cell-major, slot, UE)."""
+    u = cell.nof_ue
+    ci_rows = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
+    return jnp.broadcast_to(ci_rows[:, None, :], (nc, s, u)).reshape(-1)
 
 
 def multi_cell_dl_slot_batch(payloads: jnp.ndarray, rntis: jnp.ndarray,
@@ -344,16 +367,26 @@ def multi_cell_dl_slot_batch(payloads: jnp.ndarray, rntis: jnp.ndarray,
     """Multi-carrier DL: (NC, S, U, TBS) payloads + (NC, U) rntis ->
     (NC, S, total) samples.
 
-    Cells are fully independent (the reference runs one upper/lower PHY
-    instance per sector); the cell dimension shards over the mesh 'cell'
-    axis with zero cross-cell collectives — within each cell shard the
-    per-cell constraints partition over ('ue','cb') as usual.
+    Cells are fully independent same-config carriers (the reference runs one
+    upper/lower PHY instance per sector), so they FLATTEN into the slot
+    batch: the coding front-end runs as one (NC*S*U) TB batch and grid/OFDM
+    vmaps over NC*S slots.  (A per-cell vmap of the whole pipeline was
+    measured 2.3x slower per cell-slot on v5e: vmapping serializes nothing
+    but carries per-cell loop state through every decode sweep — the same
+    pathology the flat S*U decode batch fixed.)  On a mesh, the flat dims
+    shard over ('cell','ue') / ('cell','ue','cb') — still zero cross-cell
+    collectives, since rows never mix across the flattened dim.
     """
     from .mesh import CELL_AXIS
+    nc, s, u, tbs = payloads.shape
     payloads = shard(payloads, mesh, (CELL_AXIS,))
-    td = jax.vmap(lambda p, r: dl_slot_batch(p, r, cell, rv, mesh))(
-        payloads, rntis)
-    return shard(td, mesh, (CELL_AXIS,))
+    row_axes = ((CELL_AXIS, UE_AXIS),)
+    syms = _dl_code(payloads.reshape(nc * s * u, tbs), None, cell, rv, mesh,
+                    ci=_cell_ci(rntis, cell, nc, s), row_axes=row_axes,
+                    cb_axes=((CELL_AXIS, UE_AXIS, CB_AXIS),))
+    syms = syms.reshape(nc * s, u, -1)
+    td = jax.vmap(lambda sy: _dl_grid_ofdm(sy, cell))(syms)
+    return shard(td.reshape(nc, s, -1), mesh, (CELL_AXIS,))
 
 
 def multi_cell_ul_slot_batch(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
@@ -361,10 +394,21 @@ def multi_cell_ul_slot_batch(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
                              num_iters: int = decoder.DEFAULT_ITERS,
                              mesh=None):
     """Multi-carrier UL: (NC, S, total) samples + (NC, U) rntis -> stacked
-    per-cell ul_slot_batch results, cell dimension sharded over 'cell'."""
+    per-cell ul_slot_batch results.  Carriers flatten into the slot batch
+    (see `multi_cell_dl_slot_batch`) — ONE early-stop decode loop over all
+    NC*S*U*C codeblocks."""
     from .mesh import CELL_AXIS
+    nc, s, total = rx_samples.shape
+    u = cell.nof_ue
     rx_samples = shard(rx_samples, mesh, (CELL_AXIS,))
-    payload, tb_ok, nv, cfo, soft = jax.vmap(
-        lambda x, r: ul_slot_batch(x, r, cell, rv, num_iters, mesh))(
-        rx_samples, rntis)
-    return shard(payload, mesh, (CELL_AXIS,)), tb_ok, nv, cfo, soft
+    row_axes = ((CELL_AXIS, UE_AXIS),)
+    llr, nv, cfo = _ul_front(rx_samples.reshape(nc * s, total), None, cell,
+                             rv, mesh, ci=_cell_ci(rntis, cell, nc, s),
+                             row_axes=row_axes)
+    seg, _ = _plans(cell, rv)
+    payload, tb_ok, soft = _ul_back(
+        llr.reshape(nc * s * u, -1), cell, rv, num_iters, mesh, None,
+        row_axes=row_axes, cb_axes=((CELL_AXIS, UE_AXIS, CB_AXIS),))
+    return (shard(payload.reshape(nc, s, u, -1), mesh, (CELL_AXIS,)),
+            tb_ok.reshape(nc, s, u), nv.reshape(nc, s, u),
+            cfo.reshape(nc, s, u), soft.reshape(nc, s, u * seg.c, -1))

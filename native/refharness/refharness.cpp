@@ -22,6 +22,20 @@
 //                                                     -> msg, llrs, hard, its
 //   bench_encode <bg> <zc> <iters> <impl>
 //   bench_decode <bg> <zc> <iters> <sigma_x1000> <impl> <early>
+//
+// v2 adds the rest of the bit/symbol-level PHY kernels (all compiled from the
+// reference tree as well):
+//   prg        <c_init> <len> <nseq>                  -> sequence bits
+//   lowpapr    <u> <v> <alpha_num> <alpha_den> <m>    -> cf32 sequence
+//   modmap     <qm> <nsym> <nmsg> <seed>              -> bits, cf32 symbols
+//   demap      <qm> <nsym> <nmsg> <seed> <sigma_x1000>-> sym, nvars, i8 llrs
+//   eq         <algo:mmse|zf> <nports> <nre> <nmsg> <seed> <txs_x1000>
+//              -> y(cbf16->f32), h(cbf16->f32), port nvars, eq sym, eq nvars
+//   shortblock <k> <e> <qm> <nmsg> <seed> <sigma_x1000>
+//              -> msgs, cw bits, i8 llrs, detected, valid
+//   polar      <K> <E> <nmax> <ibil> <nmsg> <seed> <sigma_x1000>
+//              -> header(N,n,nPC,set masks,PC set), per msg: msg, interleaved,
+//                 allocated, encoded, ratematched, i8 llrs, decoded msg
 
 #include <cinttypes>
 #include <cmath>
@@ -42,7 +56,28 @@
 #include "../crc_calculator_lut_impl.h"
 #include "../crc_calculator_generic_impl.h"
 
+#include "pseudo_random_generator_impl.h"
+#include "low_papr_sequence_generator_impl.h"
+#include "modulation_mapper_lut_impl.h"
+#include "demodulation_mapper_impl.h"
+#include "channel_equalizer_generic_impl.h"
+#include "short_block_encoder_impl.h"
+#include "short_block_detector_impl.h"
+#include "polar_code_impl.h"
+#include "polar_encoder_impl.h"
+#include "polar_decoder_impl.h"
+#include "polar_allocator_impl.h"
+#include "polar_deallocator_impl.h"
+#include "polar_interleaver_impl.h"
+#include "polar_rate_matcher_impl.h"
+#include "polar_rate_dematcher_impl.h"
+#include "iq_compression_bfp_impl.h"
+#include "quantizer.h"
+#include "srsran/srslog/srslog.h"
+
 #include "srsran/adt/bit_buffer.h"
+#include "srsran/phy/support/re_buffer.h"
+#include "srsran/phy/upper/equalization/modular_ch_est_list.h"
 #include "srsran/srsvec/bit.h"
 
 using namespace srsran;
@@ -406,6 +441,340 @@ int cmd_bench_decode(unsigned bg, unsigned zc, unsigned iters,
   return 0;
 }
 
+modulation_scheme to_mod(unsigned qm)
+{
+  switch (qm) {
+    case 2: return modulation_scheme::QPSK;
+    case 4: return modulation_scheme::QAM16;
+    case 6: return modulation_scheme::QAM64;
+    case 8: return modulation_scheme::QAM256;
+    default: return modulation_scheme::BPSK;
+  }
+}
+
+// TS 38.211 5.2.1 Gold sequence bits straight from the reference generator
+// (pseudo_random_generator_impl.cpp: x1/x2 LFSRs + fast-advance LUTs).
+int cmd_prg(unsigned c_init, unsigned len, unsigned nseq)
+{
+  pseudo_random_generator_impl prg;
+  std::vector<uint8_t> zeros(len, 0), out(len);
+  for (unsigned i = 0; i != nseq; ++i) {
+    prg.init(c_init + i * 7919u);
+    prg.apply_xor(span<uint8_t>(out), span<const uint8_t>(zeros));
+    write_bytes(out.data(), len);
+  }
+  return 0;
+}
+
+// TS 38.211 5.2.2 low-PAPR r^(alpha)_{u,v} sequence
+// (low_papr_sequence_generator_impl.cpp).
+int cmd_lowpapr(unsigned u, unsigned v, unsigned anum, unsigned aden,
+                unsigned m)
+{
+  low_papr_sequence_generator_impl gen;
+  std::vector<cf_t> seq(m);
+  gen.generate(span<cf_t>(seq), u, v, anum, aden);
+  write_bytes(seq.data(), m * sizeof(cf_t));
+  return 0;
+}
+
+// Modulation mapper LUT impl (modulation_mapper_lut_impl.cpp): bits -> cf_t.
+int cmd_modmap(unsigned qm, unsigned nsym, unsigned nmsg, uint64_t seed)
+{
+  modulation_mapper_lut_impl mapper;
+  Rng rng(seed);
+  unsigned nbits = nsym * qm;
+  std::vector<uint8_t> bits(nbits);
+  dynamic_bit_buffer packed(nbits);
+  std::vector<cf_t> syms(nsym);
+  for (unsigned m = 0; m != nmsg; ++m) {
+    for (auto& b : bits) {
+      b = rng.bit();
+    }
+    srsvec::bit_pack(packed, span<const uint8_t>(bits));
+    mapper.modulate(span<cf_t>(syms), packed, to_mod(qm));
+    write_bytes(bits.data(), nbits);
+    write_bytes(syms.data(), nsym * sizeof(cf_t));
+  }
+  return 0;
+}
+
+// Soft demapper (demodulation_mapper_impl.cpp + per-QAM AVX2/interval
+// kernels): noisy symbols + per-symbol noise vars -> int8 LLRs.
+int cmd_demap(unsigned qm, unsigned nsym, unsigned nmsg, uint64_t seed,
+              unsigned sigma_x1000)
+{
+  modulation_mapper_lut_impl mapper;
+  demodulation_mapper_impl demapper;
+  Rng rng(seed);
+  std::mt19937_64 g(seed ^ 0x5eed);
+  double sigma = sigma_x1000 / 1000.0;
+  std::normal_distribution<double> noise(0.0, sigma);
+  unsigned nbits = nsym * qm;
+  std::vector<uint8_t> bits(nbits);
+  dynamic_bit_buffer packed(nbits);
+  std::vector<cf_t> syms(nsym);
+  std::vector<float> nvars(nsym);
+  std::vector<log_likelihood_ratio> llrs(nbits);
+  std::vector<int8_t> llrs_i8(nbits);
+  for (unsigned m = 0; m != nmsg; ++m) {
+    for (auto& b : bits) {
+      b = rng.bit();
+    }
+    srsvec::bit_pack(packed, span<const uint8_t>(bits));
+    mapper.modulate(span<cf_t>(syms), packed, to_mod(qm));
+    for (unsigned i = 0; i != nsym; ++i) {
+      syms[i] += cf_t(float(noise(g)), float(noise(g)));
+      nvars[i] = float(sigma * sigma) * (0.5f + 0.125f * float(i % 8));
+    }
+    demapper.demodulate_soft(span<log_likelihood_ratio>(llrs),
+                             span<const cf_t>(syms),
+                             span<const float>(nvars), to_mod(qm));
+    for (unsigned i = 0; i != nbits; ++i) {
+      llrs_i8[i] = llrs[i].to_int();
+    }
+    write_bytes(syms.data(), nsym * sizeof(cf_t));
+    write_bytes(nvars.data(), nsym * sizeof(float));
+    write_bytes(llrs_i8.data(), nbits);
+  }
+  return 0;
+}
+
+// Channel equalizer (channel_equalizer_generic_impl.cpp, 1 layer x N ports,
+// MMSE / ZF).  Inputs are quantized to cbf16 exactly as the reference's
+// resource grid / channel estimate stores them; the EXPORTED y/h are the
+// cbf16->f32 roundtripped values so the Python side replays identical
+// numbers.  A few REs get zeroed channels to exercise the abnormal-input
+// policy (x=0, nvar=inf).
+int cmd_eq(const std::string& algo, unsigned nports, unsigned nre,
+           unsigned nmsg, uint64_t seed, unsigned txs_x1000)
+{
+  channel_equalizer_generic_impl eq(
+      algo == "zf" ? channel_equalizer_algorithm_type::zf
+                   : channel_equalizer_algorithm_type::mmse);
+  std::mt19937_64 g(seed);
+  std::normal_distribution<double> gauss(0.0, 1.0);
+  float txs = txs_x1000 / 1000.0f;
+  for (unsigned m = 0; m != nmsg; ++m) {
+    dynamic_re_buffer<cbf16_t> ch_symbols(nports, nre);
+    modular_ch_est_list<16> ests(nports, 1);
+    ests.resize(nre, nports, 1);
+    std::vector<cbf16_t> est_store(size_t(nports) * nre);
+    std::vector<float> port_nvars(nports);
+    std::vector<cf_t> y_out(size_t(nports) * nre);
+    std::vector<cf_t> h_out(size_t(nports) * nre);
+    for (unsigned p = 0; p != nports; ++p) {
+      port_nvars[p] = 0.01f + 0.2f * float(p) + float((m * 31 + p) % 5) * 0.07f;
+      span<cbf16_t> row = ch_symbols.get_slice(p);
+      for (unsigned i = 0; i != nre; ++i) {
+        cf_t y = cf_t(float(gauss(g)), float(gauss(g)));
+        cf_t h = cf_t(float(gauss(g)), float(gauss(g)));
+        if (i % 17 == 3 && p == 0) {
+          h = 0.0f;  // abnormal channel on port 0
+        }
+        row[i] = to_cbf16(y);
+        est_store[size_t(p) * nre + i] = to_cbf16(h);
+        y_out[size_t(p) * nre + i] = to_cf(row[i]);
+        h_out[size_t(p) * nre + i] = to_cf(est_store[size_t(p) * nre + i]);
+      }
+      ests.set_channel(
+          span<const cbf16_t>(&est_store[size_t(p) * nre], nre), p, 0);
+    }
+    std::vector<cf_t> eq_syms(nre);
+    std::vector<float> eq_nvars(nre);
+    eq.equalize(span<cf_t>(eq_syms), span<float>(eq_nvars), ch_symbols, ests,
+                span<const float>(port_nvars), txs);
+    write_bytes(y_out.data(), y_out.size() * sizeof(cf_t));
+    write_bytes(h_out.data(), h_out.size() * sizeof(cf_t));
+    write_bytes(port_nvars.data(), nports * sizeof(float));
+    write_bytes(eq_syms.data(), nre * sizeof(cf_t));
+    write_bytes(eq_nvars.data(), nre * sizeof(float));
+  }
+  return 0;
+}
+
+// Short-block (Reed-Muller / repetition) encoder + ML detector
+// (short_block_{encoder,detector}_impl.cpp).
+int cmd_shortblock(unsigned k, unsigned e, unsigned qm, unsigned nmsg,
+                   uint64_t seed, unsigned sigma_x1000)
+{
+  short_block_encoder_impl enc;
+  short_block_detector_impl det;
+  Rng rng(seed);
+  std::mt19937_64 g(seed ^ 0xb10c);
+  double sigma = sigma_x1000 / 1000.0;
+  std::normal_distribution<double> noise(0.0, sigma);
+  std::vector<uint8_t> msg(k), cw(e), out(k);
+  std::vector<log_likelihood_ratio> llrs(e);
+  std::vector<int8_t> llrs_i8(e);
+  for (unsigned m = 0; m != nmsg; ++m) {
+    for (auto& b : msg) {
+      b = rng.bit();
+    }
+    enc.encode(span<uint8_t>(cw), span<const uint8_t>(msg), to_mod(qm));
+    for (unsigned i = 0; i != e; ++i) {
+      double x = 1.0 - 2.0 * double(cw[i]);
+      double l = 2.0 * (x + noise(g)) / (sigma * sigma);
+      double q = std::min(120.0, std::max(-120.0, std::round(l * 6.0)));
+      llrs[i] = static_cast<int8_t>(q);
+      llrs_i8[i] = static_cast<int8_t>(q);
+    }
+    bool valid = det.detect(span<uint8_t>(out),
+                            span<const log_likelihood_ratio>(llrs),
+                            to_mod(qm));
+    uint8_t vb = valid ? 1 : 0;
+    write_bytes(msg.data(), k);
+    write_bytes(cw.data(), e);
+    write_bytes(llrs_i8.data(), e);
+    write_bytes(out.data(), k);
+    write_bytes(&vb, 1);
+  }
+  return 0;
+}
+
+// Polar chain (polar_*_impl.cpp): code construction + TX chain
+// (interleave -> allocate -> encode -> rate match, the pdcch_encoder_impl
+// order) and RX chain (rate dematch -> SC decode -> deallocate ->
+// deinterleave).
+int cmd_polar(unsigned K, unsigned E, unsigned nmax, unsigned ibil,
+              unsigned nmsg, uint64_t seed, unsigned sigma_x1000)
+{
+  polar_code_impl code;
+  code.set(K, E, nmax,
+           ibil ? polar_code_ibil::present : polar_code_ibil::not_present);
+  unsigned N = code.get_N();
+  uint32_t hdr[3] = {N, code.get_n(), code.get_nPC()};
+  write_bytes(hdr, sizeof(hdr));
+  // Per-position membership masks: bit0 = K_set (info+PC), bit1 = F_set.
+  const auto& kset = code.get_K_set();
+  const auto& fset = code.get_F_set();
+  std::vector<uint8_t> mask(N, 0);
+  for (unsigned i = 0; i != N; ++i) {
+    mask[i] = (kset.test(i) ? 1 : 0) | (fset.test(i) ? 2 : 0);
+  }
+  write_bytes(mask.data(), N);
+  // get_PC_set() may be backed by a fixed-capacity buffer; only the first
+  // nPC entries are meaningful.
+  auto pc = code.get_PC_set();
+  uint32_t npc = std::min<uint32_t>(code.get_nPC(), pc.size());
+  write_bytes(&npc, 4);
+  write_bytes(pc.data(), npc * sizeof(uint16_t));
+
+  polar_interleaver_impl itl;
+  polar_allocator_impl alloc;
+  polar_encoder_impl enc;
+  polar_rate_matcher_impl rm;
+  polar_rate_dematcher_impl rdm;
+  polar_deallocator_impl dealloc;
+  polar_decoder_impl dec(std::make_unique<polar_encoder_impl>(), 10);
+
+  Rng rng(seed);
+  std::mt19937_64 g(seed ^ 0x9017a);
+  double sigma = sigma_x1000 / 1000.0;
+  std::normal_distribution<double> noise(0.0, sigma);
+
+  std::vector<uint8_t> msg(K), c_prime(K), allocated(N), encoded(N),
+      matched(E), dec_n(N), dec_msg_itl(K), dec_msg(K);
+  std::vector<log_likelihood_ratio> llr_e(E), llr_n(N);
+  std::vector<int8_t> llr_i8(E);
+  for (unsigned m = 0; m != nmsg; ++m) {
+    for (auto& b : msg) {
+      b = rng.bit();
+    }
+    itl.interleave(span<uint8_t>(c_prime), span<const uint8_t>(msg),
+                   polar_interleaver_direction::tx);
+    alloc.allocate(span<uint8_t>(allocated), span<const uint8_t>(c_prime),
+                   code);
+    enc.encode(span<uint8_t>(encoded), span<const uint8_t>(allocated),
+               code.get_n());
+    rm.rate_match(span<uint8_t>(matched), span<const uint8_t>(encoded), code);
+    for (unsigned i = 0; i != E; ++i) {
+      double x = 1.0 - 2.0 * double(matched[i]);
+      double l = 2.0 * (x + noise(g)) / (sigma * sigma);
+      double q = std::min(120.0, std::max(-120.0, std::round(l * 6.0)));
+      llr_e[i] = static_cast<int8_t>(q);
+      llr_i8[i] = static_cast<int8_t>(q);
+    }
+    rdm.rate_dematch(span<log_likelihood_ratio>(llr_n),
+                     span<const log_likelihood_ratio>(llr_e), code);
+    dec.decode(span<uint8_t>(dec_n), span<const log_likelihood_ratio>(llr_n),
+               code);
+    dealloc.deallocate(span<uint8_t>(dec_msg_itl),
+                       span<const uint8_t>(dec_n), code);
+    itl.interleave(span<uint8_t>(dec_msg), span<const uint8_t>(dec_msg_itl),
+                   polar_interleaver_direction::rx);
+    write_bytes(msg.data(), K);
+    write_bytes(c_prime.data(), K);
+    write_bytes(allocated.data(), N);
+    write_bytes(encoded.data(), N);
+    write_bytes(matched.data(), E);
+    write_bytes(llr_i8.data(), E);
+    write_bytes(dec_msg.data(), K);
+  }
+  return 0;
+}
+
+// O-RAN fronthaul BFP IQ compression (lib/ofh/compression): cbf16 grid IQ ->
+// per-PRB exponent + packed W-bit mantissas -> decompressed cbf16.  Emits
+// every stage so the TPU op is validated bit-exactly end to end.
+int cmd_ofhbfp(unsigned width, unsigned nprb, unsigned nmsg, uint64_t seed,
+               unsigned scale_x1000)
+{
+  auto& logger = srslog::fetch_basic_logger("OFH");
+  float iq_scaling = scale_x1000 / 1000.0f;
+  ofh::iq_compression_bfp_impl comp(logger, iq_scaling);
+  ofh::ru_compression_params params;
+  params.type = ofh::compression_type::BFP;
+  params.data_width = width;
+  std::mt19937_64 g(seed);
+  std::uniform_real_distribution<float> uni(-1.0f, 1.0f);
+  unsigned nsamp = nprb * 12;
+  unsigned psize = (24 * width + 7) / 8;
+  ofh::quantizer q16(16);
+  for (unsigned m = 0; m != nmsg; ++m) {
+    std::vector<cbf16_t> in(nsamp);
+    std::vector<cf_t> in_f32(nsamp);
+    // A few PRBs get tiny amplitudes to exercise the full exponent range.
+    for (unsigned i = 0; i != nsamp; ++i) {
+      float att = ((i / 12) % 5 == 2) ? 1e-3f : 1.0f;
+      cf_t v = cf_t(uni(g), uni(g)) * att;
+      in[i] = to_cbf16(v);
+      in_f32[i] = to_cf(in[i]);
+    }
+    // Quantized int16 stage (quantizer.h span conversion).
+    std::vector<int16_t> quant(nsamp * 2);
+    q16.to_fixed_point(span<int16_t>(quant),
+                       span<const bf16_t>(
+                           reinterpret_cast<const bf16_t*>(in.data()),
+                           nsamp * 2),
+                       iq_scaling);
+    std::vector<ofh::compressed_prb> prbs(nprb);
+    comp.compress(span<ofh::compressed_prb>(prbs),
+                  span<const cbf16_t>(in), params);
+    std::vector<uint8_t> exps(nprb);
+    std::vector<uint8_t> packed(size_t(nprb) * psize, 0);
+    for (unsigned p = 0; p != nprb; ++p) {
+      exps[p] = prbs[p].get_compression_param();
+      auto d = prbs[p].get_packed_data();
+      std::memcpy(&packed[size_t(p) * psize], d.data(),
+                  std::min<size_t>(d.size(), psize));
+    }
+    std::vector<cbf16_t> out(nsamp);
+    comp.decompress(span<cbf16_t>(out),
+                    span<const ofh::compressed_prb>(prbs), params);
+    std::vector<cf_t> out_f32(nsamp);
+    for (unsigned i = 0; i != nsamp; ++i) {
+      out_f32[i] = to_cf(out[i]);
+    }
+    write_bytes(in_f32.data(), nsamp * sizeof(cf_t));
+    write_bytes(quant.data(), quant.size() * 2);
+    write_bytes(exps.data(), nprb);
+    write_bytes(packed.data(), packed.size());
+    write_bytes(out_f32.data(), nsamp * sizeof(cf_t));
+  }
+  return 0;
+}
+
 } // namespace
 
 int main(int argc, char** argv)
@@ -436,6 +805,30 @@ int main(int argc, char** argv)
   }
   if (cmd == "bench_decode" && argc >= 8) {
     return cmd_bench_decode(u(2), u(3), u(4), u(5), argv[6], u(7));
+  }
+  if (cmd == "prg" && argc >= 5) {
+    return cmd_prg(u(2), u(3), u(4));
+  }
+  if (cmd == "lowpapr" && argc >= 7) {
+    return cmd_lowpapr(u(2), u(3), u(4), u(5), u(6));
+  }
+  if (cmd == "modmap" && argc >= 6) {
+    return cmd_modmap(u(2), u(3), u(4), u(5));
+  }
+  if (cmd == "demap" && argc >= 7) {
+    return cmd_demap(u(2), u(3), u(4), u(5), u(6));
+  }
+  if (cmd == "eq" && argc >= 8) {
+    return cmd_eq(argv[2], u(3), u(4), u(5), u(6), u(7));
+  }
+  if (cmd == "shortblock" && argc >= 8) {
+    return cmd_shortblock(u(2), u(3), u(4), u(5), u(6), u(7));
+  }
+  if (cmd == "polar" && argc >= 9) {
+    return cmd_polar(u(2), u(3), u(4), u(5), u(6), u(7), u(8));
+  }
+  if (cmd == "ofhbfp" && argc >= 7) {
+    return cmd_ofhbfp(u(2), u(3), u(4), u(5), u(6));
   }
   std::fprintf(stderr, "bad command/args\n");
   return 2;

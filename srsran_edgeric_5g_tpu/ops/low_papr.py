@@ -24,7 +24,8 @@ _DATA = pathlib.Path(__file__).resolve().parents[1] / "data" / "ldpc_graphs.npz"
 @functools.lru_cache(maxsize=None)
 def _phi_tables() -> dict[int, np.ndarray]:
     d = np.load(_DATA)
-    return {6: d["phi_m6"], 12: d["phi_m12"]}
+    return {6: d["phi_m6"], 12: d["phi_m12"],
+            18: d["phi_m18"], 24: d["phi_m24"]}
 
 
 @functools.lru_cache(maxsize=None)
@@ -38,7 +39,7 @@ def largest_prime_below(n: int) -> int:
 @functools.lru_cache(maxsize=None)
 def base_sequence(u: int, v: int, m_zc: int) -> np.ndarray:
     """r_{u,v}(n), n=0..M_zc-1 (host precompute; complex64)."""
-    if m_zc in (6, 12):
+    if m_zc in (6, 12, 18, 24):
         return np.exp(1j * _phi_tables()[m_zc][u] * np.pi / 4).astype(np.complex64)
     if m_zc < 36:
         raise NotImplementedError(f"phi table for M_zc={m_zc} not included")

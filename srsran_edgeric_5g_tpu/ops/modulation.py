@@ -22,7 +22,9 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-RANGE_LIMIT = 20.0
+RANGE_LIMIT = 20.0       # QAM16/64/256 (demodulation_mapper_qam16.cpp:36)
+RANGE_LIMIT_PSK = 24.0   # BPSK/pi2-BPSK/QPSK (demodulation_mapper_qpsk.cpp:35,
+                         #  demodulation_mapper_impl.cpp:47)
 LLR_MAX = 120
 
 QM = {"bpsk": 1, "qpsk": 2, "qam16": 4, "qam64": 6, "qam256": 8}
@@ -154,13 +156,16 @@ def demodulate_soft(symbols: jnp.ndarray, noise_var: jnp.ndarray,
     llrs = llrs.reshape(*symbols.shape[:-1], -1)
     if not quantize:
         return llrs
-    return quantize_llrs(llrs)
+    return quantize_llrs(llrs, RANGE_LIMIT_PSK if qm <= 2 else RANGE_LIMIT)
 
 
-def quantize_llrs(llrs: jnp.ndarray) -> jnp.ndarray:
-    """Reference-compatible int8 quantisation: clip +-20, scale to +-120."""
-    clipped = jnp.clip(llrs, -RANGE_LIMIT, RANGE_LIMIT)
-    return jnp.round(clipped * (LLR_MAX / RANGE_LIMIT)).astype(jnp.int8)
+def quantize_llrs(llrs: jnp.ndarray,
+                  range_limit: float = RANGE_LIMIT) -> jnp.ndarray:
+    """Reference-compatible int8 quantisation: clip to +-range_limit, scale
+    to +-120.  The reference uses range 20 for the QAM constellations and 24
+    for BPSK/QPSK (cross-validated bit-exactly in test_reference_parity)."""
+    clipped = jnp.clip(llrs, -range_limit, range_limit)
+    return jnp.round(clipped * (LLR_MAX / range_limit)).astype(jnp.int8)
 
 
 def hard_decision(llrs: jnp.ndarray) -> jnp.ndarray:

@@ -48,6 +48,7 @@ class PolarCode:
     dci_interleave: np.ndarray | None  # (K,) input interleaver (i_IL=1)
     pc_set: np.ndarray = dataclasses.field(
         default_factory=lambda: np.empty(0, np.int64))  # parity-check bits
+    i_bil: bool = False       # coded-bit triangular interleaver (UCI, §5.4.1.3)
 
     @property
     def n_pc(self) -> int:
@@ -55,7 +56,7 @@ class PolarCode:
 
     def __hash__(self):
         return hash((self.k, self.e, self.n, self.rm_mode, self.n_pc,
-                     self.dci_interleave is not None))
+                     self.dci_interleave is not None, self.i_bil))
 
 
 def subblock_permutation(n_bits: int) -> np.ndarray:
@@ -78,12 +79,15 @@ def dci_interleaver(k: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def construct(k: int, e: int, nmax: int = NMAX_DL,
-              i_il: bool = True, n_pc: int = 0) -> PolarCode:
+              i_il: bool = True, n_pc: int = 0,
+              i_bil: bool = False) -> PolarCode:
     """Build the (K, E) polar code per TS 38.212 §5.3.1/§5.4.1.1.
 
     ``n_pc``: number of parity-check bits (UCI with 12 <= K <= 19 uses
     n_pc = 3 with n_pc_wm = 1 when E - K + 3 > 192, §6.3.1.3.1); the code
     then reserves K + n_pc reliable positions and marks the PC subset.
+    ``i_bil``: apply the triangular coded-bit channel interleaver in rate
+    matching (§5.4.1.3; UCI paths — polar_rate_matcher_impl.cpp:101-105).
     """
     seq, _ = _tables()
     # Mother code size (§5.3.1).
@@ -152,4 +156,4 @@ def construct(k: int, e: int, nmax: int = NMAX_DL,
                      frozen_set=frozen.astype(np.int64),
                      subblock_perm=jn.astype(np.int64),
                      dci_interleave=dci_interleaver(k) if i_il else None,
-                     pc_set=pc)
+                     pc_set=pc, i_bil=i_bil)

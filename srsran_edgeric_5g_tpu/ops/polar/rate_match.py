@@ -20,15 +20,45 @@ SHORT_LLR = 1e9  # effectively-infinite positive LLR for shortened bits
 
 
 @functools.lru_cache(maxsize=None)
+def triangular_interleave(e: int) -> np.ndarray:
+    """TS 38.212 §5.4.1.3 coded-bit channel interleaver (i_BIL = 1, UCI).
+
+    Returns perm with f[i] = e[perm[i]]: write e row-wise into an isosceles
+    triangle of T rows (T smallest with T(T+1)/2 >= E), read column-wise.
+    Counterpart of polar_rate_matcher_impl.cpp ch_interleaver_rm_tx.
+    """
+    t = 1
+    while t * (t + 1) // 2 < e:
+        t += 1
+    out = []
+    for r in range(t):
+        i_in = r
+        for c in range(t - r):
+            if i_in >= e:
+                break
+            out.append(i_in)
+            i_in += t - c
+    perm = np.asarray(out, dtype=np.int64)
+    assert len(perm) == e
+    return perm
+
+
+@functools.lru_cache(maxsize=None)
 def _select_idx(code: PolarCode) -> np.ndarray:
-    """Output position -> mother-codeword index after sub-block interleave."""
+    """Output position -> mother-codeword index: sub-block interleave +
+    puncture/shorten/repeat selection + (UCI) triangular channel
+    interleave, fused into one gather."""
     jn = code.subblock_perm
     nb, e = code.nof_bits, code.e
     if code.rm_mode == "repeat":
-        return jn[np.arange(e) % nb]
-    if code.rm_mode == "puncture":
-        return jn[nb - e:]
-    return jn[:e]  # shorten
+        sel = jn[np.arange(e) % nb]
+    elif code.rm_mode == "puncture":
+        sel = jn[nb - e:]
+    else:
+        sel = jn[:e]  # shorten
+    if code.i_bil:
+        sel = sel[triangular_interleave(e)]
+    return sel
 
 
 def rate_match(codeword: jnp.ndarray, code: PolarCode) -> jnp.ndarray:

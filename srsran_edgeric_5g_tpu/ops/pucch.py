@@ -183,9 +183,9 @@ def _uci_polar_code(k: int, e: int):
     CRC6 + 3 PC bits; K >= 20 uses CRC11 (no PC)."""
     if k <= 19:
         return polar_code.construct(k + 6, e, nmax=polar_code.NMAX_UL,
-                                    i_il=False, n_pc=3), "crc6"
+                                    i_il=False, n_pc=3, i_bil=True), "crc6"
     return polar_code.construct(k + 11, e, nmax=polar_code.NMAX_UL,
-                                i_il=False), "crc11"
+                                i_il=False, i_bil=True), "crc11"
 
 
 def format2_uci_encode(bits: jnp.ndarray, cfg: Pucch2Config) -> jnp.ndarray:

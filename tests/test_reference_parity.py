@@ -164,3 +164,258 @@ def test_ldpc_decoder_fixed_point_parity(harness, impl):
     np.testing.assert_array_equal(np.asarray(ours), hards)
     # At sigma=0.7 (high SNR for r~1/3) decoding should also be correct.
     np.testing.assert_array_equal(hards, msgs)
+
+
+# ---------------------------------------------------------------------------
+# v2: sequence generators, modulation, demapping, equalization, short block,
+# polar — all against the reference binaries compiled in native/refharness.
+# ---------------------------------------------------------------------------
+
+from srsran_edgeric_5g_tpu.ops import equalizer as eq_ops
+from srsran_edgeric_5g_tpu.ops import low_papr as lp_ops
+from srsran_edgeric_5g_tpu.ops import modulation as mod_ops
+from srsran_edgeric_5g_tpu.ops import sequences as seq_ops
+from srsran_edgeric_5g_tpu.ops import short_block as sb_ops
+from srsran_edgeric_5g_tpu.ops import polar as polar_ops
+from srsran_edgeric_5g_tpu.ops.polar import code as polar_code
+from srsran_edgeric_5g_tpu.ops.polar import encoder as polar_enc
+from srsran_edgeric_5g_tpu.ops.polar import rate_match as polar_rm
+from srsran_edgeric_5g_tpu.ops.polar import decoder as polar_dec
+
+
+def test_gold_prg_bit_exact(harness):
+    """pseudo_random_generator_impl (x1/x2 LFSR + fast advance) vs our
+    GF(2)-matmul Gold formulation (ops/sequences.py)."""
+    c0, length, nseq = 0x5432A1, 1600, 4
+    out = np.frombuffer(harness("prg", c0, length, nseq), dtype=np.uint8)
+    ref = out.reshape(nseq, length)
+    for i in range(nseq):
+        ours = np.asarray(seq_ops.gold_sequence(
+            jnp.asarray(np.uint32(c0 + i * 7919)), length))
+        np.testing.assert_array_equal(ours, ref[i])
+
+
+@pytest.mark.parametrize("u,v,anum,aden,m", [
+    (5, 0, 3, 12, 36),      # 3-PRB ZC-based
+    (29, 0, 0, 1, 132),     # 11-PRB ZC-based (no shift)
+    (7, 1, 5, 8, 144),      # v=1 sequence number
+    (11, 0, 2, 12, 12),     # 1-PRB phi table
+    (23, 0, 1, 6, 18),      # 1.5-PRB phi table
+    (3, 0, 7, 12, 24),      # 2-PRB phi table
+    (17, 0, 0, 1, 6),       # smallest phi table
+])
+def test_low_papr_sequence_parity(harness, u, v, anum, aden, m):
+    """low_papr_sequence_generator_impl (TS 38.211 5.2.2) vs ops/low_papr."""
+    ref = np.frombuffer(harness("lowpapr", u, v, anum, aden, m),
+                        dtype=np.complex64)
+    alpha = 2.0 * np.pi * anum / aden
+    ours = np.asarray(lp_ops.low_papr_sequence(u, v, alpha, m))
+    np.testing.assert_allclose(ours, ref, atol=4e-5)
+
+
+@pytest.mark.parametrize("qm", [1, 2, 4, 6, 8])
+def test_modulation_mapper_parity(harness, qm):
+    """modulation_mapper_lut_impl vs ops/modulation.modulate."""
+    nsym, nmsg = 120, 3
+    out = harness("modmap", qm, nsym, nmsg, 77)
+    rec = nsym * qm + nsym * 8
+    for i in range(nmsg):
+        blob = out[i * rec:(i + 1) * rec]
+        bits = np.frombuffer(blob[:nsym * qm], dtype=np.uint8)
+        ref = np.frombuffer(blob[nsym * qm:], dtype=np.complex64)
+        ours = np.asarray(mod_ops.modulate(
+            jnp.asarray(bits.astype(np.int8)), mod_ops.NAME_BY_QM[qm]))
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("qm", [1, 2, 4, 6, 8])
+def test_soft_demapper_parity(harness, qm):
+    """demodulation_mapper (max-log interval kernels + int8 quantization,
+    AVX2 build) vs our closed-form Gray-fold demapper.  Assert <=1 LSB
+    difference everywhere (float association order may round differently at
+    quantization boundaries) and >=99% exact."""
+    nsym, nmsg, sigma = 256, 4, 0.35
+    out = harness("demap", qm, nsym, nmsg, 99, int(sigma * 1000))
+    rec = nsym * 8 + nsym * 4 + nsym * qm
+    for i in range(nmsg):
+        blob = out[i * rec:(i + 1) * rec]
+        syms = np.frombuffer(blob[:nsym * 8], dtype=np.complex64)
+        nvars = np.frombuffer(blob[nsym * 8:nsym * 12], dtype=np.float32)
+        ref = np.frombuffer(blob[nsym * 12:], dtype=np.int8)
+        ours = np.asarray(mod_ops.demodulate_soft(
+            jnp.asarray(syms), jnp.asarray(nvars),
+            mod_ops.NAME_BY_QM[qm])).astype(np.int32)
+        diff = np.abs(ours - ref.astype(np.int32))
+        assert diff.max() <= 1, (qm, i, int(diff.max()))
+        assert (diff == 0).mean() >= 0.99, (qm, i, float((diff == 0).mean()))
+
+
+@pytest.mark.parametrize("algo,nports,txs", [
+    ("mmse", 1, 1.0), ("mmse", 2, 1.0), ("mmse", 4, 0.5),
+    ("zf", 1, 1.0), ("zf", 2, 0.5),
+])
+def test_equalizer_parity(harness, algo, nports, txs):
+    """channel_equalizer_generic_impl (1 layer x N ports) vs ops/equalizer,
+    on cbf16-quantized inputs (the reference grid storage), including the
+    abnormal-input policy (zeroed channel -> x=0, nvar=inf)."""
+    nre, nmsg = 64, 2
+    out = harness("eq", algo, nports, nre, nmsg, 21, int(txs * 1000))
+    rec = nports * nre * 8 * 2 + nports * 4 + nre * 8 + nre * 4
+    for i in range(nmsg):
+        blob = out[i * rec:(i + 1) * rec]
+        o = 0
+        y = np.frombuffer(blob[o:o + nports * nre * 8],
+                          dtype=np.complex64).reshape(nports, nre)
+        o += nports * nre * 8
+        h = np.frombuffer(blob[o:o + nports * nre * 8],
+                          dtype=np.complex64).reshape(nports, nre)
+        o += nports * nre * 8
+        nv = np.frombuffer(blob[o:o + nports * 4], dtype=np.float32)
+        o += nports * 4
+        ref_x = np.frombuffer(blob[o:o + nre * 8], dtype=np.complex64)
+        o += nre * 8
+        ref_nv = np.frombuffer(blob[o:], dtype=np.float32)
+        fn = (eq_ops.equalize_mmse_1xn if algo == "mmse"
+              else eq_ops.equalize_zf_1xn)
+        x, nvo = fn(jnp.asarray(y), jnp.asarray(h),
+                    jnp.asarray(nv)[:, None], tx_scaling=txs)
+        x, nvo = np.asarray(x), np.asarray(nvo)
+        # The reference's AVX2 kernels compute reciprocals with the
+        # approximate rcp_ps + Newton step (~1e-4 rel error); we divide
+        # exactly, so allow that much.
+        np.testing.assert_allclose(x, ref_x, atol=1e-3, rtol=1e-3)
+        fin = np.isfinite(ref_nv)
+        np.testing.assert_array_equal(np.isfinite(nvo), fin)
+        np.testing.assert_allclose(nvo[fin], ref_nv[fin], rtol=2e-3)
+
+
+@pytest.mark.parametrize("k,e,qm", [(1, 16, 1), (2, 18, 1), (5, 32, 2),
+                                    (8, 32, 1), (11, 64, 2)])
+def test_short_block_parity(harness, k, e, qm):
+    """short_block_{encoder,detector}_impl vs ops/short_block (RM(32,K)
+    encode bit-exact; ML detection agrees at workable SNR)."""
+    nmsg = 6
+    out = harness("shortblock", k, e, qm, nmsg, 31, 400)
+    rec = k + e + e + k + 1
+    for i in range(nmsg):
+        blob = out[i * rec:(i + 1) * rec]
+        msg = np.frombuffer(blob[:k], dtype=np.uint8)
+        cw = np.frombuffer(blob[k:k + e], dtype=np.uint8)
+        llrs = np.frombuffer(blob[k + e:k + 2 * e], dtype=np.int8)
+        det = np.frombuffer(blob[k + 2 * e:k + 2 * e + k], dtype=np.uint8)
+        ours_cw = np.asarray(sb_ops.encode(
+            jnp.asarray(msg.astype(np.int8))[None], e))[0]
+        np.testing.assert_array_equal(ours_cw, cw)
+        ours_det, _ = sb_ops.detect(
+            jnp.asarray(llrs.astype(np.float32))[None], k)
+        np.testing.assert_array_equal(np.asarray(ours_det)[0], det)
+        np.testing.assert_array_equal(np.asarray(ours_det)[0], msg)
+
+
+@pytest.mark.parametrize("K,E,nmax,ibil", [
+    (32, 128, 9, 0),    # DCI-style sizes, no coded-bit interleaver
+    (45, 300, 9, 0),    # repetition rate matching
+    (25, 50, 10, 1),    # UCI (triangular channel interleaver), shorten
+    (15, 120, 10, 1),   # UCI with nPC=3 parity-check bits
+    (40, 120, 10, 1),   # UCI repeat-mode... puncture with i_BIL
+])
+def test_polar_chain_parity(harness, K, E, nmax, ibil):
+    """polar_{code,interleaver,allocator,encoder,rate_matcher}_impl TX chain
+    bit-exact, and the SC decoder RX chain agrees at moderate SNR."""
+    nmsg = 3
+    out = harness("polar", K, E, nmax, ibil, nmsg, 17, 500)
+    o = 0
+    N, n, npc = np.frombuffer(out[o:o + 12], dtype=np.uint32)
+    o += 12
+    mask = np.frombuffer(out[o:o + N], dtype=np.uint8)
+    o += int(N)
+    (npc2,) = np.frombuffer(out[o:o + 4], dtype=np.uint32)
+    o += 4
+    pc_ref = np.frombuffer(out[o:o + 2 * npc2], dtype=np.uint16)
+    o += int(2 * npc2)
+
+    # The harness chain always applies the input interleaver (the DCI TX
+    # order); `ibil` is the reference's coded-bit channel interleaver flag.
+    code = polar_code.construct(K, E, nmax=nmax, i_il=True,
+                                n_pc=int(npc), i_bil=bool(ibil))
+    assert code.nof_bits == N and code.n == n and code.n_pc == npc
+    kset_ref = np.flatnonzero(mask & 1)
+    ours_kset = np.sort(np.concatenate([code.info_set, code.pc_set]))
+    np.testing.assert_array_equal(ours_kset, kset_ref)
+    np.testing.assert_array_equal(np.sort(code.pc_set),
+                                  np.sort(pc_ref.astype(np.int64)))
+
+    rec = K + K + N + N + E + E + K
+    for i in range(nmsg):
+        blob = out[o + i * rec:o + (i + 1) * rec]
+        c = 0
+        msg = np.frombuffer(blob[c:c + K], dtype=np.uint8); c += K
+        itl = np.frombuffer(blob[c:c + K], dtype=np.uint8); c += K
+        alloc = np.frombuffer(blob[c:c + int(N)], dtype=np.uint8); c += int(N)
+        enc = np.frombuffer(blob[c:c + int(N)], dtype=np.uint8); c += int(N)
+        matched = np.frombuffer(blob[c:c + E], dtype=np.uint8); c += E
+        llrs = np.frombuffer(blob[c:c + E], dtype=np.int8); c += E
+        dec_ref = np.frombuffer(blob[c:c + K], dtype=np.uint8)
+
+        pi = polar_code.dci_interleaver(K)
+        np.testing.assert_array_equal(msg[pi], itl)
+        # allocate() applies the DCI interleaver itself when i_IL=1.
+        u = np.asarray(polar_enc.allocate(
+            jnp.asarray(msg.astype(np.int8))[None], code))[0]
+        np.testing.assert_array_equal(u, alloc)
+        x = np.asarray(polar_enc.transform(jnp.asarray(u)[None]))[0]
+        np.testing.assert_array_equal(x, enc)
+        f = np.asarray(polar_rm.rate_match(jnp.asarray(x)[None], code))[0]
+        np.testing.assert_array_equal(f, matched)
+
+        # RX: dematch + SSC decode; at sigma=0.5 both decoders must recover
+        # the message (and hence agree with each other).
+        lin = polar_rm.rate_dematch(
+            jnp.asarray(llrs.astype(np.float32))[None], code)
+        ours_dec = np.asarray(polar_dec.decode(lin, code))[0]
+        np.testing.assert_array_equal(dec_ref, msg)
+        np.testing.assert_array_equal(ours_dec, msg)
+
+
+from srsran_edgeric_5g_tpu.ops import ofh_compression as ofh
+
+
+@pytest.mark.parametrize("width", [9, 12, 14, 16])
+def test_ofh_bfp_parity(harness, width):
+    """O-RAN fronthaul BFP IQ compression (iq_compression_bfp_impl +
+    compressed_prb_packer) vs ops/ofh_compression: quantized int16s,
+    per-PRB exponents, W-bit mantissa wire bytes, and decompressed floats
+    — all bit-exact."""
+    nprb, nmsg, scale = 16, 2, 1.0
+    nsamp = nprb * 12
+    psize = (24 * width + 7) // 8
+    out = harness("ofhbfp", width, nprb, nmsg, 5, int(scale * 1000))
+    rec = nsamp * 8 + nsamp * 4 + nprb + nprb * psize + nsamp * 8
+    for i in range(nmsg):
+        blob = out[i * rec:(i + 1) * rec]
+        o = 0
+        iq = np.frombuffer(blob[o:o + nsamp * 8], dtype=np.complex64)
+        o += nsamp * 8
+        quant_ref = np.frombuffer(blob[o:o + nsamp * 4], dtype=np.int16)
+        o += nsamp * 4
+        exps_ref = np.frombuffer(blob[o:o + nprb], dtype=np.uint8)
+        o += nprb
+        packed_ref = np.frombuffer(blob[o:o + nprb * psize],
+                                   dtype=np.uint8).reshape(nprb, psize)
+        o += nprb * psize
+        dec_ref = np.frombuffer(blob[o:], dtype=np.complex64)
+
+        q = np.asarray(ofh.quantize_iq(jnp.asarray(iq), scale))
+        np.testing.assert_array_equal(q, quant_ref)
+        mant, exp = ofh.bfp_compress(jnp.asarray(iq), width, scale)
+        mant, exp = np.asarray(mant), np.asarray(exp)
+        np.testing.assert_array_equal(exp, exps_ref.astype(np.int32))
+        packed = ofh.pack_prbs(mant, width)
+        np.testing.assert_array_equal(packed, packed_ref)
+        unpacked = ofh.unpack_prbs(packed_ref, width)
+        np.testing.assert_array_equal(unpacked, mant)
+        dec = np.asarray(ofh.bfp_decompress(jnp.asarray(mant),
+                                            jnp.asarray(exp)))
+        # The reference stores decompressed output as cbf16 (rounding to
+        # 8 mantissa bits); compare within that quantization step.
+        np.testing.assert_allclose(dec, dec_ref, atol=4e-3)

@@ -27,6 +27,7 @@ each class the stored value equals V mod Zc_max_class for some V < 384.
 
 from __future__ import annotations
 
+import pathlib
 import re
 import sys
 
@@ -181,6 +182,8 @@ def main() -> None:
     lp_text = open(LOW_PAPR_SRC).read()
     phi6 = parse_phi(lp_text, "phi_M_sc_6", 6)
     phi12 = parse_phi(lp_text, "phi_M_sc_12", 12)
+    phi18 = parse_phi(lp_text, "phi_M_sc_18", 18)
+    phi24 = parse_phi(lp_text, "phi_M_sc_24", 24)
     polar_seq, polar_pattern = parse_polar()
 
     lifting_sizes = sorted(z for s in LIFTING_SETS for z in s)
@@ -201,20 +204,28 @@ def main() -> None:
         deg = (~mask0).sum()
         print(f"{name}: {deg} edges, row degrees max {(~mask0).sum(1).max()}")
 
-    np.savez_compressed(
-        OUT,
+    tables = dict(
         bg1_shifts=bg1,
         bg2_shifts=bg2,
         lifting_sizes=np.array(lifting_sizes, dtype=np.int16),
         lifting_index=lifting_index,
         phi_m6=phi6,
         phi_m12=phi12,
+        phi_m18=phi18,
+        phi_m24=phi24,
         polar_sequence_1024=polar_seq,
         polar_dci_interleaver_pattern=polar_pattern,
         rm_basis_sequences=parse_rm_basis(),
         prach_root_long=parse_prach_roots()[0],
         prach_root_short=parse_prach_roots()[1],
     )
+    # Preserve keys written into the archive by OTHER extractors (TBS/MCS
+    # tables etc.) — regeneration must merge, not clobber.
+    if pathlib.Path(OUT).exists():
+        old = np.load(OUT)
+        for k in old.files:
+            tables.setdefault(k, old[k])
+    np.savez_compressed(OUT, **tables)
     print(f"wrote {OUT} (incl. phi {phi6.shape}/{phi12.shape}, polar "
           f"{polar_seq.shape}/{polar_pattern.shape})")
 

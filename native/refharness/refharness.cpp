@@ -74,6 +74,15 @@
 #include "iq_compression_bfp_impl.h"
 #include "quantizer.h"
 #include "srsran/srslog/srslog.h"
+#include "ofdm_modulator_impl.h"
+#include "ofdm_demodulator_impl.h"
+#include "dft_processor_generic_impl.h"
+#include "port_channel_estimator_average_impl.h"
+#include "interpolator_linear_impl.h"
+#include "time_alignment_estimator_dft_impl.h"
+#include "prach_generator_impl.h"
+#include "srsran/phy/support/resource_grid_reader.h"
+#include "srsran/phy/support/resource_grid_writer.h"
 
 #include "srsran/adt/bit_buffer.h"
 #include "srsran/phy/support/re_buffer.h"
@@ -775,6 +784,311 @@ int cmd_ofhbfp(unsigned width, unsigned nprb, unsigned nmsg, uint64_t seed,
   return 0;
 }
 
+// Minimal in-memory resource grid (cf_t storage; inputs are pre-rounded to
+// bf16 host-side so the comparison against our c64 path is exact) for
+// driving the reference OFDM modulator/demodulator.
+class flat_grid : public resource_grid_reader, public resource_grid_writer {
+public:
+  flat_grid(unsigned nsymb, unsigned nsubc)
+      : nsubc_(nsubc), data_(size_t(nsymb) * nsubc, cf_t()) {}
+
+  cf_t* row(unsigned l) { return &data_[size_t(l) * nsubc_]; }
+
+  // reader
+  unsigned get_nof_subc() const override { return nsubc_; }
+  unsigned get_nof_symbols() const override { return 14; }
+  unsigned get_nof_ports() const override { return 1; }
+  bool is_empty(unsigned) const override { return false; }
+  bool is_empty() const override { return false; }
+  span<cf_t> get(span<cf_t> symbols, unsigned, unsigned l, unsigned k_init,
+                 const bounded_bitset<MAX_RB * NRE>& mask) const override
+  {
+    unsigned count = 0;
+    for (unsigned k = 0; k != mask.size(); ++k) {
+      if (mask.test(k)) {
+        symbols[count++] = data_[size_t(l) * nsubc_ + k_init + k];
+      }
+    }
+    return symbols.last(symbols.size() - count);
+  }
+  span<cbf16_t> get(span<cbf16_t> symbols, unsigned, unsigned, unsigned,
+                    const bounded_bitset<MAX_RB * NRE>&) const override
+  {
+    std::abort();
+  }
+  void get(span<cf_t> symbols, unsigned, unsigned l, unsigned k_init,
+           unsigned stride) const override
+  {
+    for (unsigned i = 0; i != symbols.size(); ++i) {
+      symbols[i] = data_[size_t(l) * nsubc_ + k_init + i * stride];
+    }
+  }
+  void get(span<cbf16_t> symbols, unsigned, unsigned l,
+           unsigned k_init) const override
+  {
+    for (unsigned i = 0; i != symbols.size(); ++i) {
+      symbols[i] = to_cbf16(data_[size_t(l) * nsubc_ + k_init + i]);
+    }
+  }
+  span<const cbf16_t> get_view(unsigned, unsigned) const override
+  {
+    std::abort();
+  }
+  // writer
+  span<const cf_t> put(unsigned, unsigned, unsigned,
+                       const bounded_bitset<NRE * MAX_RB>&,
+                       span<const cf_t>) override
+  {
+    std::abort();
+  }
+  span<const cbf16_t> put(unsigned, unsigned, unsigned,
+                          const bounded_bitset<NRE * MAX_RB>&,
+                          span<const cbf16_t>) override
+  {
+    std::abort();
+  }
+  void put(unsigned, unsigned l, unsigned k_init,
+           span<const cf_t> symbols) override
+  {
+    for (unsigned i = 0; i != symbols.size(); ++i) {
+      data_[size_t(l) * nsubc_ + k_init + i] = symbols[i];
+    }
+  }
+  void put(unsigned, unsigned l, unsigned k_init, unsigned stride,
+           span<const cbf16_t> symbols) override
+  {
+    for (unsigned i = 0; i != symbols.size(); ++i) {
+      data_[size_t(l) * nsubc_ + k_init + i * stride] = to_cf(symbols[i]);
+    }
+  }
+  span<cbf16_t> get_view(unsigned, unsigned) override { std::abort(); }
+
+private:
+  unsigned nsubc_;
+  std::vector<cf_t> data_;
+};
+
+// OFDM slot modulation + demodulation through the reference's generic
+// (FFTW-free) DFT: grid -> samples -> grid, all stages emitted.
+int cmd_ofdm(unsigned mu, unsigned bw_rb, unsigned dft_size,
+             unsigned slot_idx, unsigned scale_x1000, unsigned cfreq_hz,
+             unsigned win_offset, uint64_t seed)
+{
+  unsigned nsubc = bw_rb * 12;
+  unsigned nsymb = 14;
+  std::mt19937_64 g(seed);
+  std::uniform_real_distribution<float> uni(-1.0f, 1.0f);
+  flat_grid grid(nsymb, nsubc);
+  std::vector<cf_t> grid_out(size_t(nsymb) * nsubc);
+  for (unsigned l = 0; l != nsymb; ++l) {
+    for (unsigned k = 0; k != nsubc; ++k) {
+      cf_t v = to_cf(to_cbf16(cf_t(uni(g), uni(g))));
+      grid.row(l)[k] = v;
+      grid_out[size_t(l) * nsubc + k] = v;
+    }
+  }
+
+  ofdm_modulator_configuration mod_cfg = {};
+  mod_cfg.numerology = mu;
+  mod_cfg.bw_rb = bw_rb;
+  mod_cfg.dft_size = dft_size;
+  mod_cfg.cp = cyclic_prefix::NORMAL;
+  mod_cfg.scale = scale_x1000 / 1000.0f;
+  mod_cfg.center_freq_hz = double(cfreq_hz);
+  ofdm_modulator_common_configuration mod_common;
+  dft_processor::configuration dft_cfg_inv = {dft_size,
+                                              dft_processor::direction::INVERSE};
+  mod_common.dft = std::make_unique<dft_processor_generic_impl>(dft_cfg_inv);
+  ofdm_slot_modulator_impl mod(mod_common, mod_cfg);
+
+  unsigned slot_size = mod.get_slot_size(slot_idx);
+  std::vector<cf_t> samples(slot_size);
+  mod.modulate(span<cf_t>(samples), grid, 0, slot_idx);
+
+  ofdm_demodulator_configuration dem_cfg = {};
+  dem_cfg.numerology = mu;
+  dem_cfg.bw_rb = bw_rb;
+  dem_cfg.dft_size = dft_size;
+  dem_cfg.cp = cyclic_prefix::NORMAL;
+  dem_cfg.nof_samples_window_offset = win_offset;
+  dem_cfg.scale = 1.0f / (mod_cfg.scale * float(dft_size));
+  dem_cfg.center_freq_hz = double(cfreq_hz);
+  ofdm_demodulator_common_configuration dem_common;
+  dft_processor::configuration dft_cfg_fwd = {dft_size,
+                                              dft_processor::direction::DIRECT};
+  dem_common.dft = std::make_unique<dft_processor_generic_impl>(dft_cfg_fwd);
+  ofdm_slot_demodulator_impl dem(dem_common, dem_cfg);
+
+  flat_grid rx_grid(nsymb, nsubc);
+  dem.demodulate(rx_grid, span<const cf_t>(samples), 0, slot_idx);
+  std::vector<cf_t> rx_out(size_t(nsymb) * nsubc);
+  for (unsigned l = 0; l != nsymb; ++l) {
+    std::memcpy(&rx_out[size_t(l) * nsubc], rx_grid.row(l),
+                nsubc * sizeof(cf_t));
+  }
+
+  uint32_t hdr[2] = {nsubc, slot_size};
+  write_bytes(hdr, sizeof(hdr));
+  write_bytes(grid_out.data(), grid_out.size() * sizeof(cf_t));
+  write_bytes(samples.data(), samples.size() * sizeof(cf_t));
+  write_bytes(rx_out.data(), rx_out.size() * sizeof(cf_t));
+  return 0;
+}
+
+// PUSCH port channel estimation (port_channel_estimator_average_impl:
+// pilot match + CFO + time-average + 4096-IDFT TA + fd smoothing +
+// interpolation) on a synthetic 2-tap channel with CFO and AWGN.  Emits the
+// exact rx pilot REs so the TPU estimator runs on identical inputs, the
+// reference's full-band estimate, and its CSI metrics — the Python side
+// compares estimation QUALITY vs the known true channel (the TPU estimator
+// is an intentional algorithmic redesign, not a float-for-float port).
+int cmd_chest(unsigned nprb, unsigned ndmrs, unsigned delay_ns,
+              unsigned cfo_hz, int snr_db_x10, unsigned smoothing,
+              uint64_t seed)
+{
+  unsigned nsubc = nprb * 12;
+  unsigned npil = nprb * 6;
+  unsigned nsymb = 14;
+  // DM-RS symbol positions spread over the slot.
+  std::vector<unsigned> dsyms;
+  if (ndmrs == 1) dsyms = {2};
+  else if (ndmrs == 2) dsyms = {2, 11};
+  else if (ndmrs == 3) dsyms = {2, 7, 11};
+  else dsyms = {2, 5, 8, 11};
+
+  // Symbol start times of the useful part (15 kHz SCS, normal CP) — same
+  // convention as the estimator's internal CFO machinery.
+  double srate = 1536 * 15000.0;
+  std::vector<double> t_sym(nsymb);
+  {
+    double t = 0;
+    for (unsigned l = 0; l != nsymb; ++l) {
+      unsigned cp = ((l == 0) ? 120u : 108u);
+      t_sym[l] = (t + cp) / srate;
+      t += cp + 1536;
+    }
+  }
+
+  // True 2-tap channel over the full band.
+  double tau0 = delay_ns * 1e-9, tau1 = delay_ns * 1e-9 + 200e-9;
+  std::vector<cf_t> h_true(nsubc);
+  for (unsigned k = 0; k != nsubc; ++k) {
+    double w0 = -2.0 * M_PI * 15000.0 * k * tau0;
+    double w1 = -2.0 * M_PI * 15000.0 * k * tau1;
+    h_true[k] = cf_t(std::cos(w0), std::sin(w0))
+              + 0.4f * cf_t(std::cos(w1), std::sin(w1));
+  }
+
+  double sigma = std::pow(10.0, -double(snr_db_x10) / 200.0);
+  std::mt19937_64 g(seed);
+  std::normal_distribution<double> gauss(0.0, sigma / std::sqrt(2.0));
+
+  Rng rng(seed ^ 0xc4e57ull);
+  flat_grid grid(nsymb, nsubc);
+  dmrs_symbol_list pilots({npil, ndmrs, 1});
+  std::vector<cf_t> rx_out(size_t(ndmrs) * npil);
+  std::vector<cf_t> pil_out(size_t(ndmrs) * npil);
+  for (unsigned d = 0; d != ndmrs; ++d) {
+    span<cf_t> prow = pilots.get_symbol(d, 0);
+    unsigned l = dsyms[d];
+    double rot_w = 2.0 * M_PI * double(cfo_hz) * t_sym[l];
+    cf_t rot = cf_t(float(std::cos(rot_w)), float(std::sin(rot_w)));
+    for (unsigned i = 0; i != npil; ++i) {
+      float pr = rng.bit() ? -float(M_SQRT1_2) : float(M_SQRT1_2);
+      float pi_ = rng.bit() ? -float(M_SQRT1_2) : float(M_SQRT1_2);
+      cf_t p = cf_t(pr, pi_);
+      prow[i] = p;
+      unsigned k = 2 * i;  // type-1 comb: even subcarriers
+      cf_t y = h_true[k] * rot * p
+             + cf_t(float(gauss(g)), float(gauss(g)));
+      y = to_cf(to_cbf16(y));  // grid storage quantization
+      grid.row(l)[k] = y;
+      rx_out[size_t(d) * npil + i] = y;
+      pil_out[size_t(d) * npil + i] = p;
+    }
+  }
+
+  port_channel_estimator::configuration cfg;
+  cfg.scs = subcarrier_spacing::kHz15;
+  cfg.cp = cyclic_prefix::NORMAL;
+  cfg.first_symbol = 0;
+  cfg.nof_symbols = nsymb;
+  port_channel_estimator::layer_dmrs_pattern pat;
+  pat.symbols.resize(nsymb);
+  for (unsigned l : dsyms) {
+    pat.symbols.set(l);
+  }
+  pat.rb_mask.resize(nprb);
+  pat.rb_mask.fill(0, nprb, true);
+  pat.re_pattern.resize(12);
+  for (unsigned k = 0; k != 12; k += 2) {
+    pat.re_pattern.set(k);
+  }
+  cfg.dmrs_pattern.push_back(pat);
+  cfg.rx_ports.push_back(0);
+  cfg.scaling = 1.0f;
+
+  dft_processor::configuration ta_dft_cfg = {
+      time_alignment_estimator_dft_impl::dft_size,
+      dft_processor::direction::INVERSE};
+  port_channel_estimator_average_impl est(
+      std::make_unique<interpolator_linear_impl>(),
+      std::make_unique<time_alignment_estimator_dft_impl>(
+          std::make_unique<dft_processor_generic_impl>(ta_dft_cfg)),
+      static_cast<port_channel_estimator_fd_smoothing_strategy>(smoothing),
+      /*compensate_cfo=*/true);
+
+  channel_estimate ce({nprb, nsymb, 1, 1});
+  est.compute(ce, grid, 0, pilots, cfg);
+
+  std::vector<cf_t> h_est(size_t(nsymb) * nsubc);
+  for (unsigned l = 0; l != nsymb; ++l) {
+    auto row = ce.get_symbol_ch_estimate(l, 0, 0);
+    for (unsigned k = 0; k != nsubc; ++k) {
+      h_est[size_t(l) * nsubc + k] = to_cf(row[k]);
+    }
+  }
+
+  float metrics[6];
+  metrics[0] = ce.get_noise_variance(0);
+  metrics[1] = ce.get_rsrp(0);
+  metrics[2] = ce.get_epre(0);
+  metrics[3] = ce.get_snr(0);
+  metrics[4] = float(ce.get_time_alignment(0).to_seconds());
+  auto cfo_opt = ce.get_cfo_Hz(0);
+  metrics[5] = cfo_opt.has_value() ? *cfo_opt : NAN;
+
+  uint32_t hdr[3] = {nsubc, npil, ndmrs};
+  write_bytes(hdr, sizeof(hdr));
+  write_bytes(h_true.data(), nsubc * sizeof(cf_t));
+  write_bytes(pil_out.data(), pil_out.size() * sizeof(cf_t));
+  write_bytes(rx_out.data(), rx_out.size() * sizeof(cf_t));
+  write_bytes(h_est.data(), h_est.size() * sizeof(cf_t));
+  write_bytes(metrics, sizeof(metrics));
+  // Symbol times for the Python side's CFO machinery (float64).
+  write_bytes(t_sym.data(), nsymb * sizeof(double));
+  return 0;
+}
+
+// PRACH frequency-domain preamble y_{u,v} (prach_generator_impl.cpp:
+// logical-root table walk + N_cs/restricted cyclic shifts + ZC DFT).
+int cmd_prachgen(unsigned is_long, unsigned root_idx, unsigned preamble,
+                 unsigned zcz, unsigned restricted)
+{
+  prach_generator_impl gen;
+  prach_generator::configuration cfg;
+  cfg.format = is_long ? prach_format_type::zero : prach_format_type::B4;
+  cfg.root_sequence_index = root_idx;
+  cfg.preamble_index = preamble;
+  cfg.restricted_set = static_cast<restricted_set_config>(restricted);
+  cfg.zero_correlation_zone = zcz;
+  auto seq = gen.generate(cfg);
+  uint32_t n = seq.size();
+  write_bytes(&n, 4);
+  write_bytes(seq.data(), seq.size() * sizeof(cf_t));
+  return 0;
+}
+
 } // namespace
 
 int main(int argc, char** argv)
@@ -829,6 +1143,16 @@ int main(int argc, char** argv)
   }
   if (cmd == "ofhbfp" && argc >= 7) {
     return cmd_ofhbfp(u(2), u(3), u(4), u(5), u(6));
+  }
+  if (cmd == "ofdm" && argc >= 10) {
+    return cmd_ofdm(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));
+  }
+  if (cmd == "prachgen" && argc >= 7) {
+    return cmd_prachgen(u(2), u(3), u(4), u(5), u(6));
+  }
+  if (cmd == "chest" && argc >= 9) {
+    return cmd_chest(u(2), u(3), u(4), u(5),
+                     int(std::strtol(argv[6], nullptr, 10)), u(7), u(8));
   }
   std::fprintf(stderr, "bad command/args\n");
   return 2;

@@ -52,18 +52,23 @@ def cp_lengths(nfft: int, mu: int, slot_in_subframe: int = 0,
                extended_cp: bool = False) -> tuple[int, ...]:
     """Per-symbol cyclic-prefix lengths in samples for one slot.
 
-    TS 38.211 §5.3.1: N_cp,l = 144*kappa*2**-mu (+16*kappa for l=0 or
-    l=7*2**mu counting within the subframe), with kappa absorbed into the
-    nfft/2048 scaling.  Extended CP: 512*kappa*2**-mu for all symbols.
+    TS 38.211 §5.3.1: N_cp,l = 144*kappa*2**-mu Tc (+16*kappa Tc for l=0 or
+    l=7*2**mu counting within the subframe).  Converting durations to
+    samples at this numerology's rate nfft*15kHz*2**mu, the 2**-mu cancels:
+    short CP = 144*nfft/2048 samples at EVERY mu, while the 16*kappa
+    extension (whose Tc count is mu-independent) scales UP to
+    16*nfft*2**mu/2048 samples.  Extended CP: 512*nfft/2048.
+    (Cross-validated against the reference's cp.get_length/to_samples via
+    the refharness `ofdm` command at mu=0 and mu=1.)
     """
     if extended_cp:
-        base = Fraction(512 * nfft, 2048 * (1 << mu))
+        base = Fraction(512 * nfft, 2048)
         if base.denominator != 1:
             raise ValueError(f"extended CP not integral for nfft={nfft}, mu={mu}")
         return tuple([int(base)] * NSYMB_PER_SLOT_EXTENDED)
 
-    base = Fraction(144 * nfft, 2048 * (1 << mu))
-    extra = Fraction(16 * nfft, 2048)
+    base = Fraction(144 * nfft, 2048)
+    extra = Fraction(16 * nfft * (1 << mu), 2048)
     if base.denominator != 1 or extra.denominator != 1:
         raise ValueError(f"CP lengths not integral for nfft={nfft}, mu={mu}")
     base, extra = int(base), int(extra)

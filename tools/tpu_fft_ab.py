@@ -57,6 +57,35 @@ def ifft3x(x, nfft):
     return jnp.sum(y3 * jnp.asarray(tw), axis=-2)
 
 
+@functools.lru_cache(maxsize=None)
+def _mmdft_tables(nfft, n1, n2, sign):
+    """Twiddle tables for the N1 x N2 Cooley-Tukey two-step as matmuls."""
+    i2, k2 = np.meshgrid(np.arange(n2), np.arange(n2), indexing="ij")
+    w2 = np.exp(sign * 2j * np.pi * i2 * k2 / n2).astype(np.complex64)
+    tw = np.exp(sign * 2j * np.pi
+                * np.outer(np.arange(n2), np.arange(n1)) / nfft
+                ).astype(np.complex64)
+    i1, k1 = np.meshgrid(np.arange(n1), np.arange(n1), indexing="ij")
+    w1 = np.exp(sign * 2j * np.pi * i1 * k1 / n1).astype(np.complex64)
+    return w2, tw, w1
+
+
+def mmdft(x, nfft, n1, n2, sign=-1, precision=None):
+    """DFT via two MXU matmul stages (Cooley-Tukey N = N1*N2).
+
+    sign=-1 forward, +1 unnormalised inverse.  x[..., n1 + N1*n2] ->
+    X[..., N2*k1 + k2].
+    """
+    w2, tw, w1 = _mmdft_tables(nfft, n1, n2, sign)
+    a = x.reshape(*x.shape[:-1], n2, n1)
+    b = jnp.einsum("...ni,nk->...ki", a, jnp.asarray(w2),
+                   precision=precision)          # (..., k2, n1)
+    c = b * jnp.asarray(tw)
+    d = jnp.einsum("...kn,nj->...kj", c, jnp.asarray(w1),
+                   precision=precision)          # (..., k2, k1)
+    return jnp.swapaxes(d, -1, -2).reshape(*x.shape)
+
+
 def main():
     nfft = 1536
     b = 256 * 14
@@ -79,6 +108,16 @@ def main():
     efwd, einv, ref = (float(v) for v in chk(xr[:8], xi[:8]))
     print(f"max|err| fwd={efwd:.3e} inv={einv:.3e} (scale {ref:.1f})",
           flush=True)
+    if nfft % 128 == 0:
+        chk2 = jax.jit(lambda r, i: (lambda x: (
+            jnp.max(jnp.abs(mmdft(x, nfft, 128, nfft // 128, -1,
+                                  jax.lax.Precision.HIGHEST)
+                            - jnp.fft.fft(x, axis=-1))),
+            jnp.max(jnp.abs(mmdft(x, nfft, 128, nfft // 128, -1,
+                                  jax.lax.Precision.DEFAULT)
+                            - jnp.fft.fft(x, axis=-1)))))(r + 1j * i))
+        ehi, elo = (float(v) for v in chk2(xr[:8], xi[:8]))
+        print(f"mmdft max|err| hi={ehi:.3e} lo={elo:.3e}", flush=True)
 
     # Device-resident inputs: re-uploading 2 x 22 MB through the relay per
     # call would otherwise dominate the measurement (~0.9 s/call observed).
@@ -99,6 +138,25 @@ def main():
             jnp.fft.ifft(jnp.conj(x), axis=-1)) * np.float32(nfft)),
         ("ifft_via_fft", lambda x: jnp.conj(
             jnp.fft.fft(jnp.conj(x), axis=-1))),
+        # MXU matmul-DFT two-step (the last untested FFT idea from
+        # NOTES_ROUND1): N = N1*N2, a (N2,N2) and an (N1,N1) complex matmul
+        # with a twiddle in between.  HIGHEST = true f32 (6 bf16 passes),
+        # DEFAULT = single-pass bf16 (fast; ~40 dB accurate — usable if the
+        # pipeline tolerates it).
+        ("mmdft128x12_hi", lambda x: mmdft(
+            x, nfft, 128, nfft // 128, -1, jax.lax.Precision.HIGHEST)),
+        ("mmdft128x12_lo", lambda x: mmdft(
+            x, nfft, 128, nfft // 128, -1, jax.lax.Precision.DEFAULT)),
+        ("mmdft512x3_hi", lambda x: mmdft(
+            x, nfft, 512, nfft // 512, -1, jax.lax.Precision.HIGHEST)),
+        ("mmdft128x12_md", lambda x: mmdft(
+            x, nfft, 128, nfft // 128, -1, jax.lax.Precision.HIGH)),
+        ("immdft128x12_lo", lambda x: mmdft(
+            x, nfft, 128, nfft // 128, +1, jax.lax.Precision.DEFAULT)),
+        ("mmdft12x128_hi", lambda x: mmdft(
+            x, nfft, nfft // 128, 128, -1, jax.lax.Precision.HIGHEST)),
+        ("immdft128x12_hi", lambda x: mmdft(
+            x, nfft, 128, nfft // 128, +1, jax.lax.Precision.HIGHEST)),
     ]
     only = [a.split("=")[1] for a in sys.argv if a.startswith("--only=")]
     if only:

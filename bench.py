@@ -58,6 +58,12 @@ def main():
             s_batch = int(a.split("=")[1])
         if a.startswith("--cells="):
             n_cells = int(a.split("=")[1])
+        if a.startswith("--fft="):
+            # --fft=mmdft[:default|high|highest] selects the MXU matmul-DFT
+            # slot transform (tools/tpu_fft_ab.py measurements).
+            from srsran_edgeric_5g_tpu.ops import ofdm as _ofdm
+            spec = a.split("=")[1].split(":")
+            _ofdm.set_fft_impl(spec[0], spec[1] if len(spec) > 1 else "default")
     rng = np.random.default_rng(0)
     # --cells=N processes N independent carriers per dispatch (the per-cell
     # PHY instances of the reference, vmapped): same amortization as a deep

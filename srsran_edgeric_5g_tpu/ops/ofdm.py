@@ -36,18 +36,32 @@ from ..ran.numerology import SlotTiming
 # pipeline shape (tools/tpu_fft_ab.py).  bf16 single-pass adds ~-47 dB
 # transform noise — negligible against the >= 25 dB-SNR operating points,
 # verified by the loopback tests and the bench's decode iteration counts.
-# Read at TRACE time: set before building jitted programs.
-_FFT_IMPL = "xla"
+# Read at TRACE time: set before building jitted programs.  "auto" routes
+# to mmdft/bf16 on accelerator backends (end-to-end bench: 20.6x -> 22.3x
+# real-time with payload-exact recovery through 25 dB AWGN; 'high' 3-pass
+# loses end-to-end despite winning standalone) and to jnp.fft on CPU, where
+# matmul-DFT is slower and tests want the exact transform.
+_FFT_IMPL = "auto"
 _MMDFT_PRECISION = "default"   # 'default' (bf16) | 'high' (3-pass bf16)
 
 
 def set_fft_impl(impl: str, precision: str = "default") -> None:
-    """Select the slot-transform FFT implementation ('xla' | 'mmdft')."""
+    """Select the slot-transform FFT ('auto' | 'xla' | 'mmdft')."""
     global _FFT_IMPL, _MMDFT_PRECISION
-    assert impl in ("xla", "mmdft"), impl
+    assert impl in ("auto", "xla", "mmdft"), impl
     assert precision in ("default", "high", "highest"), precision
     _FFT_IMPL = impl
     _MMDFT_PRECISION = precision
+
+
+def _use_mmdft(nfft: int) -> bool:
+    if _FFT_IMPL == "mmdft":
+        return nfft % 128 == 0
+    if _FFT_IMPL == "auto":
+        import jax
+
+        return nfft % 128 == 0 and jax.default_backend() != "cpu"
+    return False
 
 
 @functools.lru_cache(maxsize=None)
@@ -89,14 +103,14 @@ def _mmdft(x: jnp.ndarray, sign: int) -> jnp.ndarray:
 
 def _slot_fft(x: jnp.ndarray) -> jnp.ndarray:
     """Forward transform used by demodulate_slot (unnormalised)."""
-    if _FFT_IMPL == "mmdft" and x.shape[-1] % 128 == 0:
+    if _use_mmdft(x.shape[-1]):
         return _mmdft(x, -1)
     return jnp.fft.fft(x, axis=-1).astype(jnp.complex64)
 
 
 def _slot_ifft(x: jnp.ndarray) -> jnp.ndarray:
     """Inverse transform used by modulate_slot (unnormalised: N * ifft)."""
-    if _FFT_IMPL == "mmdft" and x.shape[-1] % 128 == 0:
+    if _use_mmdft(x.shape[-1]):
         return _mmdft(x, +1)
     nfft = x.shape[-1]
     return (jnp.fft.ifft(x, axis=-1) * np.float32(nfft)).astype(jnp.complex64)

@@ -1089,6 +1089,106 @@ int cmd_prachgen(unsigned is_long, unsigned root_idx, unsigned preamble,
   return 0;
 }
 
+// Reference-side throughput baselines for the v2 kernels on this host
+// (the counterpart of tests/benchmarks/phy/*_benchmark.cpp lines; consumed
+// by BASELINE.md as CPU denominators).
+int cmd_bench_kernels(unsigned iters)
+{
+  std::mt19937_64 g(1);
+  std::normal_distribution<float> gauss(0.0f, 0.5f);
+  // Soft demapper, 64QAM.
+  {
+    unsigned nsym = 14336;
+    std::vector<cf_t> syms(nsym);
+    std::vector<float> nv(nsym, 0.05f);
+    for (auto& v : syms) v = cf_t(gauss(g), gauss(g));
+    std::vector<log_likelihood_ratio> llrs(nsym * 6);
+    demodulation_mapper_impl dem;
+    auto t0 = std::chrono::steady_clock::now();
+    for (unsigned i = 0; i != iters; ++i) {
+      dem.demodulate_soft(span<log_likelihood_ratio>(llrs),
+                          span<const cf_t>(syms), span<const float>(nv),
+                          modulation_scheme::QAM64);
+      syms[0] += cf_t(1e-9f, 0);
+    }
+    double dt = std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count();
+    std::fprintf(stderr, "bench demap64 (AVX2): %.1f Msymb/s/core\n",
+                 double(nsym) * iters / dt / 1e6);
+  }
+  // Modulation mapper, 64QAM.
+  {
+    unsigned nsym = 14336;
+    dynamic_bit_buffer bits(nsym * 6);
+    for (unsigned i = 0; i != nsym * 6 / 8; ++i) {
+      bits.set_byte(uint8_t(g()), i);
+    }
+    std::vector<cf_t> syms(nsym);
+    modulation_mapper_lut_impl mm;
+    auto t0 = std::chrono::steady_clock::now();
+    for (unsigned i = 0; i != iters; ++i) {
+      mm.modulate(span<cf_t>(syms), bits, modulation_scheme::QAM64);
+    }
+    double dt = std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count();
+    std::fprintf(stderr, "bench modmap64 (LUT): %.1f Msymb/s/core\n",
+                 double(nsym) * iters / dt / 1e6);
+  }
+  // MMSE equalizer 1x2.
+  {
+    unsigned nre = 14336, nports = 2;
+    channel_equalizer_generic_impl eq(
+        channel_equalizer_algorithm_type::mmse);
+    dynamic_re_buffer<cbf16_t> y(nports, nre);
+    modular_ch_est_list<16> ests(nports, 1);
+    ests.resize(nre, nports, 1);
+    std::vector<cbf16_t> est_store(size_t(nports) * nre);
+    std::vector<float> pnv(nports, 0.05f);
+    for (unsigned p = 0; p != nports; ++p) {
+      auto row = y.get_slice(p);
+      for (unsigned i = 0; i != nre; ++i) {
+        row[i] = to_cbf16(cf_t(gauss(g), gauss(g)));
+        est_store[size_t(p) * nre + i] = to_cbf16(cf_t(gauss(g), gauss(g)));
+      }
+      ests.set_channel(span<const cbf16_t>(&est_store[size_t(p) * nre], nre),
+                       p, 0);
+    }
+    std::vector<cf_t> xhat(nre);
+    std::vector<float> nvo(nre);
+    auto t0 = std::chrono::steady_clock::now();
+    for (unsigned i = 0; i != iters; ++i) {
+      eq.equalize(span<cf_t>(xhat), span<float>(nvo), y, ests,
+                  span<const float>(pnv), 1.0f);
+    }
+    double dt = std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count();
+    std::fprintf(stderr, "bench eq_mmse_1x2 (AVX2): %.1f MRE/s/core\n",
+                 double(nre) * iters / dt / 1e6);
+  }
+  // OFH BFP compression, 9-bit.
+  {
+    auto& logger = srslog::fetch_basic_logger("B");
+    ofh::iq_compression_bfp_impl comp(logger, 1.0f);
+    ofh::ru_compression_params params;
+    params.type = ofh::compression_type::BFP;
+    params.data_width = 9;
+    unsigned nprb = 273;  // compress() caps at MAX_NOF_PRBS per call
+    std::vector<cbf16_t> in(nprb * 12);
+    for (auto& v : in) v = to_cbf16(cf_t(gauss(g), gauss(g)));
+    std::vector<ofh::compressed_prb> prbs(nprb);
+    auto t0 = std::chrono::steady_clock::now();
+    for (unsigned i = 0; i != iters; ++i) {
+      comp.compress(span<ofh::compressed_prb>(prbs),
+                    span<const cbf16_t>(in), params);
+    }
+    double dt = std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count();
+    std::fprintf(stderr, "bench ofh_bfp9 compress: %.1f Msamp/s/core\n",
+                 double(nprb) * 12 * iters / dt / 1e6);
+  }
+  return 0;
+}
+
 } // namespace
 
 int main(int argc, char** argv)
@@ -1146,6 +1246,9 @@ int main(int argc, char** argv)
   }
   if (cmd == "ofdm" && argc >= 10) {
     return cmd_ofdm(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));
+  }
+  if (cmd == "bench_kernels" && argc >= 3) {
+    return cmd_bench_kernels(u(2));
   }
   if (cmd == "prachgen" && argc >= 7) {
     return cmd_prachgen(u(2), u(3), u(4), u(5), u(6));

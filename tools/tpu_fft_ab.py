@@ -70,17 +70,22 @@ def _mmdft_tables(nfft, n1, n2, sign):
     return w2, tw, w1
 
 
-def mmdft(x, nfft, n1, n2, sign=-1, precision=None):
+def mmdft(x, nfft, n1, n2, sign=-1, precision=None, fold_transpose=False):
     """DFT via two MXU matmul stages (Cooley-Tukey N = N1*N2).
 
     sign=-1 forward, +1 unnormalised inverse.  x[..., n1 + N1*n2] ->
-    X[..., N2*k1 + k2].
+    X[..., N2*k1 + k2].  fold_transpose asks the final einsum to emit the
+    (k1, k2) layout directly instead of swapaxes afterwards.
     """
     w2, tw, w1 = _mmdft_tables(nfft, n1, n2, sign)
     a = x.reshape(*x.shape[:-1], n2, n1)
     b = jnp.einsum("...ni,nk->...ki", a, jnp.asarray(w2),
                    precision=precision)          # (..., k2, n1)
     c = b * jnp.asarray(tw)
+    if fold_transpose:
+        d = jnp.einsum("...kn,nj->...jk", c, jnp.asarray(w1),
+                       precision=precision)      # (..., k1, k2) directly
+        return d.reshape(*x.shape)
     d = jnp.einsum("...kn,nj->...kj", c, jnp.asarray(w1),
                    precision=precision)          # (..., k2, k1)
     return jnp.swapaxes(d, -1, -2).reshape(*x.shape)
@@ -157,6 +162,12 @@ def main():
             x, nfft, nfft // 128, 128, -1, jax.lax.Precision.HIGHEST)),
         ("immdft128x12_hi", lambda x: mmdft(
             x, nfft, 128, nfft // 128, +1, jax.lax.Precision.HIGHEST)),
+        ("mmdftFT_lo", lambda x: mmdft(
+            x, nfft, 128, nfft // 128, -1, jax.lax.Precision.DEFAULT,
+            fold_transpose=True)),
+        ("immdftFT_lo", lambda x: mmdft(
+            x, nfft, 128, nfft // 128, +1, jax.lax.Precision.DEFAULT,
+            fold_transpose=True)),
     ]
     only = [a.split("=")[1] for a in sys.argv if a.startswith("--only=")]
     if only:

@@ -81,6 +81,9 @@
 #include "interpolator_linear_impl.h"
 #include "time_alignment_estimator_dft_impl.h"
 #include "prach_generator_impl.h"
+#include "ofh_uplane_message_builder_static_compression_impl.h"
+#include "ecpri_packet_builder_impl.h"
+#include "srsran/ofh/ecpri/ecpri_packet_properties.h"
 #include "srsran/phy/support/resource_grid_reader.h"
 #include "srsran/phy/support/resource_grid_writer.h"
 
@@ -1189,6 +1192,61 @@ int cmd_bench_kernels(unsigned iters)
   return 0;
 }
 
+// O-RAN U-Plane eCPRI frame (static-compression builder + eCPRI IQ-data
+// header) for one DL symbol: emits the input IQ (cbf16->f32) and the
+// complete wire frame for byte-exact comparison with native/ofh.
+int cmd_ouplane(unsigned nprb, unsigned width, unsigned pc_id, unsigned seq,
+                unsigned sfn, unsigned subframe, unsigned slot,
+                unsigned symbol, uint64_t seed)
+{
+  auto& logger = srslog::fetch_basic_logger("OFHU");
+  float iq_scaling = 1.0f;
+  ofh::iq_compression_bfp_impl comp(logger, iq_scaling);
+  ofh::ofh_uplane_message_builder_static_compression_impl builder(logger,
+                                                                  comp);
+  ecpri::packet_builder_impl ecpri_builder;
+
+  std::mt19937_64 g(seed);
+  std::uniform_real_distribution<float> uni(-1.0f, 1.0f);
+  unsigned nsamp = nprb * 12;
+  std::vector<cbf16_t> iq(nsamp);
+  std::vector<cf_t> iq_f32(nsamp);
+  for (unsigned i = 0; i != nsamp; ++i) {
+    cf_t v = cf_t(uni(g), uni(g));
+    iq[i] = to_cbf16(v);
+    iq_f32[i] = to_cf(iq[i]);
+  }
+
+  ofh::uplane_message_params params;
+  params.direction = ofh::data_direction::downlink;
+  params.slot = slot_point(0, sfn % 1024, subframe);  // mu=0: slot==subframe
+  params.filter_index = ofh::filter_index_type::standard_channel_filter;
+  params.start_prb = 0;
+  params.nof_prb = nprb;
+  params.symbol_id = symbol;
+  params.sect_type = ofh::section_type::type_1;
+  params.compression_params.type = ofh::compression_type::BFP;
+  params.compression_params.data_width = width;
+  (void)slot;
+
+  std::vector<uint8_t> frame(9000, 0);
+  unsigned ecpri_hdr = 8;  // common header + PC_ID + SEQ_ID
+  unsigned len = builder.build_message(
+      span<uint8_t>(frame.data() + ecpri_hdr, frame.size() - ecpri_hdr),
+      span<const cbf16_t>(iq), params);
+  ecpri::iq_data_parameters ecpri_params;
+  ecpri_params.pc_id = uint16_t(pc_id);
+  ecpri_params.seq_id = uint16_t(seq);
+  ecpri_builder.build_data_packet(
+      span<uint8_t>(frame.data(), ecpri_hdr + len), ecpri_params);
+
+  uint32_t total = ecpri_hdr + len;
+  write_bytes(&total, 4);
+  write_bytes(iq_f32.data(), nsamp * sizeof(cf_t));
+  write_bytes(frame.data(), total);
+  return 0;
+}
+
 } // namespace
 
 int main(int argc, char** argv)
@@ -1246,6 +1304,10 @@ int main(int argc, char** argv)
   }
   if (cmd == "ofdm" && argc >= 10) {
     return cmd_ofdm(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));
+  }
+  if (cmd == "ouplane" && argc >= 11) {
+    return cmd_ouplane(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9),
+                       u(10));
   }
   if (cmd == "bench_kernels" && argc >= 3) {
     return cmd_bench_kernels(u(2));

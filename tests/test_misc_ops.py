@@ -180,3 +180,18 @@ class TestOfhCompression:
         s = ofh.compress_none(jnp.asarray(iq), data_width=16)
         out = np.asarray(ofh.decompress_none(s, data_width=16))
         np.testing.assert_allclose(out, iq, atol=1e-4)
+
+
+def test_ofh_uplane_slot_roundtrip():
+    """frame_dl_slot -> wire frames -> deframe_dl_slot recovers the grid to
+    BFP-9 accuracy (one eCPRI message per symbol)."""
+    import numpy as np
+    from srsran_edgeric_5g_tpu.runtime import ofh as ofh_rt
+    rng = np.random.default_rng(4)
+    grid = (rng.uniform(-0.7, 0.7, (14, 52 * 12))
+            + 1j * rng.uniform(-0.7, 0.7, (14, 52 * 12))).astype(np.complex64)
+    frames = ofh_rt.frame_dl_slot(grid, pc_id=3, sfn=17, subframe=4, slot=0)
+    assert len(frames) == 14
+    out = ofh_rt.deframe_dl_slot(frames)
+    err = np.mean(np.abs(out - grid) ** 2) / np.mean(np.abs(grid) ** 2)
+    assert 10 * np.log10(1 / err) > 45

@@ -581,3 +581,40 @@ def test_prach_generator_parity(harness, is_long, root, pre, zcz,
     corr = np.abs(np.vdot(ours, ref)) / (
         np.linalg.norm(ours) * np.linalg.norm(ref))
     assert corr > 0.99999, corr
+
+
+@pytest.mark.parametrize("nprb,width,pcid,seq,sfn,subframe,symbol", [
+    (24, 9, 2, 7, 100, 3, 5),
+    (106, 12, 513, 65000, 255, 9, 13),
+    (273, 9, 1, 0, 0, 0, 0),       # numPrb > 255 -> encoded as 0
+])
+def test_ofh_uplane_frame_parity(harness, nprb, width, pcid, seq, sfn,
+                                 subframe, symbol):
+    """eCPRI U-Plane DL frame (section type 1, static BFP compression) built
+    by native/ofh vs the reference's ecpri_packet_builder_impl +
+    ofh_uplane_message_builder_static_compression_impl: byte-exact, and our
+    parser recovers the reference frame's header + payload."""
+    from srsran_edgeric_5g_tpu.runtime import ofh as ofh_rt
+
+    out = harness("ouplane", nprb, width, pcid, seq, sfn, subframe, 0,
+                  symbol, 11)
+    (total,) = np.frombuffer(out[:4], dtype=np.uint32)
+    nsamp = nprb * 12
+    iq = np.frombuffer(out[4:4 + nsamp * 8], dtype=np.complex64)
+    frame_ref = out[4 + nsamp * 8:]
+    assert len(frame_ref) == total
+
+    mant, exp = ofh.bfp_compress(jnp.asarray(iq), width, 1.0)
+    packed = ofh.pack_prbs(np.asarray(mant), width)
+    # mu=0: the slot index within the subframe is always 0.
+    ours = ofh_rt.build_dl_frame(pcid, seq, sfn, subframe, 0, symbol,
+                                 0, width, np.asarray(exp).astype(np.uint8),
+                                 packed)
+    assert ours == frame_ref
+
+    hdr, exps2, packed2 = ofh_rt.parse_frame(frame_ref, width)
+    assert (hdr.pc_id, hdr.seq_id, hdr.sfn & 0xFF) == (pcid, seq, sfn & 0xFF)
+    assert (hdr.subframe, hdr.symbol, hdr.nof_prb) == (subframe, symbol,
+                                                       nprb)
+    np.testing.assert_array_equal(exps2, np.asarray(exp).astype(np.uint8))
+    np.testing.assert_array_equal(packed2, packed)

@@ -132,3 +132,38 @@ def test_mmdft_slot_loopback():
     err = np.mean(np.abs(rx - grid) ** 2)
     sig = np.mean(np.abs(grid) ** 2)
     assert 10 * np.log10(sig / err) > 38, 10 * np.log10(sig / err)
+
+
+def test_mmdft_structured_matches_xla_path():
+    """The structured (k1,n2)-layout mmdft slot path produces the same
+    samples/grid as the jnp.fft path (within bf16 transform noise), incl.
+    window offset and both nfft=1536 (n2=12) and nfft=1024 (n2=8)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from srsran_edgeric_5g_tpu.ops import ofdm
+    from srsran_edgeric_5g_tpu.ran import numerology as num
+
+    rng = np.random.default_rng(2)
+    for nof_prb, nfft, wofs in ((106, 1536, 0), (52, 1024, 8)):
+        timing = num.slot_timing(nof_prb, nfft, mu=0)
+        assert ofdm._structured_ok(timing)
+        grid = (rng.normal(size=(2, 14, nof_prb * 12))
+                + 1j * rng.normal(size=(2, 14, nof_prb * 12))
+                ).astype(np.complex64)
+        td_ref = np.asarray(ofdm.modulate_slot(jnp.asarray(grid), timing,
+                                               center_freq_hz=3.5e9))
+        try:
+            ofdm.set_fft_impl("mmdft", "default")
+            td = np.asarray(ofdm.modulate_slot(jnp.asarray(grid), timing,
+                                               center_freq_hz=3.5e9))
+            rx = np.asarray(ofdm.demodulate_slot(
+                jnp.asarray(td_ref), timing, center_freq_hz=3.5e9,
+                window_offset=wofs))
+        finally:
+            ofdm.set_fft_impl("auto")
+        rms = np.sqrt(np.mean(np.abs(td_ref) ** 2))
+        np.testing.assert_allclose(td, td_ref, atol=2e-2 * rms)
+        rx_ref = np.asarray(ofdm.demodulate_slot(
+            jnp.asarray(td_ref), timing, center_freq_hz=3.5e9,
+            window_offset=wofs))
+        np.testing.assert_allclose(rx, rx_ref, atol=2e-2)

@@ -81,6 +81,9 @@
 #include "interpolator_linear_impl.h"
 #include "time_alignment_estimator_dft_impl.h"
 #include "prach_generator_impl.h"
+#include "ulsch_demultiplex_impl.h"
+#include "srsran/phy/upper/channel_processors/pusch/pusch_decoder_buffer.h"
+#include "srsran/phy/upper/channel_processors/pusch/pusch_codeword_buffer.h"
 #include "ofh_uplane_message_builder_static_compression_impl.h"
 #include "ecpri_packet_builder_impl.h"
 #include "srsran/ofh/ecpri/ecpri_packet_properties.h"
@@ -1247,6 +1250,90 @@ int cmd_ouplane(unsigned nprb, unsigned width, unsigned pc_id, unsigned seq,
   return 0;
 }
 
+// Recording sink for the UL-SCH demultiplexer's three output streams.
+class record_buffer : public pusch_decoder_buffer {
+public:
+  std::vector<log_likelihood_ratio> data;
+  std::vector<log_likelihood_ratio> scratch;
+  span<log_likelihood_ratio> get_next_block_view(unsigned n) override
+  {
+    scratch.resize(n);
+    return span<log_likelihood_ratio>(scratch);
+  }
+  void on_new_softbits(span<const log_likelihood_ratio> s) override
+  {
+    data.insert(data.end(), s.begin(), s.end());
+  }
+  void on_end_softbits() override {}
+};
+
+// UL-SCH demultiplex (TS 38.212 6.2.7, ulsch_demultiplex_impl.cpp): feed a
+// synthetic LLR codeword whose value ENCODES its stream position (i mod
+// 2000 - 1000 clipped to int8 via a deterministic map), emit the three
+// output streams so the Python side can recover the exact placement.
+int cmd_ulschdemux(unsigned nprb, unsigned nsym, unsigned qm, unsigned oack,
+                   unsigned gack, unsigned ocsi, unsigned gcsi,
+                   unsigned grvd, unsigned mode)
+{
+  ulsch_demultiplex_impl demux;
+  ulsch_demultiplex::configuration cfg;
+  cfg.modulation = to_mod(qm);
+  cfg.nof_layers = 1;
+  cfg.nof_prb = nprb;
+  cfg.start_symbol_index = 0;
+  cfg.nof_symbols = nsym;
+  cfg.nof_harq_ack_rvd = grvd;
+  cfg.dmrs = dmrs_type::TYPE1;
+  cfg.dmrs_symbol_mask = symbol_slot_mask(14);
+  cfg.dmrs_symbol_mask.set(2);
+  if (nsym > 11) {
+    cfg.dmrs_symbol_mask.set(11);
+  }
+  cfg.nof_cdm_groups_without_data = 2;
+  cfg.nof_harq_ack_bits = oack;
+  cfg.nof_enc_harq_ack_bits = gack;
+  cfg.nof_csi_part1_bits = ocsi;
+  cfg.nof_enc_csi_part1_bits = gcsi;
+
+  record_buffer sch, ack, csi;
+  pusch_codeword_buffer& in = demux.demultiplex(sch, ack, csi, cfg);
+
+  // Number of data REs: type-1 DM-RS with 2 CDM groups -> DM-RS symbols
+  // carry no data.
+  unsigned ndmrs = cfg.dmrs_symbol_mask.count();
+  unsigned g_total = (nsym - ndmrs) * nprb * 12 * qm;
+  // Position-encoding LLRs: three digit planes (mode 0/1/2 = base-100
+  // digits of the stream index i) let the Python side reconstruct the
+  // exact source position of every output softbit from three runs.
+  std::vector<log_likelihood_ratio> cw(g_total);
+  for (unsigned i = 0; i != g_total; ++i) {
+    unsigned digit = (mode == 0) ? (i % 100)
+                   : (mode == 1) ? ((i / 100) % 100)
+                                 : ((i / 10000) % 100);
+    cw[i] = int8_t(int(digit) - 50);
+  }
+  // Zero scrambling sequence (placeholder handling multiplies by +1).
+  dynamic_bit_buffer seq(g_total);
+  for (unsigned i = 0; i != (g_total + 7) / 8; ++i) {
+    seq.set_byte(0, i);
+  }
+  in.on_new_block(span<const log_likelihood_ratio>(cw), seq);
+  in.on_end_codeword();
+
+  uint32_t hdr[4] = {g_total, uint32_t(sch.data.size()),
+                     uint32_t(ack.data.size()), uint32_t(csi.data.size())};
+  write_bytes(hdr, sizeof(hdr));
+  std::vector<int8_t> tmp;
+  for (auto* rb : {&sch, &ack, &csi}) {
+    tmp.assign(rb->data.size(), 0);
+    for (size_t i = 0; i != rb->data.size(); ++i) {
+      tmp[i] = rb->data[i].to_int();
+    }
+    write_bytes(tmp.data(), tmp.size());
+  }
+  return 0;
+}
+
 } // namespace
 
 int main(int argc, char** argv)
@@ -1304,6 +1391,10 @@ int main(int argc, char** argv)
   }
   if (cmd == "ofdm" && argc >= 10) {
     return cmd_ofdm(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));
+  }
+  if (cmd == "ulschdemux" && argc >= 11) {
+    return cmd_ulschdemux(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9),
+                          u(10));
   }
   if (cmd == "ouplane" && argc >= 11) {
     return cmd_ouplane(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9),

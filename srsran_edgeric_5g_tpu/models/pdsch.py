@@ -85,10 +85,12 @@ class PdschConfig:
 
 
 @functools.lru_cache(maxsize=None)
-def _plans(cfg: PdschConfig, rv: int = 0):
+def _plans(cfg: PdschConfig, rv: int = 0, e_total: int | None = None):
+    """``e_total`` overrides the rate-matched length (UCI-on-PUSCH
+    rate-matches the UL-SCH around the UCI REs: E = G - G_uci)."""
     tbs = cfg.derived_tbs()
     bg = segmenter.select_base_graph(tbs, cfg.target_rate)
-    seg = segmenter.get_segment_plan(tbs, bg, cfg.g_total, cfg.qm)
+    seg = segmenter.get_segment_plan(tbs, bg, e_total or cfg.g_total, cfg.qm)
     n_cb = (rate_match.lbrm_n_cb(seg.bg, seg.zc, seg.c, cfg.tbs_lbrm)
             if cfg.tbs_lbrm > 0 else None)
     rms = tuple(rate_match.get_rate_match_plan(seg.bg, seg.zc, e, rv, cfg.qm,
@@ -103,12 +105,14 @@ def scrambling_c_init(rnti: int, n_id: int, q: int = 0) -> int:
 
 
 def encode_transport_block(payload: jnp.ndarray, cfg: PdschConfig,
-                           rv: int = 0, scramble: bool = True) -> jnp.ndarray:
+                           rv: int = 0, scramble: bool = True,
+                           e_total: int | None = None) -> jnp.ndarray:
     """(1, TBS) payload bits -> (1, G) scrambled codeword bits.
 
     ``scramble=False`` returns the pre-scrambling stream (UCI-on-PUSCH
-    multiplexing happens between rate matching and scrambling)."""
-    seg, rms = _plans(cfg, rv)
+    multiplexing happens between rate matching and scrambling);
+    ``e_total`` shortens the rate-matched length (SCH around UCI)."""
+    seg, rms = _plans(cfg, rv, e_total)
     cbs = segmenter.segment_tb(payload, seg)          # (C, K)
     cw = encoder.encode(cbs, seg.bg, seg.zc)          # (C, cols*Zc)
     if len(rms) == 1:

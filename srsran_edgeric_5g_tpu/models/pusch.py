@@ -38,12 +38,14 @@ class UciConfig:
     g_ack: int = 0
     n_csi1: int = 0
     g_csi1: int = 0
+    g_ack_rvd: int = 0   # reserved REs (o_ack <= 2 puncture mode)
 
 
 def _uci_plan(cfg: PdschConfig, uci: UciConfig):
     return ulsch_demux.get_demux_plan(
         cfg.g_total, cfg.qm, cfg.nof_prb * N_SC_PER_PRB,
-        cfg.data_symbols, cfg.dmrs_symbols[0], uci.g_ack, uci.g_csi1)
+        cfg.data_symbols, cfg.dmrs_symbols[0], uci.g_ack, uci.g_csi1,
+        g_ack_rvd=uci.g_ack_rvd, o_ack=uci.n_ack if uci.n_ack else 3)
 
 
 def transmit(payload: jnp.ndarray, cfg: PdschConfig, nsymb: int, nsubc: int,
@@ -57,10 +59,16 @@ def transmit(payload: jnp.ndarray, cfg: PdschConfig, nsymb: int, nsubc: int,
     """
     from . import pdsch as pdsch_mod
 
-    bits = pdsch_mod.encode_transport_block(payload, cfg, rv,
-                                            scramble=uci is None)
-    if uci is not None:
+    if uci is None:
+        bits = pdsch_mod.encode_transport_block(payload, cfg, rv)
+    else:
+        # The UL-SCH rate-matches to G_sch = len(plan.sch_positions):
+        # G - G_uci in the skip mode (o_ack > 2), the full G in the
+        # reserved mode (the ACK then punctures its reserved subset).
         plan = _uci_plan(cfg, uci)
+        bits = pdsch_mod.encode_transport_block(payload, cfg, rv,
+                                                scramble=False,
+                                                e_total=plan.sch_len)
         ack_c = short_block.encode(ack_bits, uci.g_ack) \
             if uci.n_ack else None
         csi_c = short_block.encode(csi1_bits, uci.g_csi1) \
@@ -133,7 +141,9 @@ def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
             delay_spread_s: float | None = None,
             uci: UciConfig | None = None) -> PuschResult:
     """Full PUSCH receive for one UE from an (nsymb, nsubc) rx grid."""
-    seg, rms = _plans(cfg, rv)
+    plan_u = _uci_plan(cfg, uci) if uci is not None else None
+    seg, rms = _plans(cfg, rv,
+                      plan_u.sch_len if plan_u is not None else None)
     sc0 = cfg.start_prb * N_SC_PER_PRB
     width = cfg.nof_prb * N_SC_PER_PRB
 
@@ -165,7 +175,6 @@ def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
     # (pusch_processor_impl.cpp:222-289 buffer split + ulsch_demultiplex).
     ack_bits = csi1_bits = None
     if uci is not None:
-        plan_u = _uci_plan(cfg, uci)
         llr, ack_llr, csi_llr = ulsch_demux.demultiplex(llr, plan_u)
         if uci.n_ack:
             ack_bits, _ = short_block.detect(ack_llr, uci.n_ack)

@@ -1,22 +1,28 @@
 """UL-SCH multiplexing/demultiplexing: UCI piggybacked on PUSCH.
 
 Counterpart of the reference's ulsch_demultiplex_impl.cpp (TS 38.212 §6.2.7):
-coded HARQ-ACK (and CSI part 1) bits occupy reserved REs inside the PUSCH
-allocation; the receive side splits the equalized LLR stream into SCH and
-UCI branches.
+coded HARQ-ACK (and CSI part 1) bits occupy REs inside the PUSCH allocation;
+the receive side splits the equalized LLR stream into SCH and UCI branches.
 
-Placement model (the spec's structure, simplified to the single-hop,
-type-1-DMRS, no-CSI2 configurations this framework schedules):
-  * HARQ-ACK REs start at the first data symbol AFTER the first DM-RS symbol
-    and spread over each symbol's REs with even stride until G_ack bits are
-    placed (puncturing the SCH bits there — the <=2-bit ACK behaviour,
-    generalised).
-  * CSI part 1 starts at the first data symbol and spreads the same way over
-    positions not taken by ACK.
+Exact reference placement (cross-validated position-for-position against
+ulsch_demultiplex_impl in test_reference_parity.py::test_ulsch_demux_parity):
 
-Everything is a precomputed static index plan -> TX multiplex is one
-scatter, RX demultiplex is two gathers + an erasure mask for the SCH
-decoder's punctured positions.
+  * HARQ-ACK REs: walking data symbols from l1 (the first symbol after the
+    first DM-RS symbol), each symbol takes take = min(M, remaining) REs at
+    stride d = floor(M / take): RE indices j*d.
+  * CSI part 1: same walk from l1_csi (the first data symbol), over the
+    symbol's REs EXCLUDING the ACK REs; positions avail[j*d] with
+    d = floor(len(avail) / take).
+  * O_ack > 2 (or no reserved REs): the SCH stream SKIPS the UCI REs —
+    the UL-SCH is rate-matched to G_sch = G - G_ack - G_csi1.
+  * O_ack <= 2 with reserved REs: G_rvd reserved REs are placed like ACK
+    REs; the SCH maps through ALL G positions and the ACK punctures the
+    subset reserved[j*floor(n_rvd/n_ack)], which the receiver zeroes
+    (erasures) in the SCH stream.
+
+Everything is a precomputed static index plan -> TX multiplex is static
+scatters, RX demultiplex is static gathers (+ erasure zeroing in the
+reserved mode).
 """
 
 from __future__ import annotations
@@ -34,76 +40,118 @@ class UlschDemuxPlan:
     qm: int
     ack_positions: np.ndarray    # (G_ack,) bit positions in the G stream
     csi1_positions: np.ndarray   # (G_csi1,)
-    sch_erased: np.ndarray       # bool (G,) True where SCH bits were punctured
+    sch_positions: np.ndarray    # (G_sch,) stream positions carrying SCH
+    sch_erased: np.ndarray       # bool (G_sch,) True where ACK punctured
     key: tuple
+
+    @property
+    def sch_len(self) -> int:
+        return len(self.sch_positions)
 
     def __hash__(self):
         return hash(self.key)
+
+
+def _place_res(data_symbols: tuple[int, ...], m: int, first_symbol: int,
+               n_re: int, excluded: set[int]) -> list[int]:
+    """§6.2.7 per-symbol distribution -> stream RE indices (ascending)."""
+    out = []
+    need = n_re
+    for s, l in enumerate(data_symbols):
+        if l < first_symbol or need <= 0:
+            continue
+        avail = [r for r in range(m) if s * m + r not in excluded]
+        if not avail:
+            continue
+        take = min(len(avail), need)
+        d = len(avail) // take
+        out.extend(s * m + avail[j * d] for j in range(take))
+        need -= take
+    assert need == 0, "allocation cannot hold the UCI payload"
+    return out
 
 
 @functools.lru_cache(maxsize=None)
 def get_demux_plan(g_total: int, qm: int, re_per_symbol: int,
                    data_symbols: tuple[int, ...],
                    first_dmrs_symbol: int,
-                   g_ack: int = 0, g_csi1: int = 0) -> UlschDemuxPlan:
-    """Build the reserved-position plan.
+                   g_ack: int = 0, g_csi1: int = 0,
+                   g_ack_rvd: int = 0, o_ack: int = 3) -> UlschDemuxPlan:
+    """Build the §6.2.7 placement plan.
 
     ``re_per_symbol``: data REs per symbol in the allocation; the G stream is
     frequency-first within each symbol (matching the PUSCH mapper).
+    ``o_ack``: HARQ-ACK payload bit count — <= 2 with ``g_ack_rvd`` > 0
+    selects the reserved/puncture mode.
     """
-    assert g_total == qm * re_per_symbol * len(data_symbols)
-    assert g_ack % qm == 0 and g_csi1 % qm == 0, "UCI lengths align to Qm"
+    m = re_per_symbol
+    assert g_total == qm * m * len(data_symbols)
+    assert g_ack % qm == 0 and g_csi1 % qm == 0 and g_ack_rvd % qm == 0
 
-    # RE index of (symbol position s, re r) in the stream.
-    def re_bits(s, r):
-        return (s * re_per_symbol + r) * qm
+    def bits(res):
+        r = np.asarray(sorted(res), dtype=np.int64)
+        return (r[:, None] * qm + np.arange(qm)[None]).reshape(-1)
 
-    taken = np.zeros((len(data_symbols), re_per_symbol), dtype=bool)
+    # l1: first data symbol after the first DM-RS symbol.
+    l1 = next(l for l in data_symbols if l > first_dmrs_symbol)
+    l1_csi = data_symbols[0]
 
-    def place(n_bits, start_symbol_positions):
-        """Place n_bits/qm REs spread evenly from the given symbol order."""
-        pos = []
-        need = n_bits // qm
-        for s in start_symbol_positions:
-            if need <= 0:
-                break
-            free = np.nonzero(~taken[s])[0]
-            if len(free) == 0:
-                continue
-            take = min(need, len(free))
-            # Even spread across the free REs of this symbol (§6.2.7's d
-            # spacing): pick `take` indices at uniform stride.
-            sel = free[np.linspace(0, len(free) - 1, take).round().astype(int)]
-            sel = np.unique(sel)[:take]
-            taken[s, sel] = True
-            pos.extend(re_bits(s, r) for r in sel)
-            need -= len(sel)
-        assert need == 0, "allocation cannot hold the UCI payload"
-        bits = np.asarray(sorted(pos), dtype=np.int64)
-        return (bits[:, None] + np.arange(qm)[None]).reshape(-1)
+    reserved_mode = (o_ack <= 2) and g_ack_rvd > 0
+    if reserved_mode:
+        rvd_res = _place_res(data_symbols, m, l1, g_ack_rvd // qm, set())
+        n_ack_re = g_ack // qm
+        if n_ack_re:
+            d = len(rvd_res) // n_ack_re
+            ack_res = [sorted(rvd_res)[j * d] for j in range(n_ack_re)]
+        else:
+            ack_res = []
+        csi_res = _place_res(data_symbols, m, l1_csi, g_csi1 // qm,
+                             set(rvd_res)) if g_csi1 else []
+        ack_pos = bits(ack_res)
+        csi_pos = bits(csi_res)
+        # SCH maps through everything except CSI; ACK punctures (erasures).
+        keep = np.ones(g_total, dtype=bool)
+        if len(csi_pos):
+            keep[csi_pos] = False
+        sch_positions = np.flatnonzero(keep).astype(np.int64)
+        erased = np.zeros(g_total, dtype=bool)
+        erased[ack_pos] = True
+        sch_erased = erased[sch_positions]
+    else:
+        ack_res = _place_res(data_symbols, m, l1, g_ack // qm, set()) \
+            if g_ack else []
+        csi_res = _place_res(data_symbols, m, l1_csi, g_csi1 // qm,
+                             set(ack_res)) if g_csi1 else []
+        ack_pos = bits(ack_res)
+        csi_pos = bits(csi_res)
+        keep = np.ones(g_total, dtype=bool)
+        if len(ack_pos):
+            keep[ack_pos] = False
+        if len(csi_pos):
+            keep[csi_pos] = False
+        sch_positions = np.flatnonzero(keep).astype(np.int64)
+        sch_erased = np.zeros(len(sch_positions), dtype=bool)
 
-    # ACK: first data symbol at/after the first DM-RS symbol + 1.
-    ack_order = [i for i, l in enumerate(data_symbols) if l > first_dmrs_symbol]
-    ack_order += [i for i in range(len(data_symbols)) if i not in ack_order]
-    ack_pos = place(g_ack, ack_order) if g_ack else np.empty(0, np.int64)
-    csi_pos = place(g_csi1, range(len(data_symbols))) if g_csi1 \
-        else np.empty(0, np.int64)
-
-    erased = np.zeros(g_total, dtype=bool)
-    erased[ack_pos] = True
-    erased[csi_pos] = True
     return UlschDemuxPlan(g_total=g_total, qm=qm,
                           ack_positions=ack_pos, csi1_positions=csi_pos,
-                          sch_erased=erased,
+                          sch_positions=sch_positions, sch_erased=sch_erased,
                           key=(g_total, qm, re_per_symbol, data_symbols,
-                               first_dmrs_symbol, g_ack, g_csi1))
+                               first_dmrs_symbol, g_ack, g_csi1, g_ack_rvd,
+                               o_ack))
 
 
 def multiplex(sch_bits: jnp.ndarray, plan: UlschDemuxPlan,
               ack_bits: jnp.ndarray | None = None,
               csi1_bits: jnp.ndarray | None = None) -> jnp.ndarray:
-    """(B, G) SCH bits with UCI bits written over the reserved positions."""
-    out = sch_bits
+    """(B, G_sch) SCH bits + UCI bits -> the (B, G) transmitted stream.
+
+    In the skip mode G_sch = G - G_uci and the SCH scatters around the UCI;
+    in the reserved mode G_sch covers the reserved REs too and the ACK
+    overwrites (punctures) its subset afterwards.
+    """
+    b = sch_bits.shape[0]
+    out = jnp.zeros((b, plan.g_total), sch_bits.dtype)
+    out = out.at[:, jnp.asarray(plan.sch_positions)].set(sch_bits)
     if ack_bits is not None and len(plan.ack_positions):
         out = out.at[:, jnp.asarray(plan.ack_positions)].set(
             ack_bits.astype(out.dtype))
@@ -115,14 +163,14 @@ def multiplex(sch_bits: jnp.ndarray, plan: UlschDemuxPlan,
 
 def demultiplex(llrs: jnp.ndarray, plan: UlschDemuxPlan
                 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(B, G) LLRs -> (sch_llrs with erasures zeroed, ack_llrs, csi1_llrs).
+    """(B, G) LLRs -> ((B, G_sch) sch_llrs, ack_llrs, csi1_llrs).
 
-    Punctured SCH positions become LLR 0 (erasures) for the LDPC decoder.
-    """
+    Reserved-mode ACK-punctured SCH positions become LLR 0 (erasures)."""
     ack = llrs[:, jnp.asarray(plan.ack_positions)] if len(plan.ack_positions) \
         else llrs[:, :0]
     csi = llrs[:, jnp.asarray(plan.csi1_positions)] if len(plan.csi1_positions) \
         else llrs[:, :0]
-    sch = jnp.where(jnp.asarray(plan.sch_erased)[None, :], 0.0,
-                    llrs.astype(jnp.float32))
+    sch = llrs[:, jnp.asarray(plan.sch_positions)].astype(jnp.float32)
+    if plan.sch_erased.any():
+        sch = jnp.where(jnp.asarray(plan.sch_erased)[None, :], 0.0, sch)
     return sch, ack, csi

@@ -618,3 +618,65 @@ def test_ofh_uplane_frame_parity(harness, nprb, width, pcid, seq, sfn,
                                                        nprb)
     np.testing.assert_array_equal(exps2, np.asarray(exp).astype(np.uint8))
     np.testing.assert_array_equal(packed2, packed)
+
+
+from srsran_edgeric_5g_tpu.ops import ulsch_demux as ud
+
+
+def _demux_positions(harness, args):
+    """Reconstruct the reference demux's exact source position of every
+    output softbit from three digit-plane runs."""
+    outs = []
+    for mode in (0, 1, 2):
+        out = harness("ulschdemux", *args, mode)
+        g, nsch, nack, ncsi = np.frombuffer(out[:16], np.uint32)
+        o = 16
+        sch = np.frombuffer(out[o:o + int(nsch)], np.int8)
+        o += int(nsch)
+        ack = np.frombuffer(out[o:o + int(nack)], np.int8)
+        o += int(nack)
+        csi = np.frombuffer(out[o:], np.int8)
+        outs.append((sch, ack, csi))
+
+    def pos(i):
+        return ((outs[0][i].astype(np.int64) + 50)
+                + 100 * (outs[1][i].astype(np.int64) + 50)
+                + 10000 * (outs[2][i].astype(np.int64) + 50))
+
+    erased = (outs[0][0] == 0) & (outs[1][0] == 0) & (outs[2][0] == 0)
+    return int(g), pos(0), pos(1), pos(2), erased
+
+
+@pytest.mark.parametrize("nprb,nsym,qm,oack,gack,ocsi,gcsi,grvd", [
+    (26, 14, 6, 4, 24, 8, 48, 0),          # both fields, one symbol each
+    (26, 14, 6, 11, 3000, 0, 0, 0),        # ACK spills into a 2nd symbol
+    (26, 14, 6, 4, 24, 11, 6552, 0),       # CSI crosses the ACK symbol
+    (26, 14, 6, 4, 24, 11, int((312+312+100)*6), 0),  # CSI partial w/ ACK
+    (26, 14, 2, 4, 16, 0, 0, 0),           # QPSK
+    (26, 14, 6, 2, 12, 0, 0, 24),          # o_ack<=2: reserved + puncture
+    (26, 14, 6, 2, 12, 8, 48, 24),         # reserved + CSI
+])
+def test_ulsch_demux_parity(harness, nprb, nsym, qm, oack, gack, ocsi, gcsi,
+                            grvd):
+    """TS 38.212 6.2.7 UL-SCH demultiplex placement vs
+    ulsch_demultiplex_impl: ACK/CSI1 source positions, the SCH stream's kept
+    positions, and the reserved-mode ACK-puncture erasures all agree
+    position-for-position."""
+    g, sch_pos, ack_pos, csi_pos, sch_erased = _demux_positions(
+        harness, (nprb, nsym, qm, oack, gack, ocsi, gcsi, grvd))
+
+    # Mirror the harness grid: DM-RS at slot symbols {2, 11}, type 1 with 2
+    # CDM groups -> DM-RS symbols carry no data.
+    dsyms = tuple(l for l in range(nsym) if l not in (2, 11) or nsym <= 11)
+    plan = ud.get_demux_plan(g, qm, nprb * 12, dsyms, 2, g_ack=gack,
+                             g_csi1=gcsi, g_ack_rvd=grvd, o_ack=oack)
+    np.testing.assert_array_equal(plan.ack_positions, ack_pos)
+    np.testing.assert_array_equal(plan.csi1_positions, csi_pos)
+    # The reference emits SCH in stream order (== our ascending
+    # sch_positions).  Reserved-mode punctured entries are zeroed in its
+    # output, so their source positions are unrecoverable — compare the
+    # erasure mask there and the positions everywhere else.
+    assert len(sch_pos) == plan.sch_len
+    np.testing.assert_array_equal(sch_erased, plan.sch_erased)
+    keep = ~plan.sch_erased
+    np.testing.assert_array_equal(plan.sch_positions[keep], sch_pos[keep])

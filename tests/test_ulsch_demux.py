@@ -20,20 +20,19 @@ def test_plan_properties():
     plan = make_plan(g_ack=16, g_csi1=24)
     assert len(plan.ack_positions) == 16
     assert len(plan.csi1_positions) == 24
-    # No overlap, all within G, erasure mask consistent.
+    # No overlap, all within G; skip mode: SCH excludes the UCI positions.
     all_pos = np.concatenate([plan.ack_positions, plan.csi1_positions])
     assert len(np.unique(all_pos)) == len(all_pos)
     assert all_pos.max() < plan.g_total
-    assert plan.sch_erased.sum() == len(all_pos)
-    # ACK sits after the first DM-RS symbol (symbol 3 => stream offset 0 ok,
-    # since data symbol 3 > dmrs 2): positions aligned to Qm groups.
-    assert (plan.ack_positions % 1 == 0).all()
+    assert plan.sch_len == plan.g_total - len(all_pos)
+    assert not plan.sch_erased.any()
+    assert len(np.intersect1d(plan.sch_positions, all_pos)) == 0
 
 
 def test_multiplex_demultiplex_roundtrip():
     plan = make_plan(g_ack=8, g_csi1=16)
     rng = np.random.default_rng(0)
-    sch = jnp.asarray(rng.integers(0, 2, (2, plan.g_total), dtype=np.int8))
+    sch = jnp.asarray(rng.integers(0, 2, (2, plan.sch_len), dtype=np.int8))
     ack = jnp.asarray(rng.integers(0, 2, (2, 8), dtype=np.int8))
     csi = jnp.asarray(rng.integers(0, 2, (2, 16), dtype=np.int8))
     muxed = ulsch_demux.multiplex(sch, plan, ack, csi)
@@ -43,9 +42,32 @@ def test_multiplex_demultiplex_roundtrip():
                                   np.asarray(ack))
     np.testing.assert_array_equal((np.asarray(csi_llr) < 0).astype(int),
                                   np.asarray(csi))
-    # SCH erasures zeroed exactly at the reserved positions.
-    z = np.asarray(sch_llr) == 0
-    np.testing.assert_array_equal(z[0], plan.sch_erased)
+    # Skip mode: SCH bits come back exactly (no erasures).
+    np.testing.assert_array_equal((np.asarray(sch_llr) < 0).astype(int),
+                                  np.asarray(sch))
+
+
+def test_reserved_mode_puncture():
+    """o_ack <= 2 with reserved REs: SCH maps through all G positions; the
+    ACK punctures reserved[j*floor(n_rvd/n_ack)] and the RX zeroes those
+    SCH LLRs (erasures)."""
+    qm, re_per_symbol = 2, 72
+    g = qm * re_per_symbol * len(DATA_SYMBOLS)
+    plan = ulsch_demux.get_demux_plan(g, qm, re_per_symbol, DATA_SYMBOLS, 2,
+                                      g_ack=8, g_ack_rvd=16, o_ack=2)
+    assert plan.sch_len == g
+    assert plan.sch_erased.sum() == 8
+    # ACK positions are a subset of the reserved placement (every other RE).
+    rng = np.random.default_rng(1)
+    sch = jnp.asarray(rng.integers(0, 2, (1, g), dtype=np.int8))
+    ack = jnp.asarray(rng.integers(0, 2, (1, 8), dtype=np.int8))
+    muxed = ulsch_demux.multiplex(sch, plan, ack)
+    llr = (1.0 - 2.0 * muxed.astype(jnp.float32)) * 9.0
+    sch_llr, ack_llr, _ = ulsch_demux.demultiplex(llr, plan)
+    np.testing.assert_array_equal((np.asarray(ack_llr) < 0).astype(int),
+                                  np.asarray(ack))
+    z = np.asarray(sch_llr)[0] == 0
+    np.testing.assert_array_equal(z, plan.sch_erased)
 
 
 def test_end_to_end_pusch_with_ack_puncture():
@@ -58,9 +80,10 @@ def test_end_to_end_pusch_with_ack_puncture():
     seg = segmenter.get_segment_plan(a, bg, g_total, qm)
     rm = rate_match.get_rate_match_plan(seg.bg, seg.zc, seg.e[0], 0, qm,
                                         seg.k_prime)
-    g_ack = 64  # 2-bit ACK coded to 64 bits
+    g_ack = 64  # 2-bit ACK coded to 64 bits (reserved/puncture mode)
     plan = ulsch_demux.get_demux_plan(g_total, qm, re_per_symbol, DATA_SYMBOLS,
-                                      2, g_ack=g_ack)
+                                      2, g_ack=g_ack, g_ack_rvd=g_ack,
+                                      o_ack=2)
     rng = np.random.default_rng(7)
     payload = jnp.asarray(rng.integers(0, 2, (1, a), dtype=np.int8))
     ack_bits = jnp.asarray([[1, 0]], dtype=jnp.int8)

@@ -82,6 +82,12 @@
 #include "time_alignment_estimator_dft_impl.h"
 #include "prach_generator_impl.h"
 #include "ulsch_demultiplex_impl.h"
+#include "pbch_encoder_impl.h"
+#include "pbch_modulator_impl.h"
+#include "pdcch_encoder_impl.h"
+#include "pss_processor_impl.h"
+#include "sss_processor_impl.h"
+#include "dmrs_pbch_processor_impl.h"
 #include "srsran/phy/upper/channel_processors/pusch/pusch_decoder_buffer.h"
 #include "srsran/phy/upper/channel_processors/pusch/pusch_codeword_buffer.h"
 #include "ofh_uplane_message_builder_static_compression_impl.h"
@@ -841,11 +847,17 @@ public:
     std::abort();
   }
   // writer
-  span<const cf_t> put(unsigned, unsigned, unsigned,
-                       const bounded_bitset<NRE * MAX_RB>&,
-                       span<const cf_t>) override
+  span<const cf_t> put(unsigned, unsigned l, unsigned k_init,
+                       const bounded_bitset<NRE * MAX_RB>& mask,
+                       span<const cf_t> symbols) override
   {
-    std::abort();
+    unsigned count = 0;
+    for (unsigned k = 0; k != mask.size(); ++k) {
+      if (mask.test(k)) {
+        data_[size_t(l) * nsubc_ + k_init + k] = symbols[count++];
+      }
+    }
+    return symbols.last(symbols.size() - count);
   }
   span<const cbf16_t> put(unsigned, unsigned, unsigned,
                           const bounded_bitset<NRE * MAX_RB>&,
@@ -1334,6 +1346,119 @@ int cmd_ulschdemux(unsigned nprb, unsigned nsym, unsigned qm, unsigned oack,
   return 0;
 }
 
+// Complete SS/PBCH block on a local 4 x 240 grid: PSS + SSS + PBCH
+// (payload interleave, 1st scrambling, CRC24C, polar, rate match, 2nd
+// scrambling, QPSK, mapping) + PBCH DM-RS — the reference's full SSB TX.
+int cmd_ssbgrid(unsigned pci, unsigned ssb_idx, unsigned lmax, unsigned hrf,
+                unsigned sfn, unsigned kssb, uint64_t seed)
+{
+  pbch_encoder_impl enc(
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24C),
+      std::make_unique<pseudo_random_generator_impl>(),
+      std::make_unique<polar_interleaver_impl>(),
+      std::make_unique<polar_allocator_impl>(),
+      std::make_unique<polar_code_impl>(),
+      std::make_unique<polar_encoder_impl>(),
+      std::make_unique<polar_rate_matcher_impl>());
+  pbch_modulator_impl mod(std::make_unique<modulation_mapper_lut_impl>(),
+                          std::make_unique<pseudo_random_generator_impl>());
+  pss_processor_impl pss;
+  sss_processor_impl sss;
+  dmrs_pbch_processor_impl dmrs(
+      std::make_unique<pseudo_random_generator_impl>());
+
+  Rng rng(seed);
+  pbch_encoder::pbch_msg_t msg = {};
+  msg.N_id = pci;
+  msg.ssb_idx = ssb_idx;
+  msg.L_max = lmax;
+  msg.hrf = hrf != 0;
+  msg.sfn = sfn;
+  msg.k_ssb = kssb;
+  for (unsigned i = 0; i != 24; ++i) {
+    msg.payload[i] = rng.bit();
+  }
+  std::vector<uint8_t> encoded(pbch_encoder::E, 0);
+  enc.encode(span<uint8_t>(encoded), msg);
+
+  flat_grid grid(4, 240);
+  pss_processor::config_t pcfg;
+  pcfg.phys_cell_id = pci;
+  pcfg.ssb_first_subcarrier = 0;
+  pcfg.ssb_first_symbol = 0;
+  pcfg.amplitude = 1.0f;
+  pcfg.ports.push_back(0);
+  pss.map(grid, pcfg);
+  sss_processor::config_t scfg;
+  scfg.phys_cell_id = pci;
+  scfg.ssb_first_subcarrier = 0;
+  scfg.ssb_first_symbol = 0;
+  scfg.amplitude = 1.0f;
+  scfg.ports.push_back(0);
+  sss.map(grid, scfg);
+  pbch_modulator::config_t mcfg;
+  mcfg.phys_cell_id = pci;
+  mcfg.ssb_idx = ssb_idx;
+  mcfg.ssb_first_subcarrier = 0;
+  mcfg.ssb_first_symbol = 0;
+  mcfg.amplitude = 1.0f;
+  mcfg.ports.push_back(0);
+  mod.put(span<const uint8_t>(encoded), grid, mcfg);
+  dmrs_pbch_processor::config_t dcfg;
+  dcfg.phys_cell_id = pci;
+  dcfg.ssb_idx = ssb_idx;
+  dcfg.L_max = lmax;
+  dcfg.ssb_first_subcarrier = 0;
+  dcfg.ssb_first_symbol = 0;
+  dcfg.hrf = hrf != 0;
+  dcfg.amplitude = 1.0f;
+  dcfg.ports.push_back(0);
+  dmrs.map(grid, dcfg);
+
+  std::vector<uint8_t> payload(24);
+  {
+    Rng rng2(seed);
+    for (unsigned i = 0; i != 24; ++i) {
+      payload[i] = rng2.bit();
+    }
+  }
+  write_bytes(payload.data(), 24);
+  write_bytes(encoded.data(), encoded.size());
+  std::vector<cf_t> out(4 * 240);
+  for (unsigned l = 0; l != 4; ++l) {
+    std::memcpy(&out[l * 240], grid.row(l), 240 * sizeof(cf_t));
+  }
+  write_bytes(out.data(), out.size() * sizeof(cf_t));
+  return 0;
+}
+
+// PDCCH encoder (CRC24C w/ ones prefix + RNTI mask, DCI polar chain).
+int cmd_pdcchenc(unsigned a_bits, unsigned e, unsigned rnti, unsigned nmsg,
+                 uint64_t seed)
+{
+  pdcch_encoder_impl enc(
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24C),
+      std::make_unique<polar_interleaver_impl>(),
+      std::make_unique<polar_allocator_impl>(),
+      std::make_unique<polar_code_impl>(),
+      std::make_unique<polar_encoder_impl>(),
+      std::make_unique<polar_rate_matcher_impl>());
+  Rng rng(seed);
+  std::vector<uint8_t> data(a_bits), encoded(e);
+  pdcch_encoder::config_t cfg;
+  cfg.E = e;
+  cfg.rnti = rnti;
+  for (unsigned m = 0; m != nmsg; ++m) {
+    for (auto& b : data) {
+      b = rng.bit();
+    }
+    enc.encode(span<uint8_t>(encoded), span<const uint8_t>(data), cfg);
+    write_bytes(data.data(), data.size());
+    write_bytes(encoded.data(), encoded.size());
+  }
+  return 0;
+}
+
 } // namespace
 
 int main(int argc, char** argv)
@@ -1391,6 +1516,12 @@ int main(int argc, char** argv)
   }
   if (cmd == "ofdm" && argc >= 10) {
     return cmd_ofdm(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));
+  }
+  if (cmd == "ssbgrid" && argc >= 9) {
+    return cmd_ssbgrid(u(2), u(3), u(4), u(5), u(6), u(7), u(8));
+  }
+  if (cmd == "pdcchenc" && argc >= 7) {
+    return cmd_pdcchenc(u(2), u(3), u(4), u(5), u(6));
   }
   if (cmd == "ulschdemux" && argc >= 11) {
     return cmd_ulschdemux(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9),

@@ -32,7 +32,7 @@ def test_ssb_and_pdcch_overlay_keeps_pdsch_decodable():
     proc = make_proc(ssb_period_slots=1)
     rng = np.random.default_rng(1)
     payloads = jnp.asarray(rng.integers(0, 2, (2, proc.tbs), dtype=np.int8))
-    mib = jnp.asarray(rng.integers(0, 2, (1, 32), dtype=np.int8))
+    mib = jnp.asarray(rng.integers(0, 2, (1, 24), dtype=np.int8))
     dci = jnp.asarray(rng.integers(0, 2, (1, 40), dtype=np.int8))
     # PDSCH allocation starts at symbol 2; SSB occupies symbols 0-3 of low
     # subcarriers, PDCCH symbol 0 — they overlap the PDSCH band partially, so

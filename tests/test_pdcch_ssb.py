@@ -82,7 +82,7 @@ def test_pdcch_multi_dci_interleaved():
 def test_ssb_structure():
     cfg = ssb.SsbConfig(pci=123)
     rng = np.random.default_rng(1)
-    mib = jnp.asarray(rng.integers(0, 2, (1, 32), dtype=np.int8))
+    mib = jnp.asarray(rng.integers(0, 2, (1, 24), dtype=np.int8))
     grid = np.asarray(ssb.process(mib, cfg, nsymb=14, nsubc=240))
     # PSS on symbol 0 subcarriers 56..182, SSS on symbol 2.
     assert (np.abs(grid[0, 56:183]) > 0.9).all()
@@ -99,7 +99,7 @@ def test_ssb_structure():
 def test_pbch_roundtrip():
     cfg = ssb.SsbConfig(pci=77, ssb_index=3)
     rng = np.random.default_rng(2)
-    mib = jnp.asarray(rng.integers(0, 2, (1, 32), dtype=np.int8))
+    mib = jnp.asarray(rng.integers(0, 2, (1, 24), dtype=np.int8))
     grid = ssb.process(mib, cfg, nsymb=14, nsubc=240)
     out, ok = ssb.decode(grid, cfg)
     assert np.asarray(ok).all()
@@ -109,7 +109,7 @@ def test_pbch_roundtrip():
 def test_pbch_awgn():
     cfg = ssb.SsbConfig(pci=101)
     rng = np.random.default_rng(5)
-    mib = jnp.asarray(rng.integers(0, 2, (1, 32), dtype=np.int8))
+    mib = jnp.asarray(rng.integers(0, 2, (1, 24), dtype=np.int8))
     grid = np.asarray(ssb.process(mib, cfg, nsymb=14, nsubc=240))
     noise = (rng.normal(size=grid.shape) + 1j * rng.normal(size=grid.shape)) * 0.25
     rx = jnp.asarray((grid + noise * (np.abs(grid) > 0)).astype(np.complex64))

@@ -83,6 +83,15 @@
 #include "prach_generator_impl.h"
 #include "ulsch_demultiplex_impl.h"
 #include "pbch_encoder_impl.h"
+#include "pdsch_processor_impl.h"
+#include "pdsch_encoder_impl.h"
+#include "pdsch_modulator_impl.h"
+#include "dmrs_pdsch_processor_impl.h"
+#include "ldpc_segmenter_impl.h"
+#include "resource_grid_mapper_impl.h"
+#include "channel_precoder_generic.h"
+#include "srsran/ran/precoding/precoding_codebooks.h"
+#include "srsran/phy/support/precoding_configuration.h"
 #include "pbch_modulator_impl.h"
 #include "pdcch_encoder_impl.h"
 #include "pss_processor_impl.h"
@@ -804,7 +813,11 @@ public:
   flat_grid(unsigned nsymb, unsigned nsubc)
       : nsubc_(nsubc), data_(size_t(nsymb) * nsubc, cf_t()) {}
 
-  cf_t* row(unsigned l) { return &data_[size_t(l) * nsubc_]; }
+  cf_t* row(unsigned l)
+  {
+    fold();
+    return &data_[size_t(l) * nsubc_];
+  }
 
   // reader
   unsigned get_nof_subc() const override { return nsubc_; }
@@ -815,6 +828,7 @@ public:
   span<cf_t> get(span<cf_t> symbols, unsigned, unsigned l, unsigned k_init,
                  const bounded_bitset<MAX_RB * NRE>& mask) const override
   {
+    fold();
     unsigned count = 0;
     for (unsigned k = 0; k != mask.size(); ++k) {
       if (mask.test(k)) {
@@ -831,6 +845,7 @@ public:
   void get(span<cf_t> symbols, unsigned, unsigned l, unsigned k_init,
            unsigned stride) const override
   {
+    fold();
     for (unsigned i = 0; i != symbols.size(); ++i) {
       symbols[i] = data_[size_t(l) * nsubc_ + k_init + i * stride];
     }
@@ -838,19 +853,22 @@ public:
   void get(span<cbf16_t> symbols, unsigned, unsigned l,
            unsigned k_init) const override
   {
+    fold();
     for (unsigned i = 0; i != symbols.size(); ++i) {
       symbols[i] = to_cbf16(data_[size_t(l) * nsubc_ + k_init + i]);
     }
   }
-  span<const cbf16_t> get_view(unsigned, unsigned) const override
+  span<const cbf16_t> get_view(unsigned, unsigned l) const override
   {
-    std::abort();
+    ensure_bf16(l);
+    return span<const cbf16_t>(bf16_rows_[l]);
   }
   // writer
   span<const cf_t> put(unsigned, unsigned l, unsigned k_init,
                        const bounded_bitset<NRE * MAX_RB>& mask,
                        span<const cf_t> symbols) override
   {
+    fold();
     unsigned count = 0;
     for (unsigned k = 0; k != mask.size(); ++k) {
       if (mask.test(k)) {
@@ -868,6 +886,7 @@ public:
   void put(unsigned, unsigned l, unsigned k_init,
            span<const cf_t> symbols) override
   {
+    fold();
     for (unsigned i = 0; i != symbols.size(); ++i) {
       data_[size_t(l) * nsubc_ + k_init + i] = symbols[i];
     }
@@ -875,15 +894,53 @@ public:
   void put(unsigned, unsigned l, unsigned k_init, unsigned stride,
            span<const cbf16_t> symbols) override
   {
+    fold();
     for (unsigned i = 0; i != symbols.size(); ++i) {
       data_[size_t(l) * nsubc_ + k_init + i * stride] = to_cf(symbols[i]);
     }
   }
-  span<cbf16_t> get_view(unsigned, unsigned) override { std::abort(); }
+  // Writable cbf16 view: hand out a shadow row and fold it back into the
+  // cf_t storage on the next access (the mapper writes whole symbols).
+  span<cbf16_t> get_view(unsigned, unsigned l) override
+  {
+    ensure_bf16(l);
+    dirty_[l] = true;
+    return span<cbf16_t>(bf16_rows_[l]);
+  }
 
 private:
+  void ensure_bf16(unsigned l) const
+  {
+    if (bf16_rows_.empty()) {
+      bf16_rows_.resize(data_.size() / nsubc_,
+                        std::vector<cbf16_t>(nsubc_));
+      dirty_.assign(bf16_rows_.size(), false);
+    }
+    fold();
+    for (unsigned k = 0; k != nsubc_; ++k) {
+      bf16_rows_[l][k] = to_cbf16(data_[size_t(l) * nsubc_ + k]);
+    }
+  }
+  // Fold any dirty bf16 view rows back into the cf_t store.  Called at the
+  // start of every accessor so interleaved view writes and direct puts
+  // cannot clobber each other.
+  void fold() const
+  {
+    for (unsigned r = 0; r != bf16_rows_.size(); ++r) {
+      if (dirty_[r]) {
+        for (unsigned k = 0; k != nsubc_; ++k) {
+          const_cast<flat_grid*>(this)->data_[size_t(r) * nsubc_ + k] =
+              to_cf(bf16_rows_[r][k]);
+        }
+        dirty_[r] = false;
+      }
+    }
+  }
+
   unsigned nsubc_;
   std::vector<cf_t> data_;
+  mutable std::vector<std::vector<cbf16_t>> bf16_rows_;
+  mutable std::vector<bool> dirty_;
 };
 
 // OFDM slot modulation + demodulation through the reference's generic
@@ -1459,6 +1516,98 @@ int cmd_pdcchenc(unsigned a_bits, unsigned e, unsigned rnti, unsigned nmsg,
   return 0;
 }
 
+class null_pdsch_notifier : public pdsch_processor_notifier {
+public:
+  void on_finish_processing() override {}
+};
+
+// Full PDSCH processor (segment+CRC -> LDPC -> rate match -> scramble ->
+// QAM -> RG map + DM-RS) onto a one-port grid: the reference's complete DL
+// shared-channel transmit for one PDU.
+int cmd_pdschproc(unsigned bwp_rb, unsigned alloc_rb, unsigned qm,
+                  unsigned rv, unsigned tbs_bytes, unsigned rnti,
+                  unsigned nid, uint64_t seed)
+{
+  ldpc_segmenter_impl::sch_crc crcs{
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC16),
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24A),
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24B)};
+  auto seg = ldpc_segmenter_impl::create_ldpc_segmenter_impl_tx(crcs);
+  auto enc = std::make_unique<pdsch_encoder_impl>(
+      std::move(seg), std::make_unique<ldpc_encoder_generic>(),
+      std::make_unique<ldpc_rate_matcher_impl>());
+  auto mod = std::make_unique<pdsch_modulator_impl>(
+      std::make_unique<modulation_mapper_lut_impl>(),
+      std::make_unique<pseudo_random_generator_impl>());
+  auto dmrs = std::make_unique<dmrs_pdsch_processor_impl>(
+      std::make_unique<pseudo_random_generator_impl>());
+  pdsch_processor_impl proc(std::move(enc), std::move(mod), std::move(dmrs));
+
+  unsigned nsubc = bwp_rb * 12;
+  flat_grid grid(14, nsubc);
+  resource_grid_mapper_impl mapper(1, nsubc, grid,
+                                   std::make_unique<channel_precoder_generic>());
+
+  Rng rng(seed);
+  std::vector<uint8_t> data(tbs_bytes);
+  for (auto& b : data) {
+    b = rng.byte();
+  }
+
+  pdsch_processor::pdu_t pdu = {};
+  pdu.slot = slot_point(0, 0, 0);
+  pdu.rnti = uint16_t(rnti);
+  pdu.bwp_size_rb = bwp_rb;
+  pdu.bwp_start_rb = 0;
+  pdu.cp = cyclic_prefix::NORMAL;
+  pdsch_processor::codeword_description cw;
+  cw.modulation = to_mod(qm);
+  cw.rv = rv;
+  pdu.codewords.push_back(cw);
+  pdu.n_id = nid;
+  pdu.ref_point = pdsch_processor::pdu_t::CRB0;
+  pdu.dmrs_symbol_mask = symbol_slot_mask(14);
+  pdu.dmrs_symbol_mask.set(2);
+  pdu.dmrs_symbol_mask.set(7);
+  pdu.dmrs_symbol_mask.set(11);
+  pdu.dmrs = dmrs_type::TYPE1;
+  pdu.scrambling_id = nid;
+  pdu.n_scid = false;
+  pdu.nof_cdm_groups_without_data = 2;
+  pdu.freq_alloc = rb_allocation::make_type1(0, alloc_rb);
+  pdu.start_symbol_index = 2;
+  pdu.nof_symbols = 12;
+  // Base graph like TS 38.212 7.2.2 at the resulting code rate.
+  unsigned tbs_bits = tbs_bytes * 8;
+  pdu.ldpc_base_graph = (tbs_bits <= 292 ||
+                         (tbs_bits <= 3824))  // small TBs in these tests
+                            ? ldpc_base_graph_type::BG2
+                            : ldpc_base_graph_type::BG1;
+  if (tbs_bits > 3824) {
+    pdu.ldpc_base_graph = ldpc_base_graph_type::BG1;
+  }
+  pdu.tbs_lbrm = tbs_lbrm_default;
+  pdu.ratio_pdsch_dmrs_to_sss_dB = 0.0f;
+  pdu.ratio_pdsch_data_to_sss_dB = 0.0f;
+  pdu.precoding = precoding_configuration::make_wideband(make_single_port());
+
+  null_pdsch_notifier notifier;
+  static_vector<span<const uint8_t>, pdsch_processor::MAX_NOF_TRANSPORT_BLOCKS>
+      data_list;
+  data_list.push_back(span<const uint8_t>(data));
+  proc.process(mapper, notifier, data_list, pdu);
+
+  uint32_t hdr[2] = {nsubc, tbs_bytes};
+  write_bytes(hdr, sizeof(hdr));
+  write_bytes(data.data(), data.size());
+  std::vector<cf_t> out(size_t(14) * nsubc);
+  for (unsigned l = 0; l != 14; ++l) {
+    std::memcpy(&out[size_t(l) * nsubc], grid.row(l), nsubc * sizeof(cf_t));
+  }
+  write_bytes(out.data(), out.size() * sizeof(cf_t));
+  return 0;
+}
+
 } // namespace
 
 int main(int argc, char** argv)
@@ -1516,6 +1665,9 @@ int main(int argc, char** argv)
   }
   if (cmd == "ofdm" && argc >= 10) {
     return cmd_ofdm(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));
+  }
+  if (cmd == "pdschproc" && argc >= 10) {
+    return cmd_pdschproc(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));
   }
   if (cmd == "ssbgrid" && argc >= 9) {
     return cmd_ssbgrid(u(2), u(3), u(4), u(5), u(6), u(7), u(8));

@@ -753,3 +753,39 @@ def test_ssb_grid_parity(harness, pci, ssbi, lmax, hrf, sfn, kssb):
     dec, ok = ssb_model.decode(jnp.asarray(grid_ref), cfg)
     assert bool(np.asarray(ok)[0])
     np.testing.assert_array_equal(np.asarray(dec)[0], payload)
+
+
+from srsran_edgeric_5g_tpu.models import pdsch as pdsch_model
+
+
+@pytest.mark.parametrize("bwp,alloc,qm,rv,tbs_bytes,rnti,nid", [
+    (52, 52, 6, 0, 1000, 0x4601, 1),     # full-BW 64QAM, 1 CB
+    (106, 106, 6, 0, 3000, 0x4602, 500), # 20 MHz, multiple CBs
+    (52, 52, 2, 2, 200, 0xFFFF, 2),      # QPSK, rv 2
+])
+def test_pdsch_processor_grid_parity(harness, bwp, alloc, qm, rv, tbs_bytes,
+                                     rnti, nid):
+    """The COMPLETE reference pdsch_processor (segment+CRC24A/B -> LDPC ->
+    rate match -> scramble -> QAM -> RG map + DM-RS type 1) vs
+    models/pdsch.process: every resource element equal."""
+    out = harness("pdschproc", bwp, alloc, qm, rv, tbs_bytes, rnti, nid, 7)
+    nsubc, nbytes = np.frombuffer(out[:8], dtype=np.uint32)
+    data = np.frombuffer(out[8:8 + int(nbytes)], dtype=np.uint8)
+    grid_ref = np.frombuffer(out[8 + int(nbytes):],
+                             dtype=np.complex64).reshape(14, int(nsubc))
+
+    payload = np.unpackbits(data).astype(np.int8)
+    cfg = pdsch_model.PdschConfig(
+        rnti=rnti, nof_prb=alloc, start_prb=0, first_symbol=2,
+        nof_symbols=12, dmrs_symbols=(2, 7, 11),
+        modulation={2: "qpsk", 4: "qam16", 6: "qam64"}[qm],
+        n_id=nid, tbs=tbs_bytes * 8)
+    grid = np.asarray(pdsch_model.process(jnp.asarray(payload)[None], cfg,
+                                          14, int(nsubc), rv=rv))
+    # The reference grid stores cbf16 (brain-float complex); rounding ours
+    # through bf16 must reproduce it EXACTLY.
+    ours_bf16 = (np.asarray(jnp.asarray(grid.real, jnp.bfloat16),
+                            np.float32)
+                 + 1j * np.asarray(jnp.asarray(grid.imag, jnp.bfloat16),
+                                   np.float32)).astype(np.complex64)
+    np.testing.assert_array_equal(ours_bf16, grid_ref)

@@ -84,6 +84,14 @@
 #include "ulsch_demultiplex_impl.h"
 #include "pbch_encoder_impl.h"
 #include "pdsch_processor_impl.h"
+#include "pusch_processor_impl.h"
+#include "pusch_decoder_impl.h"
+#include "pusch_demodulator_impl.h"
+#include "pusch_codeblock_decoder.h"
+#include "dmrs_pusch_estimator_impl.h"
+#include "uci_decoder_impl.h"
+#include "srsran/phy/upper/unique_rx_buffer.h"
+#include "srsran/ran/pusch/ulsch_info.h"
 #include "pdsch_encoder_impl.h"
 #include "pdsch_modulator_impl.h"
 #include "dmrs_pdsch_processor_impl.h"
@@ -1608,6 +1616,479 @@ int cmd_pdschproc(unsigned bwp_rb, unsigned alloc_rb, unsigned qm,
   return 0;
 }
 
+// Minimal in-harness HARQ rx buffer (the reference pool hands out zeroed
+// reservations).
+class simple_rx_buffer : public unique_rx_buffer::callback {
+public:
+  explicit simple_rx_buffer(unsigned nof_cb)
+      : nof_cb_(nof_cb), crc_(new bool[nof_cb]()), soft_(nof_cb),
+        data_(nof_cb) {}
+  unsigned get_nof_codeblocks() const override { return nof_cb_; }
+  void reset_codeblocks_crc() override
+  {
+    std::fill(crc_.get(), crc_.get() + nof_cb_, false);
+  }
+  span<bool> get_codeblocks_crc() override
+  {
+    return span<bool>(crc_.get(), nof_cb_);
+  }
+  unsigned get_absolute_codeblock_id(unsigned id) const override
+  {
+    return id;
+  }
+  span<log_likelihood_ratio> get_codeblock_soft_bits(unsigned id,
+                                                     unsigned size) override
+  {
+    if (id == 0) {
+      debug_cb0_size = std::max(debug_cb0_size, size);
+    }
+    // Persistent storage across calls (the decoder re-fetches views with
+    // varying sizes): grow-only, never clobber.
+    if (soft_[id].size() < size) {
+      soft_[id].resize(size, 0);
+    }
+    return span<log_likelihood_ratio>(soft_[id].data(), size);
+  }
+  unsigned debug_cb0_size = 0;
+  bit_buffer get_codeblock_data_bits(unsigned id, unsigned size) override
+  {
+    // The decoder re-fetches this view when assembling the TB — the
+    // storage must persist across calls (grow-only).
+    if (!data_[id] || data_[id]->size() < size) {
+      data_[id] = std::make_unique<dynamic_bit_buffer>(
+          std::max(size, 8u * 16384u));
+    }
+    return data_[id]->first(size);
+  }
+  void lock() override {}
+  void unlock() override {}
+  void release() override {}
+
+private:
+  unsigned nof_cb_;
+  std::unique_ptr<bool[]> crc_;
+  std::vector<std::vector<log_likelihood_ratio>> soft_;
+  std::vector<std::unique_ptr<dynamic_bit_buffer>> data_;
+};
+
+class capture_pusch_notifier : public pusch_processor_result_notifier {
+public:
+  void on_uci(const pusch_processor_result_control&) override {}
+  void on_sch(const pusch_processor_result_data& sch) override
+  {
+    ok = sch.data.tb_crc_ok;
+    sinr_dB = sch.csi.get_sinr_dB().value_or(NAN);
+    got = true;
+  }
+  bool got = false;
+  bool ok = false;
+  float sinr_dB = NAN;
+};
+
+// Recording pusch_codeword_buffer: captures the demodulated codeword LLR
+// stream (post descramble) for stage-level debugging.
+class record_codeword_buffer : public pusch_codeword_buffer {
+public:
+  std::vector<log_likelihood_ratio> data;
+  std::vector<log_likelihood_ratio> scratch;
+  span<log_likelihood_ratio> get_next_block_view(unsigned n) override
+  {
+    scratch.resize(n);
+    return span<log_likelihood_ratio>(scratch);
+  }
+  void on_new_block(span<const log_likelihood_ratio> d,
+                    const bit_buffer&) override
+  {
+    data.insert(data.end(), d.begin(), d.end());
+  }
+  void on_end_codeword() override {}
+};
+
+// Probe: estimator + demodulator only — dumps the descrambled codeword LLR
+// stream from a grid on stdin.
+int cmd_puschdemod(unsigned nprb, unsigned qm, unsigned rnti, unsigned nid,
+                   unsigned dmrs3)
+{
+  unsigned nsubc = nprb * 12;
+  flat_grid grid(14, nsubc);
+  {
+    std::vector<cf_t> buf(size_t(14) * nsubc);
+    if (std::fread(buf.data(), sizeof(cf_t), buf.size(), stdin)
+        != buf.size()) {
+      return 3;
+    }
+    for (unsigned l = 0; l != 14; ++l) {
+      std::memcpy(grid.row(l), &buf[size_t(l) * nsubc],
+                  nsubc * sizeof(cf_t));
+    }
+  }
+  dmrs_pusch_estimator_impl estimator(
+      std::make_unique<pseudo_random_generator_impl>(),
+      std::make_unique<port_channel_estimator_average_impl>(
+          std::make_unique<interpolator_linear_impl>(),
+          std::make_unique<time_alignment_estimator_dft_impl>(
+              std::make_unique<dft_processor_generic_impl>(
+                  dft_processor::configuration{
+                      time_alignment_estimator_dft_impl::dft_size,
+                      dft_processor::direction::INVERSE})),
+          port_channel_estimator_fd_smoothing_strategy::filter, true));
+  pusch_demodulator_impl demod(
+      std::make_unique<channel_equalizer_generic_impl>(
+          channel_equalizer_algorithm_type::mmse),
+      nullptr, std::make_unique<demodulation_mapper_impl>(), nullptr,
+      std::make_unique<pseudo_random_generator_impl>(), nprb, false);
+
+  dmrs_pusch_estimator::configuration est_cfg;
+  est_cfg.slot = slot_point(0, 0, 0);
+  est_cfg.type = dmrs_type::TYPE1;
+  est_cfg.scrambling_id = nid;
+  est_cfg.n_scid = false;
+  est_cfg.scaling = 1.0f;
+  est_cfg.c_prefix = cyclic_prefix::NORMAL;
+  est_cfg.symbols_mask = bounded_bitset<MAX_NSYMB_PER_SLOT>(14);
+  est_cfg.symbols_mask.set(2);
+  if (dmrs3) {
+    est_cfg.symbols_mask.set(7);
+  }
+  est_cfg.symbols_mask.set(11);
+  est_cfg.rb_mask = bounded_bitset<MAX_RB>(nprb);
+  est_cfg.rb_mask.fill(0, nprb, true);
+  est_cfg.first_symbol = 2;
+  est_cfg.nof_symbols = 12;
+  est_cfg.nof_tx_layers = 1;
+  est_cfg.rx_ports.push_back(0);
+
+  channel_estimate::channel_estimate_dimensions dims;
+  dims.nof_prb = nprb;
+  dims.nof_symbols = 14;
+  dims.nof_rx_ports = 1;
+  dims.nof_tx_layers = 1;
+  channel_estimate ce(dims);
+  estimator.estimate(ce, grid, est_cfg);
+
+  pusch_demodulator::configuration cfg;
+  cfg.rnti = rnti;
+  cfg.rb_mask = bounded_bitset<MAX_RB>(nprb);
+  cfg.rb_mask.fill(0, nprb, true);
+  cfg.modulation = to_mod(qm);
+  cfg.start_symbol_index = 2;
+  cfg.nof_symbols = 12;
+  cfg.dmrs_symb_pos = est_cfg.symbols_mask;
+  cfg.dmrs_config_type = dmrs_type::TYPE1;
+  cfg.nof_cdm_groups_without_data = 2;
+  cfg.n_id = nid;
+  cfg.nof_tx_layers = 1;
+  cfg.enable_transform_precoding = false;
+  cfg.rx_ports.push_back(0);
+
+  class null_demod_notifier : public pusch_demodulator_notifier {
+  public:
+    void on_provisional_stats(const demodulation_stats&) override {}
+    void on_end_stats(const demodulation_stats&) override {}
+  } dn;
+
+  // Route through the UL-SCH demultiplexer exactly like the processor does.
+  ulsch_demultiplex_impl demux;
+  ulsch_demultiplex::configuration dcfg;
+  dcfg.modulation = to_mod(qm);
+  dcfg.nof_layers = 1;
+  dcfg.nof_prb = nprb;
+  dcfg.start_symbol_index = 2;
+  dcfg.nof_symbols = 12;
+  dcfg.nof_harq_ack_rvd = 12;
+  dcfg.dmrs = dmrs_type::TYPE1;
+  dcfg.dmrs_symbol_mask = est_cfg.symbols_mask;
+  dcfg.nof_cdm_groups_without_data = 2;
+  dcfg.nof_harq_ack_bits = 0;
+  dcfg.nof_enc_harq_ack_bits = 0;
+  dcfg.nof_csi_part1_bits = 0;
+  dcfg.nof_enc_csi_part1_bits = 0;
+  // Print the processor-derived UL-SCH info for this configuration.
+  {
+    ulsch_configuration ucfg = {};
+    ucfg.tbs = units::bits(8000);
+    ucfg.mcs_descr.modulation = to_mod(qm);
+    ucfg.mcs_descr.target_code_rate = 0.5f;
+    ucfg.nof_harq_ack_bits = units::bits(0);
+    ucfg.nof_csi_part1_bits = units::bits(0);
+    ucfg.nof_csi_part2_bits = units::bits(0);
+    ucfg.alpha_scaling = 1.0f;
+    ucfg.beta_offset_harq_ack = 1.0f;
+    ucfg.beta_offset_csi_part1 = 1.0f;
+    ucfg.beta_offset_csi_part2 = 1.0f;
+    ucfg.nof_rb = nprb;
+    ucfg.start_symbol_index = 2;
+    ucfg.nof_symbols = 12;
+    ucfg.dmrs_type = dmrs_config_type::type1;
+    ucfg.dmrs_symbol_mask = est_cfg.symbols_mask;
+    ucfg.nof_cdm_groups_without_data = 2;
+    ucfg.nof_layers = 1;
+    ulsch_information info = get_ulsch_information(ucfg);
+    std::fprintf(stderr,
+                 "ulsch_info: ul_sch_bits=%llu harq_rvd=%llu dmrs_re?=.. \n",
+                 (unsigned long long)info.nof_ul_sch_bits.value(),
+                 (unsigned long long)info.nof_harq_ack_rvd.value());
+  }
+  record_buffer sch, ack, csi;
+  pusch_codeword_buffer& cwb = demux.demultiplex(sch, ack, csi, dcfg);
+  demod.demodulate(cwb, dn, grid, ce, cfg);
+
+  uint32_t n = sch.data.size();
+  write_bytes(&n, 4);
+  std::vector<int8_t> d(n);
+  for (unsigned i = 0; i != n; ++i) {
+    d[i] = sch.data[i].to_int();
+  }
+  write_bytes(d.data(), n);
+  return 0;
+}
+
+class capture_decoder_notifier : public pusch_decoder_notifier {
+public:
+  void on_sch_data(const pusch_decoder_result& r) override
+  {
+    ok = r.tb_crc_ok;
+    got = true;
+  }
+  bool got = false, ok = false;
+};
+
+// Probe: the reference pusch_decoder alone — codeword LLR stream on stdin.
+int cmd_puschdec(unsigned nprb, unsigned qm, unsigned rv,
+                 unsigned tbs_bytes, unsigned e_total)
+{
+  std::vector<log_likelihood_ratio> stream(e_total);
+  {
+    std::vector<int8_t> raw(e_total);
+    if (std::fread(raw.data(), 1, e_total, stdin) != e_total) {
+      return 3;
+    }
+    for (unsigned i = 0; i != e_total; ++i) {
+      stream[i] = raw[i];
+    }
+  }
+  pusch_codeblock_decoder::sch_crc cb_crcs{
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC16),
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24A),
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24B)};
+  std::vector<std::unique_ptr<pusch_codeblock_decoder>> cb_decoders;
+  cb_decoders.push_back(std::make_unique<pusch_codeblock_decoder>(
+      std::unique_ptr<ldpc_rate_dematcher>(
+          std::make_unique<ldpc_rate_dematcher_impl>()),
+      std::unique_ptr<ldpc_decoder>(std::make_unique<ldpc_decoder_generic>()),
+      cb_crcs));
+  auto decoder_pool =
+      std::make_shared<pusch_decoder_impl::codeblock_decoder_pool>(
+          std::move(cb_decoders));
+  pusch_decoder_impl decoder(
+      ldpc_segmenter_impl::create_ldpc_segmenter_impl_rx(), decoder_pool,
+      pusch_decoder_impl::sch_crc{
+          std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC16),
+          std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24A),
+          std::make_unique<crc_calculator_lut_impl>(
+              crc_generator_poly::CRC24B)},
+      nullptr, nprb, 1);
+
+  unsigned tbs_bits = tbs_bytes * 8;
+  pusch_decoder::configuration dcfg;
+  dcfg.base_graph = (tbs_bits > 3824) ? ldpc_base_graph_type::BG1
+                                      : ldpc_base_graph_type::BG2;
+  dcfg.rv = rv;
+  dcfg.mod = to_mod(qm);
+  dcfg.Nref = ldpc::compute_N_ref(
+      tbs_lbrm_default,
+      ldpc::compute_nof_codeblocks(units::bits(tbs_bits), dcfg.base_graph))
+      .value();
+  dcfg.nof_layers = 1;
+  dcfg.nof_ldpc_iterations = 6;
+  dcfg.use_early_stop = true;
+  dcfg.new_data = true;
+
+  unsigned nof_cb = ldpc::compute_nof_codeblocks(units::bits(tbs_bits),
+                                                 dcfg.base_graph);
+  simple_rx_buffer buffer(nof_cb);
+  capture_decoder_notifier dn;
+  std::vector<uint8_t> data(tbs_bytes, 0);
+  pusch_decoder_buffer& in = decoder.new_data(
+      span<uint8_t>(data), unique_rx_buffer(buffer), dn, dcfg);
+  decoder.set_nof_softbits(units::bits(e_total));
+  in.on_new_softbits(span<const log_likelihood_ratio>(stream));
+  in.on_end_softbits();
+
+  uint8_t okb = dn.got && dn.ok;
+  write_bytes(&okb, 1);
+  write_bytes(data.data(), data.size());
+  return 0;
+}
+
+// Full reference PUSCH receiver (DM-RS chest -> MMSE -> demap ->
+// descramble -> rate dematch -> LDPC decode -> CRC) on a grid read from
+// STDIN — used to prove the reference gNB decodes OUR transmit.
+int cmd_puschproc(unsigned nprb, unsigned qm, unsigned rv,
+                  unsigned tbs_bytes, unsigned rnti, unsigned nid,
+                  unsigned iters, unsigned dmrs3)
+{
+  unsigned nsubc = nprb * 12;
+  // Read the 14 x nsubc complex64 grid from stdin.
+  flat_grid grid(14, nsubc);
+  {
+    std::vector<cf_t> buf(size_t(14) * nsubc);
+    size_t n = std::fread(buf.data(), sizeof(cf_t), buf.size(), stdin);
+    if (n != buf.size()) {
+      std::fprintf(stderr, "short grid read: %zu\n", n);
+      return 3;
+    }
+    for (unsigned l = 0; l != 14; ++l) {
+      std::memcpy(grid.row(l), &buf[size_t(l) * nsubc],
+                  nsubc * sizeof(cf_t));
+    }
+  }
+
+  // Build the processor.
+  auto estimator = std::make_unique<dmrs_pusch_estimator_impl>(
+      std::make_unique<pseudo_random_generator_impl>(),
+      std::make_unique<port_channel_estimator_average_impl>(
+          std::make_unique<interpolator_linear_impl>(),
+          std::make_unique<time_alignment_estimator_dft_impl>(
+              std::make_unique<dft_processor_generic_impl>(
+                  dft_processor::configuration{
+                      time_alignment_estimator_dft_impl::dft_size,
+                      dft_processor::direction::INVERSE})),
+          port_channel_estimator_fd_smoothing_strategy::filter,
+          /*compensate_cfo=*/true));
+  auto demodulator = std::make_unique<pusch_demodulator_impl>(
+      std::make_unique<channel_equalizer_generic_impl>(
+          channel_equalizer_algorithm_type::mmse),
+      nullptr, std::make_unique<demodulation_mapper_impl>(), nullptr,
+      std::make_unique<pseudo_random_generator_impl>(), nprb, false);
+  auto demux = std::make_unique<ulsch_demultiplex_impl>();
+  auto uci_dec = std::make_unique<uci_decoder_impl>(
+      std::make_unique<short_block_detector_impl>(),
+      std::make_unique<polar_code_impl>(),
+      std::make_unique<polar_rate_dematcher_impl>(),
+      std::make_unique<polar_decoder_impl>(
+          std::make_unique<polar_encoder_impl>(), 10),
+      std::make_unique<polar_deallocator_impl>(),
+      std::make_unique<crc_calculator_generic_impl>(crc_generator_poly::CRC6),
+      std::make_unique<crc_calculator_generic_impl>(
+          crc_generator_poly::CRC11));
+
+  auto make_crcs = [] {
+    return pusch_decoder_impl::sch_crc{
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC16),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24A),
+        std::make_unique<crc_calculator_lut_impl>(
+            crc_generator_poly::CRC24B)};
+  };
+  pusch_codeblock_decoder::sch_crc cb_crcs{
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC16),
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24A),
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24B)};
+  std::vector<std::unique_ptr<pusch_codeblock_decoder>> cb_decoders;
+  cb_decoders.push_back(std::make_unique<pusch_codeblock_decoder>(
+      std::unique_ptr<ldpc_rate_dematcher>(
+          std::make_unique<ldpc_rate_dematcher_impl>()),
+      std::unique_ptr<ldpc_decoder>(std::make_unique<ldpc_decoder_generic>()),
+      cb_crcs));
+  auto decoder_pool =
+      std::make_shared<pusch_decoder_impl::codeblock_decoder_pool>(
+          std::move(cb_decoders));
+  auto decoder = std::make_unique<pusch_decoder_impl>(
+      ldpc_segmenter_impl::create_ldpc_segmenter_impl_rx(), decoder_pool,
+      make_crcs(), nullptr, nprb, 1);
+
+  channel_estimate::channel_estimate_dimensions ce_dims;
+  ce_dims.nof_prb = nprb;
+  ce_dims.nof_symbols = 14;
+  ce_dims.nof_rx_ports = 1;
+  ce_dims.nof_tx_layers = 1;
+
+  std::vector<std::unique_ptr<
+      pusch_processor_impl::concurrent_dependencies>> deps;
+  deps.push_back(
+      std::make_unique<pusch_processor_impl::concurrent_dependencies>(
+          std::move(estimator), std::move(demodulator), std::move(demux),
+          std::move(uci_dec), ce_dims));
+  pusch_processor_impl::configuration cfg;
+  cfg.thread_local_dependencies_pool = std::make_shared<
+      pusch_processor_impl::concurrent_dependencies_pool_type>(
+      std::move(deps));
+  cfg.decoder = std::move(decoder);
+  cfg.dec_nof_iterations = iters;
+  cfg.dec_enable_early_stop = true;
+  cfg.csi_sinr_calc_method =
+      channel_state_information::sinr_type::channel_estimator;
+  pusch_processor_impl proc(cfg);
+
+  pusch_processor::pdu_t pdu = {};
+  pdu.slot = slot_point(0, 0, 0);
+  pdu.rnti = uint16_t(rnti);
+  pdu.bwp_size_rb = nprb;
+  pdu.bwp_start_rb = 0;
+  pdu.cp = cyclic_prefix::NORMAL;
+  pusch_processor::codeword_description cw;
+  cw.rv = rv;
+  unsigned tbs_bits = tbs_bytes * 8;
+  cw.ldpc_base_graph = (tbs_bits > 3824) ? ldpc_base_graph_type::BG1
+                                         : ldpc_base_graph_type::BG2;
+  cw.new_data = true;
+  pdu.codeword = cw;
+  switch (qm) {
+    case 2: pdu.mcs_descr.modulation = modulation_scheme::QPSK; break;
+    case 4: pdu.mcs_descr.modulation = modulation_scheme::QAM16; break;
+    default: pdu.mcs_descr.modulation = modulation_scheme::QAM64; break;
+  }
+  pdu.mcs_descr.target_code_rate = 0.5f;
+  pdu.n_id = nid;
+  pdu.nof_tx_layers = 1;
+  pdu.rx_ports.push_back(0);
+  pdu.dmrs_symbol_mask = symbol_slot_mask(14);
+  pdu.dmrs_symbol_mask.set(2);
+  if (dmrs3) {
+    pdu.dmrs_symbol_mask.set(7);
+  }
+  pdu.dmrs_symbol_mask.set(11);
+  pdu.dmrs = dmrs_type::TYPE1;
+  pdu.scrambling_id = nid;
+  pdu.n_scid = false;
+  pdu.nof_cdm_groups_without_data = 2;
+  pdu.freq_alloc = rb_allocation::make_type1(0, nprb);
+  pdu.start_symbol_index = 2;
+  pdu.nof_symbols = 12;
+  pdu.tbs_lbrm = tbs_lbrm_default;
+  pdu.uci.nof_harq_ack = 0;
+  pdu.uci.nof_csi_part1 = 0;
+  pdu.uci.alpha_scaling = 1.0f;
+  pdu.uci.beta_offset_harq_ack = 1.0f;
+  pdu.uci.beta_offset_csi_part1 = 1.0f;
+  pdu.uci.beta_offset_csi_part2 = 1.0f;
+
+  // Estimate codeblock count for the buffer.
+  unsigned nof_cb =
+      ldpc::compute_nof_codeblocks(units::bits(tbs_bits), cw.ldpc_base_graph);
+  simple_rx_buffer buffer(nof_cb);
+  capture_pusch_notifier notifier;
+  std::vector<uint8_t> data(tbs_bytes, 0);
+  proc.process(span<uint8_t>(data), unique_rx_buffer(buffer), notifier,
+               grid, pdu);
+
+  uint8_t okb = notifier.got && notifier.ok;
+  write_bytes(&okb, 1);
+  write_bytes(&notifier.sinr_dB, 4);
+  write_bytes(data.data(), data.size());
+  // Debug tail: the dematched soft bits of codeblock 0 (int8), if any.
+  auto soft = buffer.get_codeblock_soft_bits(
+      0, buffer.debug_cb0_size ? buffer.debug_cb0_size : 1);
+  std::vector<int8_t> sdump(soft.size());
+  for (size_t i = 0; i != soft.size(); ++i) {
+    sdump[i] = soft[i].to_int();
+  }
+  uint32_t ns = sdump.size();
+  write_bytes(&ns, 4);
+  write_bytes(sdump.data(), sdump.size());
+  return 0;
+}
+
 } // namespace
 
 int main(int argc, char** argv)
@@ -1665,6 +2146,15 @@ int main(int argc, char** argv)
   }
   if (cmd == "ofdm" && argc >= 10) {
     return cmd_ofdm(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));
+  }
+  if (cmd == "puschdec" && argc >= 7) {
+    return cmd_puschdec(u(2), u(3), u(4), u(5), u(6));
+  }
+  if (cmd == "puschdemod" && argc >= 7) {
+    return cmd_puschdemod(u(2), u(3), u(4), u(5), u(6));
+  }
+  if (cmd == "puschproc" && argc >= 10) {
+    return cmd_puschproc(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));
   }
   if (cmd == "pdschproc" && argc >= 10) {
     return cmd_pdschproc(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));

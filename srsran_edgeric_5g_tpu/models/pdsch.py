@@ -149,11 +149,19 @@ def pilot_values(cfg: PdschConfig, l: int, pat) -> jnp.ndarray:
 
 
 def map_to_grid(symbols: jnp.ndarray, cfg: PdschConfig, nsymb: int,
-                nsubc: int, amplitude: float = 1.0) -> jnp.ndarray:
+                nsubc: int, amplitude: float = 1.0,
+                dmrs_scale: float = 1.0) -> jnp.ndarray:
     """(1, nof_data_re) symbols -> (nsymb, nsubc) grid contribution.
 
     Frequency-first mapping across the allocation, symbols in time order,
-    plus DM-RS pilots on the configured symbols.
+    plus DM-RS pilots on the configured symbols.  ``dmrs_scale`` is the
+    DM-RS-to-data amplitude ratio beta: 1.0 for the DL defaults
+    (cross-validated vs pdsch_processor at 0 dB EPRE ratios); the PUSCH
+    paths pass sqrt(2) — the reference receiver ASSUMES the TS 38.214
+    3 dB DM-RS boost for 2 CDM groups without data
+    (get_sch_to_dmrs_ratio_dB, dmrs_pusch_estimator scaling), and an
+    unboosted transmit scales its equalized constellation by sqrt(2),
+    breaking every modulation above QPSK.
     """
     sc0 = cfg.start_prb * N_SC_PER_PRB
     width = cfg.nof_prb * N_SC_PER_PRB
@@ -165,7 +173,7 @@ def map_to_grid(symbols: jnp.ndarray, cfg: PdschConfig, nsymb: int,
     pat = dmrs_mod.dmrs_pattern(1, cfg.nof_prb, port=0)
     for l in cfg.dmrs_symbols:
         pil = pilot_values(cfg, l, pat)
-        vals = pil * jnp.asarray(pat.wf) * jnp.float32(amplitude)
+        vals = pil * jnp.asarray(pat.wf) * jnp.float32(amplitude * dmrs_scale)
         grid = grid.at[l, jnp.asarray(pat.subcarriers + sc0)].set(vals)
     return grid
 

@@ -13,9 +13,12 @@ and an optional HARQ soft buffer.
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax.numpy as jnp
 import numpy as np
+
+PUSCH_DMRS_BETA = float(np.sqrt(2.0))  # DM-RS 3 dB above data (2 CDM groups w/o data, TS 38.214)
 
 from ..ops import channel_est, dmrs as dmrs_mod, equalizer, modulation, \
     sequences, short_block, ulsch_demux
@@ -81,7 +84,10 @@ def transmit(payload: jnp.ndarray, cfg: PdschConfig, nsymb: int, nsubc: int,
     if cfg.transform_precoding:
         from ..ops import precoding
         syms = precoding.transform_precode(syms, cfg.nof_prb * N_SC_PER_PRB)
-    return pdsch_mod.map_to_grid(syms, cfg, nsymb, nsubc)
+    # PUSCH DM-RS is 3 dB above data (2 CDM groups w/o data, TS 38.214;
+    # the reference receiver assumes it — see map_to_grid docstring).
+    return pdsch_mod.map_to_grid(syms, cfg, nsymb, nsubc,
+                                 dmrs_scale=PUSCH_DMRS_BETA)
 
 
 @dataclasses.dataclass
@@ -117,7 +123,9 @@ def channel_estimate(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
     for l in cfg.dmrs_symbols:
         pil = pilot_values(cfg, l, pat)      # Gold QPSK / low-PAPR ZC
         ref_p.append(pil * jnp.asarray(pat.wf))
-        rx_p.append(rx_grid[l, jnp.asarray(pat.subcarriers + sc0)])
+        # Undo the TS 38.214 3 dB DM-RS boost (ls_estimate wants |P|=1).
+        rx_p.append(rx_grid[l, jnp.asarray(pat.subcarriers + sc0)]
+                    * jnp.float32(1.0 / PUSCH_DMRS_BETA))
     rx_pilots = jnp.stack(rx_p)[None]      # (1, ndmrs, npil)
     ref_pilots = jnp.stack(ref_p)[None]
     times = np.asarray([symbol_times[l] for l in cfg.dmrs_symbols])

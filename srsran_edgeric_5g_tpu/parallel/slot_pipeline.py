@@ -184,7 +184,11 @@ def _dl_grid_ofdm(syms: jnp.ndarray, cell: CellConfig) -> jnp.ndarray:
             rows.append(jnp.concatenate([left, band[next(data_iter)], right]))
         elif l in cell.dmrs_symbols:
             i = cell.dmrs_symbols.index(l)
-            pil = pilots[i, p0:p0 + npil_span]
+            # PUSCH DM-RS rides 3 dB above data (2 CDM groups w/o data,
+            # TS 38.214) — the reference receiver assumes this ratio
+            # (dmrs_pusch_estimator scaling), interop-validated in
+            # test_reference_parity::test_reference_receiver_decodes_our_pusch.
+            pil = pilots[i, p0:p0 + npil_span] * np.float32(np.sqrt(2.0))
             row_span = jnp.stack([pil, jnp.zeros_like(pil)], axis=-1).reshape(span)
             rows.append(jnp.concatenate([left, row_span, right]))
         else:
@@ -293,6 +297,9 @@ def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
     rx_p = rx_p.reshape(s, ndmrs, u, npil_ue).transpose(0, 2, 1, 3)
     rx_p = rx_p.reshape(s * u, ndmrs, npil_ue)
     p0 = 6 * cell.first_prb
+    # Undo the TS 38.214 3 dB DM-RS boost (see TX side) on the RX pilots —
+    # ls_estimate's conj-product convention needs unit-amplitude references.
+    rx_p = rx_p * np.float32(1.0 / np.sqrt(2.0))
     ref_p = pilots[:, p0:p0 + len(span_pat.subcarriers)]
     ref_p = ref_p.reshape(ndmrs, u, npil_ue).transpose(1, 0, 2)
     ref_p = jnp.tile(ref_p, (s, 1, 1))                     # (S*U, ndmrs, npil)

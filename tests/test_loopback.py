@@ -212,6 +212,14 @@ def test_transmit_equals_pdsch_process_without_uci():
     rng = np.random.default_rng(1)
     payload = jnp.asarray(rng.integers(0, 2, (1, cfg.derived_tbs()),
                                        dtype=np.int8))
-    g1 = pusch_mod.transmit(payload, cfg, t.nsymb, t.nof_subc)
-    g2 = pdsch.process(payload, cfg, t.nsymb, t.nof_subc)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+    g1 = np.asarray(pusch_mod.transmit(payload, cfg, t.nsymb, t.nof_subc))
+    g2 = np.asarray(pdsch.process(payload, cfg, t.nsymb, t.nof_subc))
+    # Data REs identical; PUSCH DM-RS rides 3 dB above the PDSCH DM-RS
+    # (TS 38.214, 2 CDM groups without data).
+    from srsran_edgeric_5g_tpu.ops import dmrs as dmrs_mod
+    pat = dmrs_mod.dmrs_pattern(1, cfg.nof_prb, port=0)
+    dm = np.zeros(g1.shape, bool)
+    for l in cfg.dmrs_symbols:
+        dm[l, pat.subcarriers + cfg.start_prb * 12] = True
+    np.testing.assert_allclose(g1[~dm], g2[~dm], atol=1e-6)
+    np.testing.assert_allclose(g1[dm], g2[dm] * np.sqrt(2.0), atol=1e-5)

@@ -789,3 +789,52 @@ def test_pdsch_processor_grid_parity(harness, bwp, alloc, qm, rv, tbs_bytes,
                  + 1j * np.asarray(jnp.asarray(grid.imag, jnp.bfloat16),
                                    np.float32)).astype(np.complex64)
     np.testing.assert_array_equal(ours_bf16, grid_ref)
+
+
+from srsran_edgeric_5g_tpu.models import pusch as pusch_model
+
+
+@pytest.mark.parametrize("nprb,qm,tbs_bytes,snr_db", [
+    (52, 6, 1000, None),    # clean channel
+    (52, 6, 1000, 25.0),    # AWGN
+    (106, 2, 500, 20.0),    # QPSK 20 MHz
+])
+def test_reference_receiver_decodes_our_pusch(harness, nprb, qm, tbs_bytes,
+                                              snr_db):
+    """INTEROP: the reference's COMPLETE PUSCH receiver
+    (pusch_processor_impl: DM-RS channel estimation -> MMSE -> demap ->
+    descramble -> rate dematch -> LDPC decode -> CRC) decodes a transport
+    block transmitted by OUR PUSCH model, through AWGN."""
+    import subprocess as sp
+
+    rnti, nid, rv = 0x4601, 1, 0
+    rng = np.random.default_rng(3)
+    payload = rng.integers(0, 2, (1, tbs_bytes * 8), dtype=np.int8)
+    cfg = pusch_model.PdschConfig(
+        rnti=rnti, nof_prb=nprb, start_prb=0, first_symbol=2,
+        nof_symbols=12, dmrs_symbols=(2, 11),
+        modulation={2: "qpsk", 4: "qam16", 6: "qam64"}[qm],
+        n_id=nid, tbs=tbs_bytes * 8)
+    grid = np.asarray(pusch_model.transmit(jnp.asarray(payload), cfg, 14,
+                                           nprb * 12))
+    if snr_db is not None:
+        sig = np.mean(np.abs(grid[grid != 0]) ** 2)
+        sigma = np.sqrt(sig * 10 ** (-snr_db / 10) / 2)
+        noise = (rng.normal(size=grid.shape)
+                 + 1j * rng.normal(size=grid.shape)) * sigma
+        grid = (grid + noise).astype(np.complex64)
+
+    r = sp.run([str(HARNESS), "puschproc", str(nprb), str(qm), "0",
+                str(tbs_bytes), str(rnti), str(nid), "6", "0"],
+               input=grid.astype(np.complex64).tobytes(),
+               capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-400:]
+    out = r.stdout
+    ok = out[0]
+    sinr = np.frombuffer(out[1:5], dtype=np.float32)[0]
+    data = np.frombuffer(out[5:5 + tbs_bytes], dtype=np.uint8)
+    assert ok == 1, f"reference CRC failed (sinr {sinr:.1f} dB)"
+    np.testing.assert_array_equal(np.unpackbits(data),
+                                  payload[0].astype(np.uint8))
+    if snr_db is not None:
+        assert abs(sinr - snr_db) < 6.0, sinr

@@ -81,6 +81,10 @@
 #include "interpolator_linear_impl.h"
 #include "time_alignment_estimator_dft_impl.h"
 #include "prach_generator_impl.h"
+#include "prach_detector_generic_impl.h"
+#include "pucch_detector_format0.h"
+#include "low_papr_sequence_collection_impl.h"
+#include "srsran/phy/support/prach_buffer.h"
 #include "ulsch_demultiplex_impl.h"
 #include "pbch_encoder_impl.h"
 #include "pdsch_processor_impl.h"
@@ -2089,6 +2093,160 @@ int cmd_puschproc(unsigned nprb, unsigned qm, unsigned rv,
   return 0;
 }
 
+// Single-occasion PRACH buffer fake (long preamble, 1 port).
+class simple_prach_buffer : public prach_buffer {
+public:
+  simple_prach_buffer(unsigned nsym, unsigned l)
+      : nsym_(nsym), l_(l), data_(size_t(nsym) * l) {}
+  unsigned get_max_nof_ports() const override { return 1; }
+  unsigned get_max_nof_td_occasions() const override { return 1; }
+  unsigned get_max_nof_fd_occasions() const override { return 1; }
+  unsigned get_max_nof_symbols() const override { return nsym_; }
+  unsigned get_sequence_length() const override { return l_; }
+  span<cf_t> get_symbol(unsigned, unsigned, unsigned, unsigned s) override
+  {
+    return span<cf_t>(&data_[size_t(s) * l_], l_);
+  }
+  span<const cf_t> get_symbol(unsigned, unsigned, unsigned,
+                              unsigned s) const override
+  {
+    return span<const cf_t>(&data_[size_t(s) * l_], l_);
+  }
+
+private:
+  unsigned nsym_, l_;
+  std::vector<cf_t> data_;
+};
+
+// PRACH detection (prach_detector_generic_impl: replica correlation via
+// IDFT + noise-floor thresholds): synthesize a delayed noisy preamble in
+// the PRACH frequency domain, emit the symbols + the reference's detection
+// result so our detector runs on identical input.
+int cmd_prachdet(unsigned root, unsigned zcz, unsigned restricted,
+                 unsigned tx_preamble, unsigned delay_ns, int snr_db_x10,
+                 unsigned nsym, uint64_t seed)
+{
+  constexpr unsigned L = 839;
+  prach_generator_impl gen;
+  prach_generator::configuration gcfg;
+  gcfg.format = prach_format_type::zero;
+  gcfg.root_sequence_index = root;
+  gcfg.preamble_index = tx_preamble;
+  gcfg.restricted_set = static_cast<restricted_set_config>(restricted);
+  gcfg.zero_correlation_zone = zcz;
+  auto seq = gen.generate(gcfg);
+
+  double scs = 1250.0;  // 1.25 kHz PRACH SCS (format 0)
+  double tau = delay_ns * 1e-9;
+  double sigma = std::pow(10.0, -double(snr_db_x10) / 200.0);
+  std::mt19937_64 g(seed);
+  std::normal_distribution<double> noise(0.0, sigma / std::sqrt(2.0));
+
+  simple_prach_buffer buf(nsym, L);
+  for (unsigned s = 0; s != nsym; ++s) {
+    span<cf_t> sym = buf.get_symbol(0, 0, 0, s);
+    for (unsigned k = 0; k != L; ++k) {
+      double ph = -2.0 * M_PI * scs * double(k) * tau;
+      cf_t rot = cf_t(float(std::cos(ph)), float(std::sin(ph)));
+      sym[k] = seq[k] * rot + cf_t(float(noise(g)), float(noise(g)));
+    }
+  }
+
+  prach_detector_generic_impl det(
+      std::make_unique<dft_processor_generic_impl>(
+          dft_processor::configuration{1536,
+                                       dft_processor::direction::INVERSE}),
+      std::make_unique<dft_processor_generic_impl>(
+          dft_processor::configuration{1024,
+                                       dft_processor::direction::INVERSE}),
+      std::make_unique<prach_generator_impl>(), true);
+  prach_detector::configuration dcfg;
+  dcfg.root_sequence_index = root;
+  dcfg.format = prach_format_type::zero;
+  dcfg.restricted_set = static_cast<restricted_set_config>(restricted);
+  dcfg.zero_correlation_zone = zcz;
+  dcfg.start_preamble_index = 0;
+  dcfg.nof_preamble_indices = 64;
+  dcfg.ra_scs = prach_subcarrier_spacing::kHz1_25;
+  dcfg.nof_rx_ports = 1;
+  dcfg.slot = slot_point(0, 0, 0);
+  prach_detection_result res = det.detect(buf, dcfg);
+
+  uint32_t nsym_u = nsym, ndet = res.preambles.size();
+  write_bytes(&nsym_u, 4);
+  write_bytes(&ndet, 4);
+  for (const auto& p : res.preambles) {
+    uint32_t idx = p.preamble_index;
+    float ta = float(p.time_advance.to_seconds());
+    float m = p.detection_metric;
+    write_bytes(&idx, 4);
+    write_bytes(&ta, 4);
+    write_bytes(&m, 4);
+  }
+  for (unsigned s = 0; s != nsym; ++s) {
+    auto sym = buf.get_symbol(0, 0, 0, s);
+    write_bytes(sym.data(), L * sizeof(cf_t));
+  }
+  return 0;
+}
+
+// PUCCH Format 0 detection (pucch_detector_format0: low-PAPR correlation
+// over cyclic-shift hypotheses): grid on stdin, config in args.
+int cmd_pucchf0(unsigned nprb_grid, unsigned start_prb, unsigned start_sym,
+                unsigned nsym, unsigned m0, unsigned nid, unsigned nack,
+                unsigned sr_opp)
+{
+  unsigned nsubc = nprb_grid * 12;
+  flat_grid grid(14, nsubc);
+  {
+    std::vector<cf_t> buf(size_t(14) * nsubc);
+    if (std::fread(buf.data(), sizeof(cf_t), buf.size(), stdin)
+        != buf.size()) {
+      return 3;
+    }
+    for (unsigned l = 0; l != 14; ++l) {
+      std::memcpy(grid.row(l), &buf[size_t(l) * nsubc],
+                  nsubc * sizeof(cf_t));
+    }
+  }
+  low_papr_sequence_generator_impl gen;
+  std::array<float, 12> alphas;
+  for (unsigned i = 0; i != 12; ++i) {
+    alphas[i] = 2.0f * float(M_PI) * float(i) / 12.0f;
+  }
+  pucch_detector_format0 det(
+      std::make_unique<pseudo_random_generator_impl>(),
+      std::make_unique<low_papr_sequence_collection_impl>(
+          gen, 1, 0, span<const float>(alphas)));
+  pucch_detector::format0_configuration cfg;
+  cfg.slot = slot_point(0, 0, 0);
+  cfg.cp = cyclic_prefix::NORMAL;
+  cfg.starting_prb = start_prb;
+  cfg.start_symbol_index = start_sym;
+  cfg.nof_symbols = nsym;
+  cfg.initial_cyclic_shift = m0;
+  cfg.n_id = nid;
+  cfg.nof_harq_ack = nack;
+  cfg.sr_opportunity = sr_opp != 0;
+  cfg.ports.push_back(0);
+  auto r = det.detect(grid, cfg);
+  const pucch_uci_message& msg = r.first;
+  uint8_t valid = msg.get_status() == uci_status::valid ? 1 : 0;
+  uint8_t nbits = msg.get_harq_ack_bits().size();
+  uint8_t bits[2] = {0, 0};
+  for (unsigned i = 0; i != nbits; ++i) {
+    bits[i] = msg.get_harq_ack_bits()[i];
+  }
+  uint8_t sr = msg.get_sr_bits().empty() ? 255 : msg.get_sr_bits()[0];
+  float sinr = r.second.get_sinr_dB().value_or(NAN);
+  write_bytes(&valid, 1);
+  write_bytes(&nbits, 1);
+  write_bytes(bits, 2);
+  write_bytes(&sr, 1);
+  write_bytes(&sinr, 4);
+  return 0;
+}
+
 } // namespace
 
 int main(int argc, char** argv)
@@ -2175,6 +2333,13 @@ int main(int argc, char** argv)
   }
   if (cmd == "bench_kernels" && argc >= 3) {
     return cmd_bench_kernels(u(2));
+  }
+  if (cmd == "pucchf0" && argc >= 10) {
+    return cmd_pucchf0(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));
+  }
+  if (cmd == "prachdet" && argc >= 10) {
+    return cmd_prachdet(u(2), u(3), u(4), u(5), u(6),
+                        int(std::strtol(argv[7], nullptr, 10)), u(8), u(9));
   }
   if (cmd == "prachgen" && argc >= 7) {
     return cmd_prachgen(u(2), u(3), u(4), u(5), u(6));

@@ -838,3 +838,85 @@ def test_reference_receiver_decodes_our_pusch(harness, nprb, qm, tbs_bytes,
                                   payload[0].astype(np.uint8))
     if snr_db is not None:
         assert abs(sinr - snr_db) < 6.0, sinr
+
+
+@pytest.mark.parametrize("root,zcz,pre,delay_ns,snr_db", [
+    (22, 11, 5, 2000, 10.0),
+    (22, 11, 37, 0, 10.0),
+    (300, 12, 13, 4000, 6.0),
+    (5, 0, 63, 1000, 10.0),     # zcz 0: one preamble per root
+])
+def test_prach_detector_parity(harness, root, zcz, pre, delay_ns, snr_db):
+    """prach_detector_generic_impl (IDFT correlation + noise-floor
+    thresholds) vs ops/prach.detect on IDENTICAL noisy delayed preambles:
+    same detected preamble, no false positives among the monitored 64, and
+    timing advance within one time-resolution step of each other."""
+    out = harness("prachdet", root, zcz, 0, pre, delay_ns,
+                  int(snr_db * 10), 1, 7)
+    nsym, ndet = np.frombuffer(out[:8], dtype=np.uint32)
+    o = 8
+    dets = []
+    for _ in range(int(ndet)):
+        (idx,) = np.frombuffer(out[o:o + 4], dtype=np.uint32)
+        ta, metric = np.frombuffer(out[o + 4:o + 12], dtype=np.float32)
+        dets.append((int(idx), float(ta), float(metric)))
+        o += 12
+    sym = np.frombuffer(out[o:o + 839 * 8], dtype=np.complex64)
+
+    assert [d[0] for d in dets] == [pre], dets
+
+    ncs = prach_ops.ncs_from_zcz(zcz) if zcz else 0
+    cfg = prach_ops.PrachConfig(root_sequence_index=root,
+                                zero_correlation_zone=ncs)
+    det = prach_ops.detect(jnp.asarray(sym), cfg)
+    detected = np.flatnonzero(np.asarray(det.detected))
+    assert detected.tolist() == [pre], (detected, np.asarray(det.metrics)[pre])
+    # Delay agreement: ours in L_RA-domain samples -> seconds.
+    t_sample = 1.0 / (1250.0 * 839)
+    ours_ta = float(np.asarray(det.delays)[pre]) * t_sample
+    assert abs(ours_ta - dets[0][1]) < 1.5e-6, (ours_ta, dets[0][1])
+
+
+from srsran_edgeric_5g_tpu.ops import pucch as pucch_ops
+
+
+@pytest.mark.parametrize("nack,ack_val,m0,nid,snr_db", [
+    (1, 1, 0, 123, 10.0),    # ACK
+    (1, 0, 3, 123, 10.0),    # NACK, nonzero initial shift
+    (2, 2, 7, 500, 10.0),    # 2-bit ACK (value 0b10 -> shift +6... spec map)
+])
+def test_pucch_f0_interop(harness, nack, ack_val, m0, nid, snr_db):
+    """INTEROP: the reference's pucch_detector_format0 detects HARQ-ACK
+    from OUR PUCCH Format 0 transmission (TS 38.213 9.2.3 cyclic-shift
+    signalling) through AWGN."""
+    import subprocess as sp
+
+    nprb, start_prb, start_sym, nsym, slot = 6, 2, 12, 2, 0
+    # TS 38.213 Table 9.2.3-1/-2: m_cs from ACK values.
+    if nack == 1:
+        m_cs = 6 * ack_val
+        bits = [ack_val]
+    else:
+        m_cs = {0: 0, 1: 3, 2: 9, 3: 6}[ack_val]
+        bits = [(ack_val >> 1) & 1, ack_val & 1]
+    cfg = pucch_ops.Pucch01Config(n_id=nid, slot=slot,
+                                  start_symbol=start_sym, nof_symbols=nsym,
+                                  initial_cs=m0, prb=start_prb)
+    seq = np.asarray(pucch_ops.format0_generate(cfg, (m0 + m_cs) % 12))
+    grid = np.zeros((14, nprb * 12), np.complex64)
+    rng = np.random.default_rng(5)
+    sigma = np.sqrt(10 ** (-snr_db / 10) / 2)
+    grid += (rng.normal(size=grid.shape)
+             + 1j * rng.normal(size=grid.shape)).astype(np.complex64) * sigma
+    grid[start_sym:start_sym + nsym,
+         start_prb * 12:(start_prb + 1) * 12] += seq
+
+    r = sp.run([str(HARNESS), "pucchf0", str(nprb), str(start_prb),
+                str(start_sym), str(nsym), str(m0), str(nid), str(nack),
+                "0"], input=grid.tobytes(), capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-300:]
+    o = r.stdout
+    valid, nbits = o[0], o[1]
+    det_bits = list(o[2:2 + nbits])
+    assert valid == 1, "reference did not detect our PUCCH F0"
+    assert det_bits == bits, (det_bits, bits)

@@ -117,6 +117,19 @@
 #include "srsran/phy/support/resource_grid_reader.h"
 #include "srsran/phy/support/resource_grid_writer.h"
 
+#include "pdcch_processor_impl.h"
+#include "pdcch_modulator_impl.h"
+#include "dmrs_pdcch_processor_impl.h"
+#include "nzp_csi_rs_generator_impl.h"
+#include "pucch_detector_format1.h"
+#include "pucch_demodulator_impl.h"
+#include "pucch/dmrs_pucch_processor_format1_impl.h"
+#include "pucch/dmrs_pucch_processor_format2_impl.h"
+#include "srs/srs_estimator_generic_impl.h"
+#include "srsran/ran/srs/srs_information.h"
+#include "srsran/phy/upper/signal_processors/srs/srs_estimator_configuration.h"
+#include "srsran/phy/upper/signal_processors/srs/srs_estimator_result.h"
+
 #include "srsran/adt/bit_buffer.h"
 #include "srsran/phy/support/re_buffer.h"
 #include "srsran/phy/upper/equalization/modular_ch_est_list.h"
@@ -849,10 +862,18 @@ public:
     }
     return symbols.last(symbols.size() - count);
   }
-  span<cbf16_t> get(span<cbf16_t> symbols, unsigned, unsigned, unsigned,
-                    const bounded_bitset<MAX_RB * NRE>&) const override
+  span<cbf16_t> get(span<cbf16_t> symbols, unsigned, unsigned l,
+                    unsigned k_init,
+                    const bounded_bitset<MAX_RB * NRE>& mask) const override
   {
-    std::abort();
+    fold();
+    unsigned count = 0;
+    for (unsigned k = 0; k != mask.size(); ++k) {
+      if (mask.test(k)) {
+        symbols[count++] = to_cbf16(data_[size_t(l) * nsubc_ + k_init + k]);
+      }
+    }
+    return symbols.last(symbols.size() - count);
   }
   void get(span<cf_t> symbols, unsigned, unsigned l, unsigned k_init,
            unsigned stride) const override
@@ -2247,6 +2268,404 @@ int cmd_pucchf0(unsigned nprb_grid, unsigned start_prb, unsigned start_sym,
   return 0;
 }
 
+bool read_grid_stdin(flat_grid& grid, unsigned nsymb, unsigned nsubc)
+{
+  std::vector<cf_t> buf(size_t(nsymb) * nsubc);
+  if (std::fread(buf.data(), sizeof(cf_t), buf.size(), stdin) != buf.size()) {
+    return false;
+  }
+  for (unsigned l = 0; l != nsymb; ++l) {
+    std::memcpy(grid.row(l), &buf[size_t(l) * nsubc], nsubc * sizeof(cf_t));
+  }
+  return true;
+}
+
+// Complete PDCCH processor (pdcch_processor_impl: encoder + modulator +
+// DM-RS through a resource_grid_mapper): emits the DCI payload and the full
+// CORESET grid for RE-exact comparison.
+int cmd_pdcchproc(unsigned bwp_rb, unsigned start_sym, unsigned duration,
+                  unsigned al, unsigned cce, unsigned interleaved,
+                  unsigned rows, unsigned shift, unsigned rnti, unsigned nid,
+                  unsigned npayload, uint64_t seed)
+{
+  pdcch_processor_impl proc(
+      std::make_unique<pdcch_encoder_impl>(
+          std::make_unique<crc_calculator_lut_impl>(
+              crc_generator_poly::CRC24C),
+          std::make_unique<polar_interleaver_impl>(),
+          std::make_unique<polar_allocator_impl>(),
+          std::make_unique<polar_code_impl>(),
+          std::make_unique<polar_encoder_impl>(),
+          std::make_unique<polar_rate_matcher_impl>()),
+      std::make_unique<pdcch_modulator_impl>(
+          std::make_unique<modulation_mapper_lut_impl>(),
+          std::make_unique<pseudo_random_generator_impl>()),
+      std::make_unique<dmrs_pdcch_processor_impl>(
+          std::make_unique<pseudo_random_generator_impl>()));
+
+  unsigned nsubc = bwp_rb * 12;
+  flat_grid grid(14, nsubc);
+  resource_grid_mapper_impl mapper(
+      1, nsubc, grid, std::make_unique<channel_precoder_generic>());
+
+  Rng rng(seed);
+  pdcch_processor::pdu_t pdu = {};
+  pdu.slot = slot_point(0, 0, 0);
+  pdu.cp = cyclic_prefix::NORMAL;
+  pdu.coreset.bwp_size_rb = bwp_rb;
+  pdu.coreset.bwp_start_rb = 0;
+  pdu.coreset.start_symbol_index = start_sym;
+  pdu.coreset.duration = duration;
+  pdu.coreset.frequency_resources =
+      freq_resource_bitmap(pdcch_constants::MAX_NOF_FREQ_RESOURCES);
+  for (unsigned g = 0; g != bwp_rb / 6; ++g) {
+    pdu.coreset.frequency_resources.set(g);
+  }
+  pdu.coreset.cce_to_reg_mapping =
+      interleaved ? pdcch_processor::cce_to_reg_mapping_type::INTERLEAVED
+                  : pdcch_processor::cce_to_reg_mapping_type::NON_INTERLEAVED;
+  pdu.coreset.reg_bundle_size = 6;
+  pdu.coreset.interleaver_size = rows;
+  pdu.coreset.shift_index = shift;
+  pdu.dci.rnti = rnti;
+  pdu.dci.n_id_pdcch_dmrs = nid;
+  pdu.dci.n_id_pdcch_data = nid;
+  pdu.dci.n_rnti = rnti;
+  pdu.dci.cce_index = cce;
+  pdu.dci.aggregation_level = al;
+  pdu.dci.dmrs_power_offset_dB = 0.0f;
+  pdu.dci.data_power_offset_dB = 0.0f;
+  for (unsigned i = 0; i != npayload; ++i) {
+    pdu.dci.payload.push_back(rng.bit());
+  }
+  pdu.dci.precoding = precoding_configuration::make_wideband(
+      make_single_port());
+
+  proc.process(mapper, pdu);
+
+  uint32_t hdr[2] = {nsubc, npayload};
+  write_bytes(hdr, sizeof(hdr));
+  write_bytes(pdu.dci.payload.data(), npayload);
+  std::vector<cf_t> out(size_t(14) * nsubc);
+  for (unsigned l = 0; l != 14; ++l) {
+    std::memcpy(&out[size_t(l) * nsubc], grid.row(l), nsubc * sizeof(cf_t));
+  }
+  write_bytes(out.data(), out.size() * sizeof(cf_t));
+  return 0;
+}
+
+// NZP-CSI-RS generator (nzp_csi_rs_generator_impl, TS 38.211 7.4.1.5):
+// emits the full grid. density: 0=dot5_even, 1=dot5_odd, 2=one, 3=three.
+int cmd_csirs(unsigned bwp_rb, unsigned row, unsigned start_rb,
+              unsigned nof_rb, unsigned k0, unsigned l0, unsigned density,
+              unsigned scramb_id, unsigned slot_idx)
+{
+  nzp_csi_rs_generator_impl gen(
+      std::make_unique<pseudo_random_generator_impl>());
+  unsigned nsubc = bwp_rb * 12;
+  flat_grid grid(14, nsubc);
+  resource_grid_mapper_impl mapper(
+      1, nsubc, grid, std::make_unique<channel_precoder_generic>());
+
+  nzp_csi_rs_generator::config_t cfg = {};
+  cfg.slot = slot_point(0, slot_idx);
+  cfg.cp = cyclic_prefix::NORMAL;
+  cfg.start_rb = start_rb;
+  cfg.nof_rb = nof_rb;
+  cfg.csi_rs_mapping_table_row = row;
+  cfg.freq_allocation_ref_idx.push_back(k0);
+  cfg.symbol_l0 = l0;
+  cfg.symbol_l1 = 2;
+  cfg.cdm = csi_rs_cdm_type::no_CDM;
+  cfg.freq_density = static_cast<csi_rs_freq_density_type>(density);
+  cfg.scrambling_id = scramb_id;
+  cfg.amplitude = 1.0f;
+  cfg.precoding = precoding_configuration::make_wideband(make_single_port());
+  gen.map(mapper, cfg);
+
+  uint32_t nsubc_u = nsubc;
+  write_bytes(&nsubc_u, 4);
+  std::vector<cf_t> out(size_t(14) * nsubc);
+  for (unsigned l = 0; l != 14; ++l) {
+    std::memcpy(&out[size_t(l) * nsubc], grid.row(l), nsubc * sizeof(cf_t));
+  }
+  write_bytes(out.data(), out.size() * sizeof(cf_t));
+  return 0;
+}
+
+// PUCCH Format 1 full receive: dmrs_pucch_processor_format1 (channel
+// estimation from the even-offset DM-RS symbols) + pucch_detector_format1
+// (OCC despread + sequence correlation on the odd-offset data symbols).
+// Grid on stdin.
+int cmd_pucchf1(unsigned nprb_grid, unsigned start_prb, unsigned start_sym,
+                unsigned nsym, unsigned m0, unsigned occ, unsigned nid,
+                unsigned nack)
+{
+  unsigned nsubc = nprb_grid * 12;
+  flat_grid grid(14, nsubc);
+  if (!read_grid_stdin(grid, 14, nsubc)) {
+    return 3;
+  }
+
+  low_papr_sequence_generator_impl gen;
+  std::array<float, 12> alphas;
+  for (unsigned i = 0; i != 12; ++i) {
+    alphas[i] = 2.0f * float(M_PI) * float(i) / 12.0f;
+  }
+  auto make_chest = [] {
+    return std::make_unique<port_channel_estimator_average_impl>(
+        std::make_unique<interpolator_linear_impl>(),
+        std::make_unique<time_alignment_estimator_dft_impl>(
+            std::make_unique<dft_processor_generic_impl>(
+                dft_processor::configuration{
+                    time_alignment_estimator_dft_impl::dft_size,
+                    dft_processor::direction::INVERSE})),
+        port_channel_estimator_fd_smoothing_strategy::filter, true);
+  };
+  dmrs_pucch_processor_format1_impl est(
+      std::make_unique<pseudo_random_generator_impl>(),
+      std::make_unique<low_papr_sequence_collection_impl>(
+          gen, 1, 0, span<const float>(alphas)),
+      make_chest());
+  pucch_detector_format1 det(
+      std::make_unique<low_papr_sequence_collection_impl>(
+          gen, 1, 0, span<const float>(alphas)),
+      std::make_unique<pseudo_random_generator_impl>(),
+      std::make_unique<channel_equalizer_generic_impl>(
+          channel_equalizer_algorithm_type::zf));
+
+  dmrs_pucch_processor::config_t ecfg = {};
+  ecfg.format = pucch_format::FORMAT_1;
+  ecfg.slot = slot_point(0, 0, 0);
+  ecfg.cp = cyclic_prefix::NORMAL;
+  ecfg.group_hopping = pucch_group_hopping::NEITHER;
+  ecfg.start_symbol_index = start_sym;
+  ecfg.nof_symbols = nsym;
+  ecfg.starting_prb = start_prb;
+  ecfg.intra_slot_hopping = false;
+  ecfg.second_hop_prb = 0;
+  ecfg.nof_prb = 1;
+  ecfg.initial_cyclic_shift = m0;
+  ecfg.time_domain_occ = occ;
+  ecfg.additional_dmrs = false;
+  ecfg.n_id = nid;
+  ecfg.n_id_0 = nid;
+  ecfg.ports.push_back(0);
+
+  channel_estimate::channel_estimate_dimensions dims;
+  dims.nof_prb = nprb_grid;
+  dims.nof_symbols = 14;
+  dims.nof_rx_ports = 1;
+  dims.nof_tx_layers = 1;
+  channel_estimate ce(dims);
+  est.estimate(ce, grid, ecfg);
+
+  pucch_detector::format1_configuration dcfg = {};
+  dcfg.slot = slot_point(0, 0, 0);
+  dcfg.cp = cyclic_prefix::NORMAL;
+  dcfg.starting_prb = start_prb;
+  dcfg.start_symbol_index = start_sym;
+  dcfg.nof_symbols = nsym;
+  dcfg.group_hopping = pucch_group_hopping::NEITHER;
+  dcfg.ports.push_back(0);
+  dcfg.beta_pucch = 1.0f;
+  dcfg.time_domain_occ = occ;
+  dcfg.initial_cyclic_shift = m0;
+  dcfg.n_id = nid;
+  dcfg.nof_harq_ack = nack;
+  auto r = det.detect(grid, ce, dcfg);
+
+  const pucch_uci_message& msg = r.uci_message;
+  uint8_t valid = msg.get_status() == uci_status::valid ? 1 : 0;
+  uint8_t nbits = msg.get_harq_ack_bits().size();
+  uint8_t bits[2] = {255, 255};
+  for (unsigned i = 0; i != nbits && i < 2; ++i) {
+    bits[i] = msg.get_harq_ack_bits()[i];
+  }
+  float metric = r.detection_metric;
+  write_bytes(&valid, 1);
+  write_bytes(&nbits, 1);
+  write_bytes(bits, 2);
+  write_bytes(&metric, 4);
+  return 0;
+}
+
+// PUCCH Format 2 full receive: dmrs_pucch_processor_format2 (chest from the
+// 3k+1 DM-RS subcarriers) + pucch_demodulator (ZF equalize + QPSK demap +
+// descramble) + uci_decoder (short block or polar).  Grid on stdin.
+int cmd_pucchf2(unsigned nprb_grid, unsigned start_prb, unsigned nof_prb,
+                unsigned start_sym, unsigned nsym, unsigned rnti,
+                unsigned nid, unsigned nid0, unsigned K)
+{
+  unsigned nsubc = nprb_grid * 12;
+  flat_grid grid(14, nsubc);
+  if (!read_grid_stdin(grid, 14, nsubc)) {
+    return 3;
+  }
+
+  dmrs_pucch_processor_format2_impl est(
+      std::make_unique<pseudo_random_generator_impl>(),
+      std::make_unique<port_channel_estimator_average_impl>(
+          std::make_unique<interpolator_linear_impl>(),
+          std::make_unique<time_alignment_estimator_dft_impl>(
+              std::make_unique<dft_processor_generic_impl>(
+                  dft_processor::configuration{
+                      time_alignment_estimator_dft_impl::dft_size,
+                      dft_processor::direction::INVERSE})),
+          port_channel_estimator_fd_smoothing_strategy::filter, true));
+  pucch_demodulator_impl demod(
+      std::make_unique<channel_equalizer_generic_impl>(
+          channel_equalizer_algorithm_type::zf),
+      std::make_unique<demodulation_mapper_impl>(),
+      std::make_unique<pseudo_random_generator_impl>());
+  uci_decoder_impl uci(
+      std::make_unique<short_block_detector_impl>(),
+      std::make_unique<polar_code_impl>(),
+      std::make_unique<polar_rate_dematcher_impl>(),
+      std::make_unique<polar_decoder_impl>(
+          std::make_unique<polar_encoder_impl>(), 10),
+      std::make_unique<polar_deallocator_impl>(),
+      // CRC6/11 exist only in the generic CRC impl (the LUT map lacks them).
+      std::make_unique<crc_calculator_generic_impl>(crc_generator_poly::CRC6),
+      std::make_unique<crc_calculator_generic_impl>(
+          crc_generator_poly::CRC11));
+
+  dmrs_pucch_processor::config_t ecfg = {};
+  ecfg.format = pucch_format::FORMAT_2;
+  ecfg.slot = slot_point(0, 0, 0);
+  ecfg.cp = cyclic_prefix::NORMAL;
+  ecfg.group_hopping = pucch_group_hopping::NEITHER;
+  ecfg.start_symbol_index = start_sym;
+  ecfg.nof_symbols = nsym;
+  ecfg.starting_prb = start_prb;
+  ecfg.intra_slot_hopping = false;
+  ecfg.second_hop_prb = 0;
+  ecfg.nof_prb = nof_prb;
+  ecfg.n_id = nid;
+  ecfg.n_id_0 = nid0;
+  ecfg.ports.push_back(0);
+
+  channel_estimate::channel_estimate_dimensions dims;
+  dims.nof_prb = nprb_grid;
+  dims.nof_symbols = 14;
+  dims.nof_rx_ports = 1;
+  dims.nof_tx_layers = 1;
+  channel_estimate ce(dims);
+  est.estimate(ce, grid, ecfg);
+
+  unsigned e_total = 16 * nof_prb * nsym;  // 8 data sc/PRB * QPSK
+  std::vector<log_likelihood_ratio> llr(e_total);
+  pucch_demodulator::format2_configuration dcfg = {};
+  dcfg.rx_ports.push_back(0);
+  dcfg.first_prb = start_prb;
+  dcfg.nof_prb = nof_prb;
+  dcfg.start_symbol_index = start_sym;
+  dcfg.nof_symbols = nsym;
+  dcfg.rnti = rnti;
+  dcfg.n_id = nid;
+  demod.demodulate(llr, grid, ce, dcfg);
+
+  std::vector<uint8_t> message(K);
+  uci_decoder::configuration ucfg;
+  ucfg.modulation = modulation_scheme::QPSK;
+  uci_status status = uci.decode(message, llr, ucfg);
+
+  uint8_t valid = status == uci_status::valid ? 1 : 0;
+  uint32_t k_u = K;
+  write_bytes(&valid, 1);
+  write_bytes(&k_u, 4);
+  write_bytes(message.data(), K);
+  return 0;
+}
+
+srs_resource_configuration make_srs_resource(unsigned cfg_idx, unsigned b_idx,
+                                             unsigned comb,
+                                             unsigned comb_offset,
+                                             unsigned n_cs, unsigned seq_id,
+                                             unsigned start_sym,
+                                             unsigned freq_shift,
+                                             unsigned freq_pos)
+{
+  srs_resource_configuration res = {};
+  res.nof_antenna_ports = srs_resource_configuration::one_two_four_enum::one;
+  res.nof_symbols = srs_resource_configuration::one_two_four_enum::one;
+  res.start_symbol = start_sym;
+  res.configuration_index = cfg_idx;
+  res.sequence_id = seq_id;
+  res.bandwidth_index = b_idx;
+  res.comb_size = (comb == 4)
+                      ? srs_resource_configuration::comb_size_enum::four
+                      : srs_resource_configuration::comb_size_enum::two;
+  res.comb_offset = comb_offset;
+  res.cyclic_shift = n_cs;
+  res.freq_position = freq_pos;
+  res.freq_shift = freq_shift;
+  res.freq_hopping = 3;  // >= b_idx: no frequency hopping
+  res.hopping =
+      srs_resource_configuration::group_or_sequence_hopping_enum::neither;
+  return res;
+}
+
+void write_srs_info(const srs_information& info)
+{
+  uint32_t hdr[7] = {info.sequence_length,  info.sequence_group,
+                     info.sequence_number,  info.n_cs,
+                     info.n_cs_max,         info.mapping_initial_subcarrier,
+                     info.comb_size};
+  write_bytes(hdr, sizeof(hdr));
+}
+
+// Derived SRS mapping parameters only (so the caller can build a matching
+// transmit grid before invoking srsest).
+int cmd_srsinfo(unsigned cfg_idx, unsigned b_idx, unsigned comb,
+                unsigned comb_offset, unsigned n_cs, unsigned seq_id,
+                unsigned start_sym, unsigned freq_shift, unsigned freq_pos)
+{
+  srs_resource_configuration res =
+      make_srs_resource(cfg_idx, b_idx, comb, comb_offset, n_cs, seq_id,
+                        start_sym, freq_shift, freq_pos);
+  write_srs_info(get_srs_information(res, 0));
+  return 0;
+}
+
+// SRS channel estimate (srs_estimator_generic_impl): grid on stdin; emits
+// the derived mapping info, the wideband channel coefficient, the noise
+// variance and the time alignment.
+int cmd_srsest(unsigned nprb_grid, unsigned cfg_idx, unsigned b_idx,
+               unsigned comb, unsigned comb_offset, unsigned n_cs,
+               unsigned seq_id, unsigned start_sym, unsigned freq_shift,
+               unsigned freq_pos)
+{
+  unsigned nsubc = nprb_grid * 12;
+  flat_grid grid(14, nsubc);
+  if (!read_grid_stdin(grid, 14, nsubc)) {
+    return 3;
+  }
+  srs_estimator_generic_impl::dependencies deps;
+  deps.sequence_generator =
+      std::make_unique<low_papr_sequence_generator_impl>();
+  deps.ta_estimator = std::make_unique<time_alignment_estimator_dft_impl>(
+      std::make_unique<dft_processor_generic_impl>(dft_processor::configuration{
+          time_alignment_estimator_dft_impl::dft_size,
+          dft_processor::direction::INVERSE}));
+  srs_estimator_generic_impl est(std::move(deps));
+
+  srs_estimator_configuration cfg;
+  cfg.slot = slot_point(0, 0, 0);
+  cfg.resource = make_srs_resource(cfg_idx, b_idx, comb, comb_offset, n_cs,
+                                   seq_id, start_sym, freq_shift, freq_pos);
+  cfg.ports.push_back(0);
+  srs_estimator_result r = est.estimate(grid, cfg);
+
+  write_srs_info(get_srs_information(cfg.resource, 0));
+  cf_t coeff = r.channel_matrix.get_coefficient(0, 0);
+  float vals[5] = {coeff.real(), coeff.imag(), r.noise_variance,
+                   float(r.time_alignment.time_alignment),
+                   float(r.time_alignment.resolution)};
+  write_bytes(vals, sizeof(vals));
+  return 0;
+}
+
 } // namespace
 
 int main(int argc, char** argv)
@@ -2343,6 +2762,26 @@ int main(int argc, char** argv)
   }
   if (cmd == "prachgen" && argc >= 7) {
     return cmd_prachgen(u(2), u(3), u(4), u(5), u(6));
+  }
+  if (cmd == "pdcchproc" && argc >= 14) {
+    return cmd_pdcchproc(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9),
+                         u(10), u(11), u(12), u(13));
+  }
+  if (cmd == "csirs" && argc >= 11) {
+    return cmd_csirs(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9), u(10));
+  }
+  if (cmd == "pucchf1" && argc >= 10) {
+    return cmd_pucchf1(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));
+  }
+  if (cmd == "pucchf2" && argc >= 11) {
+    return cmd_pucchf2(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9), u(10));
+  }
+  if (cmd == "srsinfo" && argc >= 11) {
+    return cmd_srsinfo(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9), u(10));
+  }
+  if (cmd == "srsest" && argc >= 12) {
+    return cmd_srsest(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9), u(10),
+                      u(11));
   }
   if (cmd == "chest" && argc >= 9) {
     return cmd_chest(u(2), u(3), u(4), u(5),

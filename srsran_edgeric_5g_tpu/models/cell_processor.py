@@ -162,12 +162,13 @@ class CellProcessor:
     def process_pucch_f1(self, rx_grid: jnp.ndarray, cfg01, nof_bits: int,
                          occ_index: int = 0):
         """PUCCH F1 detection from the rx grid (pucch_detector_format1
-        counterpart): despread the data symbols (even offsets) with the
-        time-domain OCC.  Returns (bits, metric)."""
+        counterpart): despread the data symbols (ODD offsets — DM-RS rides
+        the even ones, TS 38.211 §6.4.1.3.1) with the time-domain OCC.
+        Returns (bits, metric)."""
         from ..ops import pucch as pucch_mod
 
         sc0 = cfg01.prb * 12
-        data_syms = [cfg01.start_symbol + 2 * m
+        data_syms = [cfg01.start_symbol + 2 * m + 1
                      for m in range(cfg01.nof_symbols // 2)]
         rx = rx_grid[jnp.asarray(data_syms), sc0:sc0 + 12]
         return pucch_mod.format1_detect(rx, cfg01, nof_bits, occ_index)

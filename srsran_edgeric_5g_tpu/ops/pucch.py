@@ -96,18 +96,20 @@ def format0_detect(rx: jnp.ndarray, cfg: Pucch01Config,
     return metrics, jnp.argmax(metrics)
 
 
-# Format 1 time-domain OCC (DFT codes over the data symbols).
+# Format 1 time-domain OCC: w_i(m) = e^{j 2 pi phi_i(m) / N_SF} with
+# phi_i(m) = i*m (TS 38.211 Table 6.3.2.4.1-2; the reference builds the same
+# table in pucch_orthogonal_sequence.h with std::polar(+rho)).
 def _occ(n: int, i: int) -> np.ndarray:
     k = np.arange(n)
-    return np.exp(-2j * np.pi * i * k / n).astype(np.complex64)
+    return np.exp(2j * np.pi * i * k / n).astype(np.complex64)
 
 
 def format1_generate(cfg: Pucch01Config, bits: np.ndarray,
                      occ_index: int = 0) -> jnp.ndarray:
-    """PUCCH F1: d * r^(alpha)(n) spread over data symbols with OCC.
-
-    Data symbols are the even offsets (odd ones carry DM-RS); 1 bit -> BPSK,
-    2 bits -> QPSK.
+    """PUCCH F1 data rows: d * w_i(m) * r^(alpha)(n) at the ODD symbol
+    offsets (TS 38.211 §6.3.2.4.1 — DM-RS rides the even offsets, see
+    format1_dmrs; the reference detector despreads the odd symbols,
+    pucch_detector_format1.cpp:239).  1 bit -> BPSK, 2 bits -> QPSK.
     """
     nof_data = cfg.nof_symbols // 2
     if len(bits) == 1:
@@ -117,18 +119,46 @@ def format1_generate(cfg: Pucch01Config, bits: np.ndarray,
     w = _occ(nof_data, occ_index)
     rows = []
     for m in range(nof_data):
-        seq = _f0_sequence(cfg, cfg.initial_cs, cfg.start_symbol + 2 * m)
+        seq = _f0_sequence(cfg, cfg.initial_cs, cfg.start_symbol + 2 * m + 1)
         rows.append(d * w[m] * seq)
     return jnp.asarray(np.stack(rows).astype(np.complex64))
 
 
+def format1_dmrs(cfg: Pucch01Config, occ_index: int = 0) -> jnp.ndarray:
+    """PUCCH F1 DM-RS rows: w_i(m) * r^(alpha)(n) at the EVEN symbol offsets
+    (TS 38.211 §6.4.1.3.1, N_SF^DMRS = ceil(nof_symbols/2); reference
+    dmrs_pucch_processor_format1_impl.cpp:128)."""
+    nof_dmrs = (cfg.nof_symbols + 1) // 2
+    w = _occ(nof_dmrs, occ_index)
+    rows = []
+    for m in range(nof_dmrs):
+        seq = _f0_sequence(cfg, cfg.initial_cs, cfg.start_symbol + 2 * m)
+        rows.append(w[m] * seq)
+    return jnp.asarray(np.stack(rows).astype(np.complex64))
+
+
+def format1_process(bits: np.ndarray, cfg: Pucch01Config, nsymb: int,
+                    nsubc: int, occ_index: int = 0) -> jnp.ndarray:
+    """Full F1 occasion -> (nsymb, nsubc) grid contribution (data + DM-RS)."""
+    data = format1_generate(cfg, bits, occ_index)
+    dmrs = format1_dmrs(cfg, occ_index)
+    sc0 = cfg.prb * NSC
+    grid = jnp.zeros((nsymb, nsubc), jnp.complex64)
+    for m in range(dmrs.shape[0]):
+        grid = grid.at[cfg.start_symbol + 2 * m, sc0:sc0 + NSC].set(dmrs[m])
+    for m in range(data.shape[0]):
+        grid = grid.at[cfg.start_symbol + 2 * m + 1, sc0:sc0 + NSC].set(data[m])
+    return grid
+
+
 def format1_detect(rx_data: jnp.ndarray, cfg: Pucch01Config, nof_bits: int,
                    occ_index: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Despread + correlate: (nof_data_symbols, 12) rx -> (bits, metric)."""
+    """Despread + correlate: (nof_data_symbols, 12) rx rows (the ODD symbol
+    offsets of the occasion) -> (bits, metric)."""
     nof_data = rx_data.shape[0]
     w = jnp.asarray(_occ(nof_data, occ_index))
     seqs = jnp.stack([jnp.asarray(_f0_sequence(cfg, cfg.initial_cs,
-                                               cfg.start_symbol + 2 * m))
+                                               cfg.start_symbol + 2 * m + 1))
                       for m in range(nof_data)])
     z = jnp.sum(rx_data * jnp.conj(seqs) * jnp.conj(w)[:, None], axis=(0, 1)) \
         / (nof_data * NSC)

@@ -150,10 +150,8 @@ def test_cell_pucch_f0_f1_occasions():
 
     c1 = pucch_mod.Pucch01Config(n_id=5, slot=0, start_symbol=4,
                                  nof_symbols=8, initial_cs=3, prb=2)
-    f1 = pucch_mod.format1_generate(c1, np.array([1]), occ_index=1)
-    grid = jnp.zeros((t.nsymb, t.nof_subc), jnp.complex64)
-    for m in range(4):
-        grid = grid.at[4 + 2 * m, 24:36].set(f1[m])
+    grid = pucch_mod.format1_process(np.array([1]), c1, t.nsymb, t.nof_subc,
+                                     occ_index=1)
     noise = (rng.normal(size=grid.shape) + 1j * rng.normal(size=grid.shape)) * 0.1
     rx = jnp.asarray((np.asarray(grid) + noise).astype(np.complex64))
     bits, metric = proc.process_pucch_f1(rx, c1, nof_bits=1, occ_index=1)

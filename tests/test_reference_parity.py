@@ -920,3 +920,195 @@ def test_pucch_f0_interop(harness, nack, ack_val, m0, nid, snr_db):
     det_bits = list(o[2:2 + nbits])
     assert valid == 1, "reference did not detect our PUCCH F0"
     assert det_bits == bits, (det_bits, bits)
+
+
+from srsran_edgeric_5g_tpu.models import pdcch as pdcch_model
+
+
+@pytest.mark.parametrize("bwp,start_sym,al,cce,il,rows,shift,rnti,nid,npay", [
+    (48, 1, 4, 2, 0, 2, 0, 0x4601, 41, 40),    # non-interleaved AL4
+    (48, 0, 8, 0, 1, 2, 11, 0x17, 500, 39),    # interleaved R=2 + shift
+    (108, 2, 16, 0, 1, 3, 0, 0xFFF0, 2, 60),   # interleaved R=3, AL16
+    (48, 1, 1, 7, 0, 2, 0, 1, 1007, 28),       # AL1 high CCE
+])
+def test_pdcch_processor_grid_parity(harness, bwp, start_sym, al, cce, il,
+                                     rows, shift, rnti, nid, npay):
+    """The COMPLETE reference pdcch_processor (pdcch_encoder + QPSK
+    modulator + scrambling + DM-RS + CCE-to-REG mapping, interleaved and
+    non-interleaved) vs models/pdcch.process: every RE equal through the
+    reference's cbf16 grid storage."""
+    out = harness("pdcchproc", bwp, start_sym, 1, al, cce, il, rows, shift,
+                  rnti, nid, npay, 7)
+    nsubc, npayload = np.frombuffer(out[:8], dtype=np.uint32)
+    payload = np.frombuffer(out[8:8 + int(npayload)], dtype=np.uint8)
+    grid_ref = np.frombuffer(out[8 + int(npayload):],
+                             dtype=np.complex64).reshape(14, int(nsubc))
+
+    cfg = pdcch_model.PdcchConfig(
+        rnti=rnti, n_id=nid, aggregation_level=al, cce_index=cce,
+        start_symbol=start_sym, coreset_start_prb=0, payload_bits=npay,
+        coreset_nof_prb=bwp, interleaved=bool(il), interleaver_rows=rows,
+        shift_index=shift)
+    grid = np.asarray(pdcch_model.process(
+        jnp.asarray(payload.astype(np.int8))[None], cfg, 14, int(nsubc)))
+    # The PDCCH mapper path keeps f32 (the mapper's contiguous-put route, no
+    # cbf16 view writes) — every RE must be exactly equal.
+    np.testing.assert_array_equal(grid, grid_ref)
+
+
+from srsran_edgeric_5g_tpu.ops import csi_rs as csi_mod
+
+
+@pytest.mark.parametrize("row,start_rb,nof_rb,k0,l0,density,sid,slot", [
+    (1, 0, 12, 2, 4, 3, 500, 3),    # row 1: density three (k0 + {0,4,8})
+    (1, 4, 24, 0, 13, 3, 13, 1),
+    (2, 4, 24, 7, 9, 2, 13, 1),     # row 2: density one
+    (2, 0, 52, 11, 0, 2, 1007, 0),
+])
+def test_csi_rs_generator_grid_parity(harness, row, start_rb, nof_rb, k0,
+                                      l0, density, sid, slot):
+    """nzp_csi_rs_generator_impl (TS 38.211 7.4.1.5 rows 1 and 2, no CDM)
+    vs ops/csi_rs.map_csi_rs: every RE equal through cbf16."""
+    bwp = start_rb + nof_rb
+    out = harness("csirs", bwp, row, start_rb, nof_rb, k0, l0, density, sid,
+                  slot)
+    nsubc = int(np.frombuffer(out[:4], dtype=np.uint32)[0])
+    grid_ref = np.frombuffer(out[4:], dtype=np.complex64).reshape(14, nsubc)
+
+    cfg = csi_mod.CsiRsConfig(scrambling_id=sid, slot=slot, symbol=l0,
+                              start_prb=start_rb, nof_prb=nof_rb,
+                              density=3 if density == 3 else 1,
+                              comb_offset=k0)
+    grid = np.asarray(csi_mod.map_csi_rs(
+        jnp.zeros((14, nsubc), jnp.complex64), cfg))
+    np.testing.assert_array_equal(grid, grid_ref)
+
+
+@pytest.mark.parametrize("nack,ack_bits,m0,occ,nsym,start_sym,prb,nid", [
+    (1, (1,), 0, 0, 14, 0, 1, 42),
+    (2, (1, 0), 3, 1, 8, 4, 2, 500),
+    (1, (0,), 9, 2, 4, 10, 0, 7),
+    (2, (0, 1), 6, 0, 10, 2, 3, 301),
+])
+def test_pucch_f1_interop(harness, nack, ack_bits, m0, occ, nsym, start_sym,
+                          prb, nid):
+    """INTEROP: the reference's COMPLETE PUCCH F1 receiver
+    (dmrs_pucch_processor_format1 channel estimation from the even-offset
+    DM-RS + pucch_detector_format1 OCC despread on the odd-offset data
+    symbols) detects OUR format1_process transmission through AWGN."""
+    import subprocess as sp
+
+    nprb = 6
+    cfg = pucch_ops.Pucch01Config(n_id=nid, slot=0, start_symbol=start_sym,
+                                  nof_symbols=nsym, initial_cs=m0, prb=prb)
+    grid = np.asarray(pucch_ops.format1_process(
+        np.asarray(ack_bits), cfg, 14, nprb * 12, occ_index=occ))
+    rng = np.random.default_rng(11)
+    sigma = np.sqrt(10 ** (-20.0 / 10) / 2)   # 20 dB SNR
+    grid = (grid + (rng.normal(size=grid.shape)
+                    + 1j * rng.normal(size=grid.shape)) * sigma
+            ).astype(np.complex64)
+
+    r = sp.run([str(HARNESS), "pucchf1", str(nprb), str(prb), str(start_sym),
+                str(nsym), str(m0), str(occ), str(nid), str(nack)],
+               input=grid.tobytes(), capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-300:]
+    o = r.stdout
+    valid, nbits = o[0], o[1]
+    det_bits = list(o[2:2 + nbits])
+    metric = np.frombuffer(o[4:8], dtype=np.float32)[0]
+    assert valid == 1, f"reference did not detect our PUCCH F1 ({metric=})"
+    assert det_bits == list(ack_bits), (det_bits, ack_bits)
+
+
+@pytest.mark.parametrize("K,nof_prb,nsym,start_sym,start_prb,rnti,nid,nid0", [
+    (4, 2, 1, 13, 0, 0x4601, 42, 7),      # short block RM(32,K)
+    (11, 2, 2, 12, 3, 0x17, 500, 500),    # short block, 2 symbols
+    (16, 4, 2, 12, 0, 0xFFF0, 2, 13),     # polar CRC6 + 3 PC bits
+    (22, 9, 2, 12, 1, 0x0001, 1007, 0),   # polar CRC11
+])
+def test_pucch_f2_interop(harness, K, nof_prb, nsym, start_sym, start_prb,
+                          rnti, nid, nid0):
+    """INTEROP: the reference's COMPLETE PUCCH F2 receiver
+    (dmrs_pucch_processor_format2 chest -> pucch_demodulator ZF equalize +
+    QPSK demap + descramble -> uci_decoder short-block/polar) recovers the
+    UCI payload transmitted by OUR format2_process, through AWGN."""
+    import subprocess as sp
+
+    nprb_grid = start_prb + nof_prb + 1
+    cfg = pucch_ops.Pucch2Config(rnti=rnti, n_id=nid, n_id0=nid0, slot=0,
+                                 start_symbol=start_sym, nof_symbols=nsym,
+                                 start_prb=start_prb, nof_prb=nof_prb,
+                                 uci_bits=K)
+    rng = np.random.default_rng(13)
+    payload = rng.integers(0, 2, (1, K), dtype=np.int8)
+    grid = np.asarray(pucch_ops.format2_process(
+        jnp.asarray(payload), cfg, 14, nprb_grid * 12))
+    sigma = np.sqrt(10 ** (-20.0 / 10) / 2)   # 20 dB SNR
+    grid = (grid + (rng.normal(size=grid.shape)
+                    + 1j * rng.normal(size=grid.shape)) * sigma
+            ).astype(np.complex64)
+
+    r = sp.run([str(HARNESS), "pucchf2", str(nprb_grid), str(start_prb),
+                str(nof_prb), str(start_sym), str(nsym), str(rnti), str(nid),
+                str(nid0), str(K)],
+               input=grid.tobytes(), capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-300:]
+    o = r.stdout
+    valid = o[0]
+    k_out = int(np.frombuffer(o[1:5], dtype=np.uint32)[0])
+    bits = np.frombuffer(o[5:5 + k_out], dtype=np.uint8)
+    assert valid == 1, "reference UCI decode declared invalid"
+    np.testing.assert_array_equal(bits, payload[0].astype(np.uint8))
+
+
+@pytest.mark.parametrize("cfg_idx,b_idx,comb,comb_off,n_cs,sid,sym,fshift,"
+                         "fpos,delay_ns", [
+    (7, 0, 2, 0, 4, 330, 13, 1, 0, 0),
+    (7, 0, 2, 0, 4, 330, 13, 1, 0, 200),
+    (7, 0, 4, 1, 7, 17, 12, 0, 0, 0),
+    (13, 1, 2, 1, 0, 999, 11, 4, 0, 100),
+])
+def test_srs_estimator_interop(harness, cfg_idx, b_idx, comb, comb_off,
+                               n_cs, sid, sym, fshift, fpos, delay_ns):
+    """INTEROP: the reference's srs_estimator_generic_impl (sequence
+    correlation + IDFT time alignment) measures a clean/delayed channel from
+    OUR map_srs transmission: |H| ~ 1, TA within one resolution step."""
+    import subprocess as sp
+
+    info = np.frombuffer(
+        harness("srsinfo", cfg_idx, b_idx, comb, comb_off, n_cs, sid, sym,
+                fshift, fpos), dtype=np.uint32)
+    seq_len, group, number, ncs_i, ncs_max, k0, comb_i = map(int, info)
+    assert comb_i == comb and ncs_i == n_cs
+    assert group == sid % 30 and number == 0
+
+    cfg = csi_mod.SrsConfig(sequence_id=sid, slot=0, symbol=sym,
+                            start_prb=k0 // 12, nof_prb=seq_len * comb // 12,
+                            comb=comb, comb_offset=k0 % 12,
+                            cyclic_shift=n_cs)
+    assert cfg.m_sc == seq_len
+    n_cs_max_ours = 8 if comb == 2 else 12
+    assert n_cs_max_ours == ncs_max
+
+    nprb_grid = (k0 + seq_len * comb + 11) // 12
+    grid = np.asarray(csi_mod.map_srs(
+        jnp.zeros((14, nprb_grid * 12), jnp.complex64), cfg))
+    if delay_ns:
+        k = np.arange(nprb_grid * 12)
+        ramp = np.exp(-2j * np.pi * 15e3 * k * delay_ns * 1e-9)
+        grid = (grid * ramp[None, :]).astype(np.complex64)
+
+    r = sp.run([str(HARNESS), "srsest", str(nprb_grid), str(cfg_idx),
+                str(b_idx), str(comb), str(comb_off), str(n_cs), str(sid),
+                str(sym), str(fshift), str(fpos)],
+               input=grid.tobytes(), capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-300:]
+    o = r.stdout
+    vals = np.frombuffer(o[28:], dtype=np.float32)
+    coeff = vals[0] + 1j * vals[1]
+    noise_var, ta_s, ta_res = vals[2], vals[3], vals[4]
+    assert abs(abs(coeff) - 1.0) < 0.05, coeff
+    assert noise_var < 0.05, noise_var
+    tol = max(ta_res, 50e-9)
+    assert abs(ta_s - delay_ns * 1e-9) <= tol, (ta_s, delay_ns, ta_res)

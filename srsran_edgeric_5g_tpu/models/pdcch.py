@@ -4,8 +4,10 @@ Counterpart of the reference's pdcch_encoder_impl.cpp (CRC24C attach with
 all-ones prefix, RNTI-scrambled CRC, polar K->E), pdcch_modulator_impl.cpp
 (scramble + QPSK + REG mapping) and pdcch_processor_impl.cpp (DM-RS).
 
-Simplifications vs the full CORESET machinery: single-symbol CORESET
-(interleaved or non-interleaved CCE-to-REG mapping).  `process` maps one
+CORESETs of duration 1-3 symbols (TS 38.211 §7.3.2.2: REGs numbered
+time-first within the CORESET, REG bundles of size L ∈ {2,3,6} with
+L % duration == 0, interleaved or non-interleaved CCE-to-REG mapping; the
+reference's cce_to_prb_mapping.cpp).  `process` maps one
 DCI; `process_multi` batches several DCIs of one search-space shape (same
 aggregation level / payload size, distinct RNTIs and CCEs) through a single
 vmapped polar encode into one CORESET grid — the counterpart of the
@@ -42,11 +44,16 @@ class PdcchConfig:
     slot: int = 0
     payload_bits: int = 40    # DCI size A
     # CORESET CCE-to-REG mapping (TS 38.211 §7.3.2.2): non-interleaved by
-    # default; interleaved uses bundle size L=6, row count R and shift n_shift.
-    coreset_nof_prb: int = 48  # CORESET width (REGs for a 1-symbol CORESET)
+    # default; interleaved uses REG bundles of size L, row count R and
+    # shift n_shift.  duration = CORESET symbols {1,2,3}; REGs are numbered
+    # time-first (REG j = PRB j//duration, symbol j%duration), so with
+    # L % duration == 0 every allocated PRB spans all CORESET symbols.
+    coreset_nof_prb: int = 48  # CORESET width in PRBs
+    duration: int = 1
     interleaved: bool = False
     interleaver_rows: int = 2
     shift_index: int = 0
+    reg_bundle_size: int = 6   # L (interleaved only; 6 covers one CCE)
 
     @property
     def e(self) -> int:
@@ -84,50 +91,73 @@ def _scrambling_cinit(cfg: PdcchConfig) -> int:
     return ((cfg.rnti << 16) + cfg.n_id) % (1 << 31)
 
 
-def cce_to_bundle(cfg: PdcchConfig, cce: int) -> int:
-    """CCE index -> REG-bundle index (TS 38.211 §7.3.2.2, L=6 bundles).
+def cce_to_bundle(cfg: PdcchConfig, x: int) -> int:
+    """Source REG-bundle index x -> destination bundle (TS 38.211 §7.3.2.2).
 
-    Non-interleaved: identity.  Interleaved: f(j) = (r*C + c + n_shift) mod
-    n_bundles with j = c*R + r, C = n_bundles / R.
+    Non-interleaved: identity.  Interleaved: f(x) = (r*C + c + n_shift) mod
+    n_bundles with x = c*R + r, C = n_bundles / R, n_bundles =
+    nof_prb * duration / L (the reference's cce_to_reg_mapping_interleaved,
+    cce_to_prb_mapping.cpp:44-98).
     """
     if not cfg.interleaved:
-        return cce
-    n_bundles = cfg.coreset_nof_prb // 6
+        return x
+    n_bundles = cfg.coreset_nof_prb * cfg.duration // cfg.reg_bundle_size
     r_rows = cfg.interleaver_rows
     assert n_bundles % r_rows == 0, (n_bundles, r_rows)
     c_cols = n_bundles // r_rows
-    c, r = divmod(cce, r_rows)
+    c, r = divmod(x, r_rows)
     return (r * c_cols + c + cfg.shift_index) % n_bundles
 
 
-def _re_positions(cfg: PdcchConfig) -> tuple[np.ndarray, np.ndarray]:
-    """(data_sc, dmrs_sc) absolute subcarrier indices of the allocation.
+def _alloc_prbs(cfg: PdcchConfig) -> np.ndarray:
+    """Sorted PRB indices of the PDCCH allocation.
 
-    CCE c occupies the 6 PRBs of REG bundle cce_to_bundle(cce_index + c)
-    within the CORESET; DM-RS on subcarriers 4k+1.
+    A CCE is 6 REGs; REGs are numbered time-first so, with the bundle size a
+    multiple of the duration, each destination bundle covers L/duration
+    whole PRBs across all CORESET symbols.
     """
-    prbs = []
+    assert cfg.duration in (1, 2, 3), cfg.duration
+    lb = cfg.reg_bundle_size if cfg.interleaved else 6
+    assert lb % cfg.duration == 0, (lb, cfg.duration)
+    bundles_per_cce = max(6 // lb, 1)
+    prbs_per_bundle = lb // cfg.duration
+    prbs: set[int] = set()
     for c in range(cfg.aggregation_level):
-        bundle = cce_to_bundle(cfg, cfg.cce_index + c)
-        first = cfg.coreset_start_prb + 6 * bundle
-        prbs.extend(range(first, first + 6))
+        for i in range(bundles_per_cce):
+            x = (cfg.cce_index + c) * bundles_per_cce + i
+            dst = cce_to_bundle(cfg, x)
+            first = cfg.coreset_start_prb + prbs_per_bundle * dst
+            prbs.update(range(first, first + prbs_per_bundle))
+    return np.asarray(sorted(prbs), np.int64)
+
+
+def _re_positions(cfg: PdcchConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(data_sc, dmrs_sc) absolute subcarrier indices of one CORESET symbol.
+
+    The PRB set is identical on every CORESET symbol (time-first REG
+    numbering); DM-RS on subcarriers 4k+1.  Data symbols map k-first within
+    each symbol, symbols in increasing l (the reference's pdcch_modulator
+    per-symbol rb_mask walk).
+    """
+    prbs = _alloc_prbs(cfg)
     sc = np.concatenate([np.arange(p * N_SC_PER_PRB, (p + 1) * N_SC_PER_PRB)
-                         for p in sorted(prbs)])
+                         for p in prbs])
     dmrs = sc[sc % 4 == 1]
     data = sc[sc % 4 != 1]
     return data, dmrs
 
 
-def _dmrs_values(cfg: PdcchConfig, dmrs_sc: np.ndarray) -> np.ndarray:
-    """PDCCH DM-RS (§7.4.1.3) values at absolute pilot subcarriers.
+def _dmrs_values(cfg: PdcchConfig, dmrs_sc: np.ndarray,
+                 symbol: int) -> np.ndarray:
+    """PDCCH DM-RS (§7.4.1.3) values at absolute pilot subcarriers for one
+    CORESET symbol.
 
     Gold QPSK, c_init from slot/symbol/n_id; the sequence index of a pilot is
     its position ⌊sc/4⌋ counted from subcarrier 0 of the CORESET reference
     point, so non-contiguous (interleaved) bundles index into the sequence
     rather than consuming it consecutively.
     """
-    l = cfg.start_symbol
-    cinit = ((1 << 17) * (14 * cfg.slot + l + 1) * (2 * cfg.n_id + 1)
+    cinit = ((1 << 17) * (14 * cfg.slot + symbol + 1) * (2 * cfg.n_id + 1)
              + 2 * cfg.n_id) % (1 << 31)
     idx = np.asarray(dmrs_sc) // 4
     c = sequences.np_gold_sequence(cinit, 2 * (int(idx.max()) + 1))
@@ -145,9 +175,12 @@ def process(payload: jnp.ndarray, cfg: PdcchConfig, nsymb: int,
 
     data_sc, dmrs_sc = _re_positions(cfg)
     grid = jnp.zeros((nsymb, nsubc), jnp.complex64)
-    grid = grid.at[cfg.start_symbol, jnp.asarray(data_sc)].set(syms)
-    grid = grid.at[cfg.start_symbol, jnp.asarray(dmrs_sc)].set(
-        jnp.asarray(_dmrs_values(cfg, dmrs_sc)))
+    per_sym = syms.reshape(cfg.duration, -1)
+    for off in range(cfg.duration):
+        l = cfg.start_symbol + off
+        grid = grid.at[l, jnp.asarray(data_sc)].set(per_sym[off])
+        grid = grid.at[l, jnp.asarray(dmrs_sc)].set(
+            jnp.asarray(_dmrs_values(cfg, dmrs_sc, l)))
     return grid
 
 
@@ -164,7 +197,8 @@ def process_multi(payloads: jnp.ndarray, cfgs: list[PdcchConfig], nsymb: int,
     cfg0 = cfgs[0]
     assert payloads.shape[0] == len(cfgs)
     assert all(c.payload_bits == cfg0.payload_bits and c.e == cfg0.e
-               and c.start_symbol == cfg0.start_symbol for c in cfgs), \
+               and c.start_symbol == cfg0.start_symbol
+               and c.duration == cfg0.duration for c in cfgs), \
         "process_multi batches one search-space shape; mixed sizes -> compose"
     assert all(c.n_id == cfg0.n_id and c.slot == cfg0.slot for c in cfgs), \
         "one CORESET: pdcch-DMRS-ScramblingID and slot must match"
@@ -187,11 +221,15 @@ def process_multi(payloads: jnp.ndarray, cfgs: list[PdcchConfig], nsymb: int,
     pos = [_re_positions(c) for c in cfgs]
     data_sc = np.concatenate([p[0] for p in pos])
     assert len(np.unique(data_sc)) == len(data_sc), "overlapping CCEs"
-    grid = grid.at[cfg0.start_symbol, jnp.asarray(data_sc)].set(
-        syms.reshape(-1))
     dmrs_sc = np.unique(np.concatenate([p[1] for p in pos]))
-    grid = grid.at[cfg0.start_symbol, jnp.asarray(dmrs_sc)].set(
-        jnp.asarray(_dmrs_values(cfg0, dmrs_sc)))
+    dur = cfg0.duration
+    per_sym = syms.reshape(n, dur, -1)                      # (N, dur, d/sym)
+    for off in range(dur):
+        l = cfg0.start_symbol + off
+        row = jnp.concatenate([per_sym[i, off] for i in range(n)])
+        grid = grid.at[l, jnp.asarray(data_sc)].set(row)
+        grid = grid.at[l, jnp.asarray(dmrs_sc)].set(
+            jnp.asarray(_dmrs_values(cfg0, dmrs_sc, l)))
     return grid
 
 
@@ -203,7 +241,9 @@ def blind_decode(rx_grid: jnp.ndarray, cfg: PdcchConfig
     implicitly via CRC success.
     """
     data_sc, _ = _re_positions(cfg)
-    syms = rx_grid[cfg.start_symbol, jnp.asarray(data_sc)]
+    syms = jnp.concatenate(
+        [rx_grid[cfg.start_symbol + off, jnp.asarray(data_sc)]
+         for off in range(cfg.duration)])
     llr = modulation.demodulate_soft(syms[None], jnp.float32(0.1), "qpsk",
                                      quantize=False)
     ci = jnp.asarray([_scrambling_cinit(cfg)], dtype=jnp.uint32)

@@ -925,19 +925,24 @@ def test_pucch_f0_interop(harness, nack, ack_val, m0, nid, snr_db):
 from srsran_edgeric_5g_tpu.models import pdcch as pdcch_model
 
 
-@pytest.mark.parametrize("bwp,start_sym,al,cce,il,rows,shift,rnti,nid,npay", [
-    (48, 1, 4, 2, 0, 2, 0, 0x4601, 41, 40),    # non-interleaved AL4
-    (48, 0, 8, 0, 1, 2, 11, 0x17, 500, 39),    # interleaved R=2 + shift
-    (108, 2, 16, 0, 1, 3, 0, 0xFFF0, 2, 60),   # interleaved R=3, AL16
-    (48, 1, 1, 7, 0, 2, 0, 1, 1007, 28),       # AL1 high CCE
-])
-def test_pdcch_processor_grid_parity(harness, bwp, start_sym, al, cce, il,
-                                     rows, shift, rnti, nid, npay):
+@pytest.mark.parametrize(
+    "bwp,start_sym,dur,al,cce,il,rows,shift,rnti,nid,npay", [
+        (48, 1, 1, 4, 2, 0, 2, 0, 0x4601, 41, 40),   # non-interleaved AL4
+        (48, 0, 1, 8, 0, 1, 2, 11, 0x17, 500, 39),   # interleaved R=2+shift
+        (108, 2, 1, 16, 0, 1, 3, 0, 0xFFF0, 2, 60),  # interleaved R=3, AL16
+        (48, 1, 1, 1, 7, 0, 2, 0, 1, 1007, 28),      # AL1 high CCE
+        (48, 0, 2, 4, 3, 0, 2, 0, 0x4601, 41, 40),   # duration 2
+        (48, 0, 2, 8, 1, 1, 2, 5, 0x17, 500, 39),    # dur 2, interleaved
+        (48, 0, 3, 4, 2, 0, 2, 0, 0xABCD, 7, 44),    # duration 3
+        (36, 0, 3, 2, 1, 1, 6, 2, 0x1234, 77, 32),   # dur 3, interleaved R=6
+    ])
+def test_pdcch_processor_grid_parity(harness, bwp, start_sym, dur, al, cce,
+                                     il, rows, shift, rnti, nid, npay):
     """The COMPLETE reference pdcch_processor (pdcch_encoder + QPSK
     modulator + scrambling + DM-RS + CCE-to-REG mapping, interleaved and
-    non-interleaved) vs models/pdcch.process: every RE equal through the
-    reference's cbf16 grid storage."""
-    out = harness("pdcchproc", bwp, start_sym, 1, al, cce, il, rows, shift,
+    non-interleaved, CORESET durations 1-3) vs models/pdcch.process: every
+    RE equal."""
+    out = harness("pdcchproc", bwp, start_sym, dur, al, cce, il, rows, shift,
                   rnti, nid, npay, 7)
     nsubc, npayload = np.frombuffer(out[:8], dtype=np.uint32)
     payload = np.frombuffer(out[8:8 + int(npayload)], dtype=np.uint8)
@@ -947,8 +952,8 @@ def test_pdcch_processor_grid_parity(harness, bwp, start_sym, al, cce, il,
     cfg = pdcch_model.PdcchConfig(
         rnti=rnti, n_id=nid, aggregation_level=al, cce_index=cce,
         start_symbol=start_sym, coreset_start_prb=0, payload_bits=npay,
-        coreset_nof_prb=bwp, interleaved=bool(il), interleaver_rows=rows,
-        shift_index=shift)
+        coreset_nof_prb=bwp, duration=dur, interleaved=bool(il),
+        interleaver_rows=rows, shift_index=shift)
     grid = np.asarray(pdcch_model.process(
         jnp.asarray(payload.astype(np.int8))[None], cfg, 14, int(nsubc)))
     # The PDCCH mapper path keeps f32 (the mapper's contiguous-put route, no

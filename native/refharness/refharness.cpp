@@ -1375,7 +1375,8 @@ public:
 // output streams so the Python side can recover the exact placement.
 int cmd_ulschdemux(unsigned nprb, unsigned nsym, unsigned qm, unsigned oack,
                    unsigned gack, unsigned ocsi, unsigned gcsi,
-                   unsigned grvd, unsigned mode)
+                   unsigned grvd, unsigned mode, unsigned ocsi2 = 0,
+                   unsigned gcsi2 = 0)
 {
   ulsch_demultiplex_impl demux;
   ulsch_demultiplex::configuration cfg;
@@ -1397,8 +1398,13 @@ int cmd_ulschdemux(unsigned nprb, unsigned nsym, unsigned qm, unsigned oack,
   cfg.nof_csi_part1_bits = ocsi;
   cfg.nof_enc_csi_part1_bits = gcsi;
 
-  record_buffer sch, ack, csi;
+  record_buffer sch, ack, csi, csi2;
   pusch_codeword_buffer& in = demux.demultiplex(sch, ack, csi, cfg);
+  if (gcsi2 > 0) {
+    // CSI Part 2 registers after demultiplex() (in the real flow its size
+    // comes from decoding CSI Part 1 first).
+    demux.set_csi_part2(csi2, ocsi2, gcsi2);
+  }
 
   // Number of data REs: type-1 DM-RS with 2 CDM groups -> DM-RS symbols
   // carry no data.
@@ -1422,11 +1428,12 @@ int cmd_ulschdemux(unsigned nprb, unsigned nsym, unsigned qm, unsigned oack,
   in.on_new_block(span<const log_likelihood_ratio>(cw), seq);
   in.on_end_codeword();
 
-  uint32_t hdr[4] = {g_total, uint32_t(sch.data.size()),
-                     uint32_t(ack.data.size()), uint32_t(csi.data.size())};
+  uint32_t hdr[5] = {g_total, uint32_t(sch.data.size()),
+                     uint32_t(ack.data.size()), uint32_t(csi.data.size()),
+                     uint32_t(csi2.data.size())};
   write_bytes(hdr, sizeof(hdr));
   std::vector<int8_t> tmp;
-  for (auto* rb : {&sch, &ack, &csi}) {
+  for (auto* rb : {&sch, &ack, &csi, &csi2}) {
     tmp.assign(rb->data.size(), 0);
     for (size_t i = 0; i != rb->data.size(); ++i) {
       tmp[i] = rb->data[i].to_int();
@@ -2744,7 +2751,8 @@ int main(int argc, char** argv)
   }
   if (cmd == "ulschdemux" && argc >= 11) {
     return cmd_ulschdemux(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9),
-                          u(10));
+                          u(10), argc >= 13 ? u(11) : 0,
+                          argc >= 13 ? u(12) : 0);
   }
   if (cmd == "ouplane" && argc >= 11) {
     return cmd_ouplane(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9),

@@ -42,19 +42,23 @@ class UciConfig:
     n_csi1: int = 0
     g_csi1: int = 0
     g_ack_rvd: int = 0   # reserved REs (o_ack <= 2 puncture mode)
+    n_csi2: int = 0
+    g_csi2: int = 0
 
 
 def _uci_plan(cfg: PdschConfig, uci: UciConfig):
     return ulsch_demux.get_demux_plan(
         cfg.g_total, cfg.qm, cfg.nof_prb * N_SC_PER_PRB,
         cfg.data_symbols, cfg.dmrs_symbols[0], uci.g_ack, uci.g_csi1,
-        g_ack_rvd=uci.g_ack_rvd, o_ack=uci.n_ack if uci.n_ack else 3)
+        g_ack_rvd=uci.g_ack_rvd, o_ack=uci.n_ack if uci.n_ack else 3,
+        g_csi2=uci.g_csi2)
 
 
 def transmit(payload: jnp.ndarray, cfg: PdschConfig, nsymb: int, nsubc: int,
              rv: int = 0, uci: UciConfig | None = None,
              ack_bits: jnp.ndarray | None = None,
-             csi1_bits: jnp.ndarray | None = None) -> jnp.ndarray:
+             csi1_bits: jnp.ndarray | None = None,
+             csi2_bits: jnp.ndarray | None = None) -> jnp.ndarray:
     """UE-side PUSCH transmit: UL-SCH (+ optional UCI mux) -> grid.
 
     Identical to pdsch.process when no UCI; with UCI the short-block-coded
@@ -76,7 +80,9 @@ def transmit(payload: jnp.ndarray, cfg: PdschConfig, nsymb: int, nsubc: int,
             if uci.n_ack else None
         csi_c = short_block.encode(csi1_bits, uci.g_csi1) \
             if uci.n_csi1 else None
-        bits = ulsch_demux.multiplex(bits, plan, ack_c, csi_c)
+        csi2_c = short_block.encode(csi2_bits, uci.g_csi2) \
+            if uci.n_csi2 else None
+        bits = ulsch_demux.multiplex(bits, plan, ack_c, csi_c, csi2_c)
         ci = jnp.asarray([scrambling_c_init(cfg.rnti, cfg.n_id)],
                          dtype=jnp.uint32)
         bits = sequences.scramble_bits(bits, ci)
@@ -101,6 +107,7 @@ class PuschResult:
     evm_sinr_db: jnp.ndarray    # scalar post-equalization SINR estimate
     ack_bits: jnp.ndarray | None = None   # (1, n_ack) detected HARQ-ACK
     csi1_bits: jnp.ndarray | None = None  # (1, n_csi1) detected CSI part 1
+    csi2_bits: jnp.ndarray | None = None  # (1, n_csi2) detected CSI part 2
 
 
 def channel_estimate(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
@@ -181,13 +188,15 @@ def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
 
     # UCI-on-PUSCH: pull ACK/CSI LLRs out, erase their SCH positions
     # (pusch_processor_impl.cpp:222-289 buffer split + ulsch_demultiplex).
-    ack_bits = csi1_bits = None
+    ack_bits = csi1_bits = csi2_bits = None
     if uci is not None:
-        llr, ack_llr, csi_llr = ulsch_demux.demultiplex(llr, plan_u)
+        llr, ack_llr, csi_llr, csi2_llr = ulsch_demux.demultiplex(llr, plan_u)
         if uci.n_ack:
             ack_bits, _ = short_block.detect(ack_llr, uci.n_ack)
         if uci.n_csi1:
             csi1_bits, _ = short_block.detect(csi_llr, uci.n_csi1)
+        if uci.n_csi2:
+            csi2_bits, _ = short_block.detect(csi2_llr, uci.n_csi2)
 
     # Split G into per-codeblock E spans and rate-dematch each.
     per_cb = []
@@ -212,4 +221,4 @@ def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
     return PuschResult(payload=payload, tb_crc_ok=tb_ok, cb_crc_ok=cb_ok,
                        soft_buffer=new_soft, noise_var=nv, cfo_hz=cfo,
                        evm_sinr_db=sinr, ack_bits=ack_bits,
-                       csi1_bits=csi1_bits)
+                       csi1_bits=csi1_bits, csi2_bits=csi2_bits)

@@ -180,16 +180,19 @@ def test_uci_on_pusch_model_loopback():
     from srsran_edgeric_5g_tpu.models import pusch as pusch_mod
 
     cfg = make_cfg(modulation="qam16", target_rate=0.4)
-    uci = pusch_mod.UciConfig(n_ack=2, g_ack=32, n_csi1=4, g_csi1=64)
+    uci = pusch_mod.UciConfig(n_ack=2, g_ack=32, n_csi1=4, g_csi1=64,
+                              n_csi2=6, g_csi2=96)
     t = num.slot_timing(**num.CELL_10MHZ)
     rng = np.random.default_rng(31)
     tbs = cfg.derived_tbs()
     payload = jnp.asarray(rng.integers(0, 2, (1, tbs), dtype=np.int8))
     ack = jnp.asarray(rng.integers(0, 2, (1, 2), dtype=np.int8))
     csi = jnp.asarray(rng.integers(0, 2, (1, 4), dtype=np.int8))
+    csi2 = jnp.asarray(rng.integers(0, 2, (1, 6), dtype=np.int8))
 
     grid = pusch_mod.transmit(payload, cfg, t.nsymb, t.nof_subc,
-                              uci=uci, ack_bits=ack, csi1_bits=csi)
+                              uci=uci, ack_bits=ack, csi1_bits=csi,
+                              csi2_bits=csi2)
     td = ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
     sig = float(jnp.mean(jnp.abs(td) ** 2))
     nv = sig * 10 ** (-16.0 / 10)
@@ -203,6 +206,7 @@ def test_uci_on_pusch_model_loopback():
     np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))
     np.testing.assert_array_equal(np.asarray(res.ack_bits), np.asarray(ack))
     np.testing.assert_array_equal(np.asarray(res.csi1_bits), np.asarray(csi))
+    np.testing.assert_array_equal(np.asarray(res.csi2_bits), np.asarray(csi2))
 
 
 def test_transmit_equals_pdsch_process_without_uci():

@@ -629,54 +629,68 @@ def _demux_positions(harness, args):
     output softbit from three digit-plane runs."""
     outs = []
     for mode in (0, 1, 2):
-        out = harness("ulschdemux", *args, mode)
-        g, nsch, nack, ncsi = np.frombuffer(out[:16], np.uint32)
-        o = 16
-        sch = np.frombuffer(out[o:o + int(nsch)], np.int8)
-        o += int(nsch)
-        ack = np.frombuffer(out[o:o + int(nack)], np.int8)
-        o += int(nack)
-        csi = np.frombuffer(out[o:], np.int8)
-        outs.append((sch, ack, csi))
+        out = harness("ulschdemux", *args[:8], mode, *args[8:])
+        g, nsch, nack, ncsi, ncsi2 = np.frombuffer(out[:20], np.uint32)
+        o = 20
+        streams = []
+        for n in (int(nsch), int(nack), int(ncsi), int(ncsi2)):
+            streams.append(np.frombuffer(out[o:o + n], np.int8))
+            o += n
+        outs.append(tuple(streams))
 
     def pos(i):
         return ((outs[0][i].astype(np.int64) + 50)
                 + 100 * (outs[1][i].astype(np.int64) + 50)
                 + 10000 * (outs[2][i].astype(np.int64) + 50))
 
-    erased = (outs[0][0] == 0) & (outs[1][0] == 0) & (outs[2][0] == 0)
-    return int(g), pos(0), pos(1), pos(2), erased
+    def erased(i):
+        return (outs[0][i] == 0) & (outs[1][i] == 0) & (outs[2][i] == 0)
+
+    return int(g), pos(0), pos(1), pos(2), pos(3), erased(0), erased(3)
 
 
-@pytest.mark.parametrize("nprb,nsym,qm,oack,gack,ocsi,gcsi,grvd", [
-    (26, 14, 6, 4, 24, 8, 48, 0),          # both fields, one symbol each
-    (26, 14, 6, 11, 3000, 0, 0, 0),        # ACK spills into a 2nd symbol
-    (26, 14, 6, 4, 24, 11, 6552, 0),       # CSI crosses the ACK symbol
-    (26, 14, 6, 4, 24, 11, int((312+312+100)*6), 0),  # CSI partial w/ ACK
-    (26, 14, 2, 4, 16, 0, 0, 0),           # QPSK
-    (26, 14, 6, 2, 12, 0, 0, 24),          # o_ack<=2: reserved + puncture
-    (26, 14, 6, 2, 12, 8, 48, 24),         # reserved + CSI
+@pytest.mark.parametrize("nprb,nsym,qm,oack,gack,ocsi,gcsi,grvd,ocsi2,gcsi2", [
+    (26, 14, 6, 4, 24, 8, 48, 0, 0, 0),    # both fields, one symbol each
+    (26, 14, 6, 11, 3000, 0, 0, 0, 0, 0),  # ACK spills into a 2nd symbol
+    (26, 14, 6, 4, 24, 11, 6552, 0, 0, 0), # CSI crosses the ACK symbol
+    (26, 14, 6, 4, 24, 11, int((312+312+100)*6), 0, 0, 0),  # CSI partial
+    (26, 14, 2, 4, 16, 0, 0, 0, 0, 0),     # QPSK
+    (26, 14, 6, 2, 12, 0, 0, 24, 0, 0),    # o_ack<=2: reserved + puncture
+    (26, 14, 6, 2, 12, 8, 48, 24, 0, 0),   # reserved + CSI
+    (26, 14, 6, 4, 24, 8, 48, 0, 6, 36),   # ACK + CSI1 + CSI2
+    (26, 14, 6, 0, 0, 8, 48, 0, 11, 4008), # CSI2 spills across symbols
+    (26, 14, 6, 2, 12, 8, 48, 24, 6, 3000),# reserved mode + CSI2 (CSI2 may
+                                           # land on reserved REs and get
+                                           # ACK-punctured)
 ])
 def test_ulsch_demux_parity(harness, nprb, nsym, qm, oack, gack, ocsi, gcsi,
-                            grvd):
+                            grvd, ocsi2, gcsi2):
     """TS 38.212 6.2.7 UL-SCH demultiplex placement vs
-    ulsch_demultiplex_impl: ACK/CSI1 source positions, the SCH stream's kept
-    positions, and the reserved-mode ACK-puncture erasures all agree
+    ulsch_demultiplex_impl: ACK/CSI1/CSI2 source positions, the SCH stream's
+    kept positions, and the reserved-mode ACK-puncture erasures all agree
     position-for-position."""
-    g, sch_pos, ack_pos, csi_pos, sch_erased = _demux_positions(
-        harness, (nprb, nsym, qm, oack, gack, ocsi, gcsi, grvd))
+    g, sch_pos, ack_pos, csi_pos, csi2_pos, sch_erased, csi2_erased = \
+        _demux_positions(harness, (nprb, nsym, qm, oack, gack, ocsi, gcsi,
+                                   grvd, ocsi2, gcsi2))
 
     # Mirror the harness grid: DM-RS at slot symbols {2, 11}, type 1 with 2
     # CDM groups -> DM-RS symbols carry no data.
     dsyms = tuple(l for l in range(nsym) if l not in (2, 11) or nsym <= 11)
     plan = ud.get_demux_plan(g, qm, nprb * 12, dsyms, 2, g_ack=gack,
-                             g_csi1=gcsi, g_ack_rvd=grvd, o_ack=oack)
+                             g_csi1=gcsi, g_ack_rvd=grvd, o_ack=oack,
+                             g_csi2=gcsi2)
     np.testing.assert_array_equal(plan.ack_positions, ack_pos)
     np.testing.assert_array_equal(plan.csi1_positions, csi_pos)
-    # The reference emits SCH in stream order (== our ascending
-    # sch_positions).  Reserved-mode punctured entries are zeroed in its
+    # The reference emits SCH (and CSI2) in stream order (== our ascending
+    # positions).  Reserved-mode punctured entries are zeroed in its
     # output, so their source positions are unrecoverable — compare the
     # erasure mask there and the positions everywhere else.
+    assert len(csi2_pos) == len(plan.csi2_positions)
+    np.testing.assert_array_equal(csi2_erased, plan.csi2_erased)
+    if len(csi2_pos):
+        keep2 = ~plan.csi2_erased
+        np.testing.assert_array_equal(plan.csi2_positions[keep2],
+                                      csi2_pos[keep2])
     assert len(sch_pos) == plan.sch_len
     np.testing.assert_array_equal(sch_erased, plan.sch_erased)
     keep = ~plan.sch_erased

@@ -37,7 +37,7 @@ def test_multiplex_demultiplex_roundtrip():
     csi = jnp.asarray(rng.integers(0, 2, (2, 16), dtype=np.int8))
     muxed = ulsch_demux.multiplex(sch, plan, ack, csi)
     llr = (1.0 - 2.0 * muxed.astype(jnp.float32)) * 9.0
-    sch_llr, ack_llr, csi_llr = ulsch_demux.demultiplex(llr, plan)
+    sch_llr, ack_llr, csi_llr, _ = ulsch_demux.demultiplex(llr, plan)
     np.testing.assert_array_equal((np.asarray(ack_llr) < 0).astype(int),
                                   np.asarray(ack))
     np.testing.assert_array_equal((np.asarray(csi_llr) < 0).astype(int),
@@ -63,7 +63,7 @@ def test_reserved_mode_puncture():
     ack = jnp.asarray(rng.integers(0, 2, (1, 8), dtype=np.int8))
     muxed = ulsch_demux.multiplex(sch, plan, ack)
     llr = (1.0 - 2.0 * muxed.astype(jnp.float32)) * 9.0
-    sch_llr, ack_llr, _ = ulsch_demux.demultiplex(llr, plan)
+    sch_llr, ack_llr, _, _ = ulsch_demux.demultiplex(llr, plan)
     np.testing.assert_array_equal((np.asarray(ack_llr) < 0).astype(int),
                                   np.asarray(ack))
     z = np.asarray(sch_llr)[0] == 0
@@ -99,7 +99,7 @@ def test_end_to_end_pusch_with_ack_puncture():
     y = jnp.asarray((np.asarray(syms) + noise * np.sqrt(nv / 2)).astype(np.complex64))
     llr = modulation.demodulate_soft(y, jnp.float32(nv), "qpsk", quantize=False)
 
-    sch_llr, ack_llr, _ = ulsch_demux.demultiplex(llr, plan)
+    sch_llr, ack_llr, _, _ = ulsch_demux.demultiplex(llr, plan)
     ack_hat, _ = short_block.detect(ack_llr, 2)
     np.testing.assert_array_equal(np.asarray(ack_hat), np.asarray(ack_bits))
 

@@ -2061,15 +2061,13 @@ int cmd_puschproc(unsigned nprb, unsigned qm, unsigned rv,
   pusch_processor::codeword_description cw;
   cw.rv = rv;
   unsigned tbs_bits = tbs_bytes * 8;
+  // TS 38.212 7.2.2 at the signalled target rate 0.5 (matching the model's
+  // select_base_graph(tbs, target_rate=0.5)): BG1 above 3824 bits.
   cw.ldpc_base_graph = (tbs_bits > 3824) ? ldpc_base_graph_type::BG1
                                          : ldpc_base_graph_type::BG2;
   cw.new_data = true;
   pdu.codeword = cw;
-  switch (qm) {
-    case 2: pdu.mcs_descr.modulation = modulation_scheme::QPSK; break;
-    case 4: pdu.mcs_descr.modulation = modulation_scheme::QAM16; break;
-    default: pdu.mcs_descr.modulation = modulation_scheme::QAM64; break;
-  }
+  pdu.mcs_descr.modulation = to_mod(qm);
   pdu.mcs_descr.target_code_rate = 0.5f;
   pdu.n_id = nid;
   pdu.nof_tx_layers = 1;
@@ -2152,19 +2150,22 @@ private:
 // result so our detector runs on identical input.
 int cmd_prachdet(unsigned root, unsigned zcz, unsigned restricted,
                  unsigned tx_preamble, unsigned delay_ns, int snr_db_x10,
-                 unsigned nsym, uint64_t seed)
+                 unsigned nsym, uint64_t seed, unsigned is_long = 1)
 {
-  constexpr unsigned L = 839;
+  const unsigned L = is_long ? 839 : 139;
+  prach_format_type fmt =
+      is_long ? prach_format_type::zero : prach_format_type::B4;
   prach_generator_impl gen;
   prach_generator::configuration gcfg;
-  gcfg.format = prach_format_type::zero;
+  gcfg.format = fmt;
   gcfg.root_sequence_index = root;
   gcfg.preamble_index = tx_preamble;
   gcfg.restricted_set = static_cast<restricted_set_config>(restricted);
   gcfg.zero_correlation_zone = zcz;
   auto seq = gen.generate(gcfg);
 
-  double scs = 1250.0;  // 1.25 kHz PRACH SCS (format 0)
+  // 1.25 kHz PRACH SCS (format 0) / 15 kHz (short B4 at mu=0).
+  double scs = is_long ? 1250.0 : 15000.0;
   double tau = delay_ns * 1e-9;
   double sigma = std::pow(10.0, -double(snr_db_x10) / 200.0);
   std::mt19937_64 g(seed);
@@ -2190,12 +2191,13 @@ int cmd_prachdet(unsigned root, unsigned zcz, unsigned restricted,
       std::make_unique<prach_generator_impl>(), true);
   prach_detector::configuration dcfg;
   dcfg.root_sequence_index = root;
-  dcfg.format = prach_format_type::zero;
+  dcfg.format = fmt;
   dcfg.restricted_set = static_cast<restricted_set_config>(restricted);
   dcfg.zero_correlation_zone = zcz;
   dcfg.start_preamble_index = 0;
   dcfg.nof_preamble_indices = 64;
-  dcfg.ra_scs = prach_subcarrier_spacing::kHz1_25;
+  dcfg.ra_scs = is_long ? prach_subcarrier_spacing::kHz1_25
+                        : prach_subcarrier_spacing::kHz15;
   dcfg.nof_rx_ports = 1;
   dcfg.slot = slot_point(0, 0, 0);
   prach_detection_result res = det.detect(buf, dcfg);
@@ -2766,7 +2768,8 @@ int main(int argc, char** argv)
   }
   if (cmd == "prachdet" && argc >= 10) {
     return cmd_prachdet(u(2), u(3), u(4), u(5), u(6),
-                        int(std::strtol(argv[7], nullptr, 10)), u(8), u(9));
+                        int(std::strtol(argv[7], nullptr, 10)), u(8), u(9),
+                        argc >= 11 ? u(10) : 1);
   }
   if (cmd == "prachgen" && argc >= 7) {
     return cmd_prachgen(u(2), u(3), u(4), u(5), u(6));

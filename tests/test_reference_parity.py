@@ -776,6 +776,7 @@ from srsran_edgeric_5g_tpu.models import pdsch as pdsch_model
     (52, 52, 6, 0, 1000, 0x4601, 1),     # full-BW 64QAM, 1 CB
     (106, 106, 6, 0, 3000, 0x4602, 500), # 20 MHz, multiple CBs
     (52, 52, 2, 2, 200, 0xFFFF, 2),      # QPSK, rv 2
+    (52, 52, 8, 0, 1500, 0x4603, 77),    # 256QAM
 ])
 def test_pdsch_processor_grid_parity(harness, bwp, alloc, qm, rv, tbs_bytes,
                                      rnti, nid):
@@ -792,7 +793,7 @@ def test_pdsch_processor_grid_parity(harness, bwp, alloc, qm, rv, tbs_bytes,
     cfg = pdsch_model.PdschConfig(
         rnti=rnti, nof_prb=alloc, start_prb=0, first_symbol=2,
         nof_symbols=12, dmrs_symbols=(2, 7, 11),
-        modulation={2: "qpsk", 4: "qam16", 6: "qam64"}[qm],
+        modulation={2: "qpsk", 4: "qam16", 6: "qam64", 8: "qam256"}[qm],
         n_id=nid, tbs=tbs_bytes * 8)
     grid = np.asarray(pdsch_model.process(jnp.asarray(payload)[None], cfg,
                                           14, int(nsubc), rv=rv))
@@ -812,6 +813,7 @@ from srsran_edgeric_5g_tpu.models import pusch as pusch_model
     (52, 6, 1000, None),    # clean channel
     (52, 6, 1000, 25.0),    # AWGN
     (106, 2, 500, 20.0),    # QPSK 20 MHz
+    (52, 8, 1500, 30.0),    # 256QAM
 ])
 def test_reference_receiver_decodes_our_pusch(harness, nprb, qm, tbs_bytes,
                                               snr_db):
@@ -827,7 +829,7 @@ def test_reference_receiver_decodes_our_pusch(harness, nprb, qm, tbs_bytes,
     cfg = pusch_model.PdschConfig(
         rnti=rnti, nof_prb=nprb, start_prb=0, first_symbol=2,
         nof_symbols=12, dmrs_symbols=(2, 11),
-        modulation={2: "qpsk", 4: "qam16", 6: "qam64"}[qm],
+        modulation={2: "qpsk", 4: "qam16", 6: "qam64", 8: "qam256"}[qm],
         n_id=nid, tbs=tbs_bytes * 8)
     grid = np.asarray(pusch_model.transmit(jnp.asarray(payload), cfg, 14,
                                            nprb * 12))
@@ -1131,3 +1133,43 @@ def test_srs_estimator_interop(harness, cfg_idx, b_idx, comb, comb_off,
     assert noise_var < 0.05, noise_var
     tol = max(ta_res, 50e-9)
     assert abs(ta_s - delay_ns * 1e-9) <= tol, (ta_s, delay_ns, ta_res)
+
+
+@pytest.mark.parametrize("root,zcz,pre,delay_ns,snr_db", [
+    (22, 11, 5, 200, 10.0),
+    (1, 14, 37, 0, 10.0),
+    (100, 0, 63, 400, 10.0),    # zcz 0: one preamble per root
+])
+def test_prach_short_detector_parity(harness, root, zcz, pre, delay_ns,
+                                     snr_db):
+    """Short-preamble PRACH (format B4, L=139, 15 kHz SCS):
+    prach_detector_generic_impl vs ops/prach.detect on identical noisy
+    delayed preambles — same detection, TA within one resolution step."""
+    nsym = 12   # B4 repeats the sequence over 12 symbols
+    out = harness("prachdet", root, zcz, 0, pre, delay_ns,
+                  int(snr_db * 10), nsym, 7, 0)
+    nsym_o, ndet = np.frombuffer(out[:8], dtype=np.uint32)
+    o = 8
+    dets = []
+    for _ in range(int(ndet)):
+        (idx,) = np.frombuffer(out[o:o + 4], dtype=np.uint32)
+        ta, metric = np.frombuffer(out[o + 4:o + 12], dtype=np.float32)
+        dets.append((int(idx), float(ta), float(metric)))
+        o += 12
+    syms = np.frombuffer(out[o:], dtype=np.complex64).reshape(int(nsym_o),
+                                                              139)
+
+    assert [d[0] for d in dets] == [pre], dets
+
+    ncs = prach_ops.ncs_from_zcz_short(zcz) if zcz else 0
+    cfg = prach_ops.PrachConfig(root_sequence_index=root,
+                                zero_correlation_zone=ncs, l_ra=139)
+    # Average the symbol repetitions (identical signal, independent noise)
+    # before our single-window detector.
+    det = prach_ops.detect(jnp.asarray(syms.mean(axis=0)), cfg)
+    detected = np.flatnonzero(np.asarray(det.detected))
+    assert detected.tolist() == [pre], (detected,
+                                        np.asarray(det.metrics)[pre])
+    t_sample = 1.0 / (15000.0 * 139)
+    ours_ta = float(np.asarray(det.delays)[pre]) * t_sample
+    assert abs(ours_ta - dets[0][1]) < 2.0 * t_sample, (ours_ta, dets[0][1])

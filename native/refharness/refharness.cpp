@@ -1705,7 +1705,21 @@ private:
 
 class capture_pusch_notifier : public pusch_processor_result_notifier {
 public:
-  void on_uci(const pusch_processor_result_control&) override {}
+  void on_uci(const pusch_processor_result_control& uci) override
+  {
+    auto grab = [](const pusch_uci_field& f, std::vector<uint8_t>& out,
+                   uint8_t& valid) {
+      valid = f.status == uci_status::valid ? 1 : 0;
+      out.resize(f.payload.size());
+      for (unsigned i = 0; i != f.payload.size(); ++i) {
+        out[i] = f.payload.test(i) ? 1 : 0;
+      }
+    };
+    grab(uci.harq_ack, ack_bits, ack_valid);
+    grab(uci.csi_part1, csi1_bits, csi1_valid);
+    grab(uci.csi_part2, csi2_bits, csi2_valid);
+    got_uci = true;
+  }
   void on_sch(const pusch_processor_result_data& sch) override
   {
     ok = sch.data.tb_crc_ok;
@@ -1714,6 +1728,9 @@ public:
   }
   bool got = false;
   bool ok = false;
+  bool got_uci = false;
+  uint8_t ack_valid = 0, csi1_valid = 0, csi2_valid = 0;
+  std::vector<uint8_t> ack_bits, csi1_bits, csi2_bits;
   float sinr_dB = NAN;
 };
 
@@ -1958,8 +1975,62 @@ int cmd_puschdec(unsigned nprb, unsigned qm, unsigned rv,
 // STDIN — used to prove the reference gNB decodes OUR transmit.
 int cmd_puschproc(unsigned nprb, unsigned qm, unsigned rv,
                   unsigned tbs_bytes, unsigned rnti, unsigned nid,
-                  unsigned iters, unsigned dmrs3)
+                  unsigned iters, unsigned dmrs3, unsigned oack = 0,
+                  unsigned ocsi1 = 0, unsigned ocsi2 = 0,
+                  unsigned info_only = 0)
 {
+  // With UCI configured the PUSCH must START on a data symbol: the
+  // reference's ulsch_demultiplex parks on the first symbol at
+  // new_transmission() and only advances past 0-softbit (DM-RS) symbols
+  // inside on_new_block(); if the first symbol is DM-RS,
+  // get_next_block_view() returns an empty span forever and
+  // pusch_demodulator_impl's `while (count_re_symbol != nof_re_symbol)`
+  // never progresses (live-lock; ulsch_demultiplex_impl.cpp:253-263 +
+  // pusch_demodulator_impl.cpp:224).  Production srsRAN starts PUSCH at
+  // symbol 0 with type-A DM-RS at l0=2, so the latent edge never fires
+  // there — the UCI probes here use that same layout.
+  bool uci_cfg = (oack | ocsi1 | ocsi2) != 0;
+  unsigned start_sym = uci_cfg ? 0 : 2;
+  unsigned nsym = uci_cfg ? 14 : 12;
+
+  if (info_only) {
+    // Emit the reference-derived UCI coded-bit counts (get_ulsch_information
+    // with the same configuration the processor derives) so the caller can
+    // build a matching transmission before invoking the full receive.
+    ulsch_configuration ucfg = {};
+    ucfg.tbs = units::bits(tbs_bytes * 8);
+    ucfg.mcs_descr.modulation = to_mod(qm);
+    ucfg.mcs_descr.target_code_rate = 0.5f;
+    ucfg.nof_harq_ack_bits = units::bits(oack);
+    ucfg.nof_csi_part1_bits = units::bits(ocsi1);
+    ucfg.nof_csi_part2_bits = units::bits(ocsi2);
+    ucfg.alpha_scaling = 1.0f;
+    ucfg.beta_offset_harq_ack = 1.0f;
+    ucfg.beta_offset_csi_part1 = 1.0f;
+    ucfg.beta_offset_csi_part2 = 1.0f;
+    ucfg.nof_rb = nprb;
+    ucfg.start_symbol_index = start_sym;
+    ucfg.nof_symbols = nsym;
+    ucfg.dmrs_type = dmrs_config_type::type1;
+    ucfg.dmrs_symbol_mask = bounded_bitset<MAX_NSYMB_PER_SLOT>(14);
+    ucfg.dmrs_symbol_mask.set(2);
+    if (dmrs3) {
+      ucfg.dmrs_symbol_mask.set(7);
+    }
+    ucfg.dmrs_symbol_mask.set(11);
+    ucfg.nof_cdm_groups_without_data = 2;
+    ucfg.nof_layers = 1;
+    ulsch_information info = get_ulsch_information(ucfg);
+    uint32_t hdr[5] = {
+        uint32_t(info.nof_ul_sch_bits.value()),
+        uint32_t(info.nof_harq_ack_bits.value()),
+        uint32_t(info.nof_csi_part1_bits.value()),
+        uint32_t(info.nof_csi_part2_bits.value()),
+        uint32_t(info.nof_harq_ack_rvd.value())};
+    write_bytes(hdr, sizeof(hdr));
+    return 0;
+  }
+
   unsigned nsubc = nprb * 12;
   // Read the 14 x nsubc complex64 grid from stdin.
   flat_grid grid(14, nsubc);
@@ -2083,11 +2154,12 @@ int cmd_puschproc(unsigned nprb, unsigned qm, unsigned rv,
   pdu.n_scid = false;
   pdu.nof_cdm_groups_without_data = 2;
   pdu.freq_alloc = rb_allocation::make_type1(0, nprb);
-  pdu.start_symbol_index = 2;
-  pdu.nof_symbols = 12;
+  pdu.start_symbol_index = start_sym;
+  pdu.nof_symbols = nsym;
   pdu.tbs_lbrm = tbs_lbrm_default;
-  pdu.uci.nof_harq_ack = 0;
-  pdu.uci.nof_csi_part1 = 0;
+  pdu.uci.nof_harq_ack = oack;
+  pdu.uci.nof_csi_part1 = ocsi1;
+  pdu.uci.csi_part2_size = uci_part2_size_description(ocsi2);
   pdu.uci.alpha_scaling = 1.0f;
   pdu.uci.beta_offset_harq_ack = 1.0f;
   pdu.uci.beta_offset_csi_part1 = 1.0f;
@@ -2116,6 +2188,21 @@ int cmd_puschproc(unsigned nprb, unsigned qm, unsigned rv,
   uint32_t ns = sdump.size();
   write_bytes(&ns, 4);
   write_bytes(sdump.data(), sdump.size());
+  // UCI tail (present when any o_* was configured): per field, a validity
+  // byte + u32 count + payload bits.
+  uint8_t got_uci = notifier.got_uci ? 1 : 0;
+  write_bytes(&got_uci, 1);
+  if (got_uci) {
+    auto dump = [](uint8_t valid, const std::vector<uint8_t>& bits) {
+      write_bytes(&valid, 1);
+      uint32_t n = bits.size();
+      write_bytes(&n, 4);
+      write_bytes(bits.data(), bits.size());
+    };
+    dump(notifier.ack_valid, notifier.ack_bits);
+    dump(notifier.csi1_valid, notifier.csi1_bits);
+    dump(notifier.csi2_valid, notifier.csi2_bits);
+  }
   return 0;
 }
 
@@ -2740,7 +2827,9 @@ int main(int argc, char** argv)
     return cmd_puschdemod(u(2), u(3), u(4), u(5), u(6));
   }
   if (cmd == "puschproc" && argc >= 10) {
-    return cmd_puschproc(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));
+    return cmd_puschproc(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9),
+                         argc >= 14 ? u(10) : 0, argc >= 14 ? u(11) : 0,
+                         argc >= 14 ? u(12) : 0, argc >= 14 ? u(13) : 0);
   }
   if (cmd == "pdschproc" && argc >= 10) {
     return cmd_pdschproc(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9));

@@ -33,8 +33,9 @@ class UciConfig:
     ulsch_demultiplex + pusch UCI decoder buffers,
     pusch_processor_impl.cpp:222-289).
 
-    n_* are payload bits (short-block coded, <= 11); g_* are the coded bit
-    counts reserved on the PUSCH (SCH bits there are punctured to erasures).
+    n_* are payload bits (short block for <= 11, polar CA-SCL for >= 12 —
+    ops.uci, matching the reference's uci_decoder); g_* are the coded bit
+    counts reserved on the PUSCH.
     """
 
     n_ack: int = 0
@@ -76,12 +77,10 @@ def transmit(payload: jnp.ndarray, cfg: PdschConfig, nsymb: int, nsubc: int,
         bits = pdsch_mod.encode_transport_block(payload, cfg, rv,
                                                 scramble=False,
                                                 e_total=plan.sch_len)
-        ack_c = short_block.encode(ack_bits, uci.g_ack) \
-            if uci.n_ack else None
-        csi_c = short_block.encode(csi1_bits, uci.g_csi1) \
-            if uci.n_csi1 else None
-        csi2_c = short_block.encode(csi2_bits, uci.g_csi2) \
-            if uci.n_csi2 else None
+        from ..ops import uci as uci_ops
+        ack_c = uci_ops.encode(ack_bits, uci.g_ack) if uci.n_ack else None
+        csi_c = uci_ops.encode(csi1_bits, uci.g_csi1) if uci.n_csi1 else None
+        csi2_c = uci_ops.encode(csi2_bits, uci.g_csi2) if uci.n_csi2 else None
         bits = ulsch_demux.multiplex(bits, plan, ack_c, csi_c, csi2_c)
         ci = jnp.asarray([scrambling_c_init(cfg.rnti, cfg.n_id)],
                          dtype=jnp.uint32)
@@ -190,13 +189,14 @@ def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
     # (pusch_processor_impl.cpp:222-289 buffer split + ulsch_demultiplex).
     ack_bits = csi1_bits = csi2_bits = None
     if uci is not None:
+        from ..ops import uci as uci_ops
         llr, ack_llr, csi_llr, csi2_llr = ulsch_demux.demultiplex(llr, plan_u)
         if uci.n_ack:
-            ack_bits, _ = short_block.detect(ack_llr, uci.n_ack)
+            ack_bits, _ = uci_ops.decode(ack_llr, uci.n_ack, uci.g_ack)
         if uci.n_csi1:
-            csi1_bits, _ = short_block.detect(csi_llr, uci.n_csi1)
+            csi1_bits, _ = uci_ops.decode(csi_llr, uci.n_csi1, uci.g_csi1)
         if uci.n_csi2:
-            csi2_bits, _ = short_block.detect(csi2_llr, uci.n_csi2)
+            csi2_bits, _ = uci_ops.decode(csi2_llr, uci.n_csi2, uci.g_csi2)
 
     # Split G into per-codeblock E spans and rate-dematch each.
     per_cb = []

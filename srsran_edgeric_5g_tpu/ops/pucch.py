@@ -208,28 +208,11 @@ def _f2_dmrs_cinit(cfg: Pucch2Config, symbol: int) -> int:
             + 2 * cfg.n_id0) % (1 << 31)
 
 
-def _uci_polar_code(k: int, e: int):
-    """UCI polar segmentation (TS 38.212 §6.3.1.2/.3.1): 12 <= K <= 19 uses
-    CRC6 + 3 PC bits; K >= 20 uses CRC11 (no PC)."""
-    if k <= 19:
-        return polar_code.construct(k + 6, e, nmax=polar_code.NMAX_UL,
-                                    i_il=False, n_pc=3, i_bil=True), "crc6"
-    return polar_code.construct(k + 11, e, nmax=polar_code.NMAX_UL,
-                                i_il=False, i_bil=True), "crc11"
-
-
 def format2_uci_encode(bits: jnp.ndarray, cfg: Pucch2Config) -> jnp.ndarray:
-    """(1, K) UCI bits -> (1, E) coded bits (short block K<=11; polar with
-    CRC6+PC for 12<=K<=19, CRC11 for K>=20)."""
-    k = cfg.uci_bits
-    e = cfg.e_total
-    if k <= 11:
-        return short_block.encode(bits, e)
-    from .crc import crc_attach
-    c, crc_name = _uci_polar_code(k, e)
-    with_crc = crc_attach(bits, crc_name)
-    cw = polar_encoder.encode(with_crc, c)
-    return polar_rm.rate_match(cw, c)
+    """(1, K) UCI bits -> (1, E) coded bits (ops.uci: short block K<=11;
+    polar with CRC6+PC for 12<=K<=19, CRC11 for K>=20)."""
+    from . import uci as uci_ops
+    return uci_ops.encode(bits, cfg.e_total)
 
 
 def format2_process(payload_bits: jnp.ndarray, cfg: Pucch2Config,
@@ -300,14 +283,5 @@ def format2_decode(rx_grid: jnp.ndarray, cfg: Pucch2Config
     ci = jnp.asarray([(cfg.rnti << 15) + cfg.n_id], dtype=jnp.uint32)
     llr = scramble_llrs(llr, ci)
 
-    k = cfg.uci_bits
-    if k <= 11:
-        bits, metric = short_block.detect(llr, k)
-        ok = metric > 0
-        return bits, ok
-    c, crc_name = _uci_polar_code(k, cfg.e_total)
-    # CA-SCL (PC-register aware) — the reference's SCL UCI path
-    # (uci_decoder_impl.cpp -> polar SCL); ok = CRC-aided path selection.
-    decoded, ok = polar_list.decode_scl(polar_rm.rate_dematch(llr, c), c,
-                                        list_size=8, crc=crc_name)
-    return decoded[:, :k], ok
+    from . import uci as uci_ops
+    return uci_ops.decode(llr, cfg.uci_bits, cfg.e_total)

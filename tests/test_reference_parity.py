@@ -1173,3 +1173,95 @@ def test_prach_short_detector_parity(harness, root, zcz, pre, delay_ns,
     t_sample = 1.0 / (15000.0 * 139)
     ours_ta = float(np.asarray(det.delays)[pre]) * t_sample
     assert abs(ours_ta - dets[0][1]) < 2.0 * t_sample, (ours_ta, dets[0][1])
+
+
+@pytest.mark.parametrize("oack,ocsi1,ocsi2,qm,snr_db", [
+    (2, 7, 13, 6, 28.0),    # reserved ACK mode; polar CSI2 (K=13)
+    (4, 25, 0, 6, 28.0),    # skip mode; polar CSI1 (K=25, CRC11)
+    (1, 0, 0, 2, 20.0),     # 1-bit ACK puncture only
+])
+def test_reference_receiver_decodes_our_uci_on_pusch(harness, oack, ocsi1,
+                                                     ocsi2, qm, snr_db):
+    """INTEROP: the reference's complete pusch_processor recovers the
+    HARQ-ACK / CSI part 1 / CSI part 2 fields (short-block AND polar coded)
+    multiplexed into OUR PUSCH transmission, with the coded-bit counts
+    G_ack/G_csi1/G_csi2/G_rvd taken from ITS OWN get_ulsch_information —
+    plus the transport block, through AWGN.
+
+    Layout is symbols 0-13 with DM-RS at 2/11 (production srsRAN's typical
+    PUSCH allocation): the reference live-locks when UCI is configured and
+    the FIRST symbol is DM-RS — ulsch_demultiplex_impl parks on the
+    0-softbit symbol and pusch_demodulator_impl.cpp:224 spins on empty
+    get_next_block_view() blocks (see refharness cmd_puschproc)."""
+    import subprocess as sp
+
+    nprb, tbs_bytes, rnti, nid = 52, 1000, 0x4601, 1
+    info = np.frombuffer(
+        harness("puschproc", nprb, qm, 0, tbs_bytes, rnti, nid, 6, 0,
+                oack, ocsi1, ocsi2, 1), dtype=np.uint32)
+    g_sch, g_ack, g_csi1, g_csi2, g_rvd = map(int, info)
+
+    uci = pusch_model.UciConfig(
+        n_ack=oack, g_ack=g_ack, n_csi1=ocsi1, g_csi1=g_csi1,
+        n_csi2=ocsi2, g_csi2=g_csi2,
+        g_ack_rvd=g_rvd if oack <= 2 else 0)
+    cfg = pusch_model.PdschConfig(
+        rnti=rnti, nof_prb=nprb, start_prb=0, first_symbol=0,
+        nof_symbols=14, dmrs_symbols=(2, 11),
+        modulation={2: "qpsk", 6: "qam64"}[qm], n_id=nid,
+        tbs=tbs_bytes * 8)
+    from srsran_edgeric_5g_tpu.models.pusch import _uci_plan
+    assert _uci_plan(cfg, uci).sch_len == g_sch
+
+    rng = np.random.default_rng(17)
+    payload = jnp.asarray(rng.integers(0, 2, (1, tbs_bytes * 8),
+                                       dtype=np.int8))
+    ack = jnp.asarray(rng.integers(0, 2, (1, oack), dtype=np.int8))
+    csi1 = jnp.asarray(rng.integers(0, 2, (1, ocsi1), dtype=np.int8)) \
+        if ocsi1 else None
+    csi2 = jnp.asarray(rng.integers(0, 2, (1, ocsi2), dtype=np.int8)) \
+        if ocsi2 else None
+    grid = np.asarray(pusch_model.transmit(
+        payload, cfg, 14, nprb * 12, uci=uci, ack_bits=ack,
+        csi1_bits=csi1, csi2_bits=csi2))
+    sig = np.mean(np.abs(grid[grid != 0]) ** 2)
+    sigma = np.sqrt(sig * 10 ** (-snr_db / 10) / 2)
+    grid = (grid + (rng.normal(size=grid.shape)
+                    + 1j * rng.normal(size=grid.shape)) * sigma
+            ).astype(np.complex64)
+
+    r = sp.run([str(HARNESS), "puschproc", str(nprb), str(qm), "0",
+                str(tbs_bytes), str(rnti), str(nid), "6", "0",
+                str(oack), str(ocsi1), str(ocsi2), "0"],
+               input=grid.tobytes(), capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-400:]
+    out = r.stdout
+    ok = out[0]
+    data = np.frombuffer(out[5:5 + tbs_bytes], dtype=np.uint8)
+    o = 5 + tbs_bytes
+    (ns,) = np.frombuffer(out[o:o + 4], dtype=np.uint32)
+    o += 4 + int(ns)
+    assert out[o] == 1, "no UCI result from the reference"
+    o += 1
+    fields = []
+    for _ in range(3):
+        valid = out[o]
+        (n,) = np.frombuffer(out[o + 1:o + 5], dtype=np.uint32)
+        bits = np.frombuffer(out[o + 5:o + 5 + int(n)], dtype=np.uint8)
+        fields.append((valid, bits))
+        o += 5 + int(n)
+
+    assert ok == 1, "reference TB CRC failed"
+    np.testing.assert_array_equal(np.unpackbits(data),
+                                  np.asarray(payload)[0].astype(np.uint8))
+    assert fields[0][0] == 1, "ACK invalid"
+    np.testing.assert_array_equal(fields[0][1],
+                                  np.asarray(ack)[0].astype(np.uint8))
+    if ocsi1:
+        assert fields[1][0] == 1, "CSI1 invalid"
+        np.testing.assert_array_equal(fields[1][1],
+                                      np.asarray(csi1)[0].astype(np.uint8))
+    if ocsi2:
+        assert fields[2][0] == 1, "CSI2 invalid"
+        np.testing.assert_array_equal(fields[2][1],
+                                      np.asarray(csi2)[0].astype(np.uint8))

@@ -40,17 +40,20 @@ def run_step_traced(s_batch: int, clean: bool, iters: int, trace_dir: str):
         sig_pow = jnp.mean(jnp.abs(td) ** 2)
         sigma = jnp.sqrt(sig_pow * 10.0 ** (-snr_db / 10.0) / 2.0)
         n = jax.random.normal(key, td.shape + (2,), jnp.float32) * sigma
-        return jax.lax.complex(n[..., 0], n[..., 1])
+        return n[..., 0], n[..., 1]  # planar f32: mirrors bench.py
 
     noise = (make_noise(payloads, jax.random.key(42, impl="rbg"))
-             if snr_db is not None else jnp.zeros((), jnp.complex64))
+             if snr_db is not None
+             else (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)))
 
     @jax.jit
     def step(p, eps, flip, noise):
         p = jnp.bitwise_xor(p, eps)
         td = sp.dl_slot_batch(p, rntis, cell)
         if snr_db is not None:
-            td = td + noise * flip
+            nr, ni = noise
+            td = jax.lax.complex(jnp.real(td) + nr * flip,
+                                 jnp.imag(td) + ni * flip)
         payload_hat, tb_ok, nv, cfo, _ = sp.ul_slot_batch(td, rntis, cell)
         eps_next = (payload_hat[0, 0, 0] & jnp.int8(0))
         return payload_hat, tb_ok, eps_next, -flip

@@ -1,17 +1,19 @@
-"""2-layer MIMO PDSCH/PUSCH: the multi-port path of the reference's
-resource grid ([subcarrier x symbol x port], resource_grid_impl.h:41-51),
-channel precoder (layers->ports), 2-port type-1 DM-RS CDM (w_f OCC,
-dmrs_helper.h) and 2xN MMSE equalizer (equalize_zf_2xn.h counterpart).
+"""Multi-layer (2/4) MIMO PDSCH/PUSCH: the multi-port path of the
+reference's resource grid ([subcarrier x symbol x port],
+resource_grid_impl.h:41-51), channel precoder (layers->ports), type-1 DM-RS
+CDM groups (w_f OCC, dmrs_helper.h) and the 2xN / general LxN MMSE
+equalizers (equalize_zf_2xn.h counterpart + generic path).
 
-TX: one TB encoded at 2-layer TBS -> layer mapping d(2i)/d(2i+1) ->
-layers 0/1 (TS 38.211 §7.3.1.3) -> identity precoding (port p = layer p)
--> per-port grids with CDM-group-0 DM-RS (ports 0/1 share subcarriers,
-frequency OCC [+,+]/[+,-]).
+TX: one TB encoded at L-layer TBS -> layer mapping d(Li+l) -> layer l
+(TS 38.211 §7.3.1.3) -> identity precoding (port p = layer p) -> per-port
+grids with CDM DM-RS: ports 0/1 share CDM group 0 subcarriers with
+frequency OCC [+,+]/[+,-]; ports 2/3 (L=4) share CDM group 1 (delta=1).
 
 RX: per (rx antenna, tx port) channel estimation by OCC de-spreading pilot
-pairs (half-rate virtual pilots at pair centers re-using the single-port
-estimator's interpolation), then closed-form per-RE 2x2 MMSE, layer
-demapping, demap/descramble/dematch/decode.
+pairs within each CDM group (half-rate virtual pilots at pair centers
+re-using the single-port estimator's interpolation), then per-RE MMSE
+(closed-form 2x2 for L=2, whitened-Gram solve for L=4), layer demapping,
+demap/descramble/dematch/decode.
 """
 
 from __future__ import annotations
@@ -31,26 +33,31 @@ from .pusch import PuschResult
 N_LAYERS = 2
 
 
-def derived_tbs(cfg: PdschConfig) -> int:
+def derived_tbs(cfg: PdschConfig, n_layers: int = N_LAYERS) -> int:
     nre = nof_re(cfg.nof_prb, cfg.nof_symbols, 12 * len(cfg.dmrs_symbols))
-    return tbs_calc(nre, cfg.target_rate, cfg.qm, N_LAYERS)
+    return tbs_calc(nre, cfg.target_rate, cfg.qm, n_layers)
 
 
 @functools.lru_cache(maxsize=None)
-def _plans2(cfg: PdschConfig, rv: int = 0):
-    tbs2 = derived_tbs(cfg)
-    g2 = N_LAYERS * cfg.g_total
-    bg = segmenter.select_base_graph(tbs2, cfg.target_rate)
-    seg = segmenter.get_segment_plan(tbs2, bg, g2, cfg.qm)
+def _plans(cfg: PdschConfig, rv: int, n_layers: int):
+    tbs_l = derived_tbs(cfg, n_layers)
+    g_l = n_layers * cfg.g_total
+    bg = segmenter.select_base_graph(tbs_l, cfg.target_rate)
+    seg = segmenter.get_segment_plan(tbs_l, bg, g_l, cfg.qm)
     rms = tuple(rate_match.get_rate_match_plan(seg.bg, seg.zc, e, rv, cfg.qm,
                                                seg.k_prime)
                 for e in sorted(set(seg.e)))
     return seg, rms
 
 
-def _encode2(payload: jnp.ndarray, cfg: PdschConfig, rv: int) -> jnp.ndarray:
-    """(1, TBS2) -> (1, 2*G) scrambled codeword bits (one codeword)."""
-    seg, rms = _plans2(cfg, rv)
+def _plans2(cfg: PdschConfig, rv: int = 0):
+    return _plans(cfg, rv, N_LAYERS)
+
+
+def _encode(payload: jnp.ndarray, cfg: PdschConfig, rv: int,
+            n_layers: int) -> jnp.ndarray:
+    """(1, TBS_L) -> (1, L*G) scrambled codeword bits (one codeword)."""
+    seg, rms = _plans(cfg, rv, n_layers)
     cbs = segmenter.segment_tb(payload, seg)
     from ..ops.ldpc import encoder
     cw = encoder.encode(cbs, seg.bg, seg.zc)
@@ -67,28 +74,29 @@ def _encode2(payload: jnp.ndarray, cfg: PdschConfig, rv: int) -> jnp.ndarray:
     return sequences.scramble_bits(bits, ci)
 
 
-def layer_map(syms: jnp.ndarray) -> jnp.ndarray:
-    """(1, 2M) codeword symbols -> (2, M): d(2i)->layer0, d(2i+1)->layer1."""
-    return syms.reshape(-1, N_LAYERS).T
+def layer_map(syms: jnp.ndarray, n_layers: int = N_LAYERS) -> jnp.ndarray:
+    """(1, LM) codeword symbols -> (L, M): d(Li+l) -> layer l."""
+    return syms.reshape(-1, n_layers).T
 
 
 def layer_demap(x: jnp.ndarray) -> jnp.ndarray:
-    """(2, M) layer values -> (1, 2M) codeword order."""
+    """(L, M) layer values -> (1, LM) codeword order."""
     return x.T.reshape(1, -1)
 
 
-def process_2layer(payload: jnp.ndarray, cfg: PdschConfig, nsymb: int,
-                   nsubc: int, rv: int = 0) -> jnp.ndarray:
-    """(1, TBS2) payload -> (2, nsymb, nsubc) per-port grids."""
-    bits = _encode2(payload, cfg, rv)
-    syms = modulation.modulate(bits, cfg.modulation)      # (1, 2M)
-    layers = layer_map(syms)                              # (2, M)
+def process_mimo(payload: jnp.ndarray, cfg: PdschConfig, nsymb: int,
+                 nsubc: int, rv: int = 0,
+                 n_layers: int = N_LAYERS) -> jnp.ndarray:
+    """(1, TBS_L) payload -> (L, nsymb, nsubc) per-port grids."""
+    bits = _encode(payload, cfg, rv, n_layers)
+    syms = modulation.modulate(bits, cfg.modulation)      # (1, LM)
+    layers = layer_map(syms, n_layers)                    # (L, M)
 
     sc0 = cfg.start_prb * N_SC_PER_PRB
     width = cfg.nof_prb * N_SC_PER_PRB
     sym_idx = jnp.asarray(np.asarray(cfg.data_symbols, dtype=np.int32))
     grids = []
-    for p in range(N_LAYERS):
+    for p in range(n_layers):
         g = jnp.zeros((nsymb, nsubc), jnp.complex64)
         data = layers[p].reshape(len(cfg.data_symbols), width)
         g = g.at[sym_idx, sc0:sc0 + width].set(data.astype(jnp.complex64))
@@ -104,19 +112,25 @@ def process_2layer(payload: jnp.ndarray, cfg: PdschConfig, nsymb: int,
     return jnp.stack(grids)
 
 
-def _estimate_ports_occ(rx_grid: jnp.ndarray, cfg: PdschConfig,
-                        symbol_times: np.ndarray):
-    """One rx antenna -> per-tx-port channels via CDM OCC de-spreading.
+def process_2layer(payload: jnp.ndarray, cfg: PdschConfig, nsymb: int,
+                   nsubc: int, rv: int = 0) -> jnp.ndarray:
+    """(1, TBS2) payload -> (2, nsymb, nsubc) per-port grids."""
+    return process_mimo(payload, cfg, nsymb, nsubc, rv, N_LAYERS)
 
-    Ports 0/1 share CDM group 0 subcarriers with w_f = [+,+] / [+,-] over
-    pilot pairs: u = r(2j)/p(2j), v = r(2j+1)/p(2j+1) give
-    h_port0 = (u+v)/2 and h_port1 = (u-v)/2 at the pair centre.  The
+
+def _estimate_ports_occ(rx_grid: jnp.ndarray, cfg: PdschConfig,
+                        symbol_times: np.ndarray, cdm_group: int = 0):
+    """One rx antenna -> the 2 tx ports of one CDM group via OCC de-spread.
+
+    Ports 2g/2g+1 share CDM group g subcarriers with w_f = [+,+] / [+,-]
+    over pilot pairs: u = r(2j)/p(2j), v = r(2j+1)/p(2j+1) give
+    h_even = (u+v)/2 and h_odd = (u-v)/2 at the pair centre.  The
     de-spread half-rate pilots feed the standard estimator interpolation.
     Returns ((2, width) h, noise_var, cfo).
     """
     sc0 = cfg.start_prb * N_SC_PER_PRB
     width = cfg.nof_prb * N_SC_PER_PRB
-    pat = dmrs_mod.dmrs_pattern(1, cfg.nof_prb, port=0)
+    pat = dmrs_mod.dmrs_pattern(1, cfg.nof_prb, port=2 * cdm_group)
     npil = len(pat.subcarriers)
 
     rx_p, ref_p = [], []
@@ -145,33 +159,41 @@ def _estimate_ports_occ(rx_grid: jnp.ndarray, cfg: PdschConfig,
     return jnp.stack(hs), (nvs[0] + nvs[1]) / 2, (cfos[0] + cfos[1]) / 2
 
 
-def receive_2layer(rx_grids: jnp.ndarray, cfg: PdschConfig, srate: float,
-                   symbol_times: np.ndarray, rv: int = 0,
-                   num_iters: int = decoder.DEFAULT_ITERS) -> PuschResult:
-    """(n_rx, nsymb, nsubc) antenna grids -> decoded 2-layer TB."""
-    seg, rms = _plans2(cfg, rv)
+def receive_mimo(rx_grids: jnp.ndarray, cfg: PdschConfig, srate: float,
+                 symbol_times: np.ndarray, rv: int = 0,
+                 num_iters: int = decoder.DEFAULT_ITERS,
+                 n_layers: int = N_LAYERS) -> PuschResult:
+    """(n_rx, nsymb, nsubc) antenna grids -> decoded L-layer TB."""
+    seg, rms = _plans(cfg, rv, n_layers)
     n_rx = rx_grids.shape[0]
     sc0 = cfg.start_prb * N_SC_PER_PRB
     width = cfg.nof_prb * N_SC_PER_PRB
     sym_idx = jnp.asarray(np.asarray(cfg.data_symbols, dtype=np.int32))
+    n_groups = (n_layers + 1) // 2
 
     hs, nvs, cfos = [], [], []
     for a in range(n_rx):
-        h, nv, cfo = _estimate_ports_occ(rx_grids[a], cfg, symbol_times)
-        hs.append(h)
-        nvs.append(nv)
-        cfos.append(cfo)
-    h = jnp.stack(hs)                           # (n_rx, 2, width)
+        per_group_h, per_group_nv = [], []
+        for g in range(n_groups):
+            h, nv, cfo = _estimate_ports_occ(rx_grids[a], cfg, symbol_times,
+                                             cdm_group=g)
+            per_group_h.append(h)
+            per_group_nv.append(nv)
+            cfos.append(cfo)
+        hs.append(jnp.concatenate(per_group_h, axis=0)[:n_layers])
+        nvs.append(sum(per_group_nv) / n_groups)
+    h = jnp.stack(hs)                           # (n_rx, L, width)
     nv = jnp.stack(nvs)                         # (n_rx,)
 
     y = rx_grids[:, sym_idx, sc0:sc0 + width]   # (n_rx, ndata, width)
     hh = jnp.broadcast_to(h[:, :, None, :], h.shape[:2] + y.shape[1:])
-    x_hat, nv_out = equalizer.equalize_mmse_2xn(
-        y, hh, nv[:, None, None])               # (2, ndata, width) each
+    eq = (equalizer.equalize_mmse_2xn if n_layers == 2
+          else equalizer.equalize_mmse_lxn)
+    x_hat, nv_out = eq(y, hh, nv[:, None, None])  # (L, ndata, width) each
 
-    m = x_hat.reshape(N_LAYERS, -1)
+    m = x_hat.reshape(n_layers, -1)
     llr = modulation.demodulate_soft(
-        layer_demap(m), layer_demap(nv_out.reshape(N_LAYERS, -1)).real,
+        layer_demap(m), layer_demap(nv_out.reshape(n_layers, -1)).real,
         cfg.modulation, quantize=False)
     ci = jnp.asarray([scrambling_c_init(cfg.rnti, cfg.n_id)], dtype=jnp.uint32)
     llr = sequences.scramble_llrs(llr, ci)
@@ -189,3 +211,11 @@ def receive_2layer(rx_grids: jnp.ndarray, cfg: PdschConfig, srate: float,
     return PuschResult(payload=payload, tb_crc_ok=tb_ok, cb_crc_ok=cb_ok,
                        soft_buffer=None, noise_var=mean_nv,
                        cfo_hz=jnp.mean(jnp.stack(cfos)), evm_sinr_db=sinr)
+
+
+def receive_2layer(rx_grids: jnp.ndarray, cfg: PdschConfig, srate: float,
+                   symbol_times: np.ndarray, rv: int = 0,
+                   num_iters: int = decoder.DEFAULT_ITERS) -> PuschResult:
+    """(n_rx, nsymb, nsubc) antenna grids -> decoded 2-layer TB."""
+    return receive_mimo(rx_grids, cfg, srate, symbol_times, rv, num_iters,
+                        N_LAYERS)

@@ -103,6 +103,45 @@ def equalize_mmse_2xn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
     return x_hat, nv_out
 
 
+def equalize_mmse_lxn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
+                      tx_scaling: float = 1.0
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """MMSE for L spatial layers x N rx ports — the general-dimension
+    counterpart of the reference's equalizer (channel_equalizer_generic_impl
+    routes >2-layer cases through the same whitened-Gram formulation the
+    2xN specialisation closed-forms).
+
+    Args:
+      y: (ports, ...) received REs.
+      h: (ports, L, ...) channel matrix per RE.
+      noise_var: broadcastable per-port noise variance (ports, ...).
+
+    Per RE solves x = (H^H W H + I)^-1 H^H W y with per-port noise whitening
+    W = diag(1/nvar_p), then unbiases each layer to unity gain exactly like
+    the 1xN/2xN paths.  Returns ((L, ...) x_hat, (L, ...) nvar_out).
+    """
+    h = h * jnp.asarray(tx_scaling, h.dtype)
+    nof_layers = h.shape[1]
+    nv = jnp.broadcast_to(noise_var, y.shape)
+    w = (1.0 / jnp.maximum(nv, 1e-30)).astype(jnp.float32)
+    hw = h * w[:, None]
+
+    # Gram A = H^H W H (..., L, L) and matched filter z = H^H W y (..., L).
+    a = jnp.einsum("pl...,pm...->...lm", jnp.conj(h), hw)
+    z = jnp.einsum("pl...,p...->...l", jnp.conj(hw), y)
+    b = a + jnp.eye(nof_layers, dtype=a.dtype)
+    binv = jnp.linalg.inv(b)
+    xw = jnp.einsum("...lm,...m->...l", binv, z)
+
+    # Unbias: E[x_hat_l | x] = g_l x_l with g_l = 1 - [(A+I)^-1]_ll;
+    # post-equalization noise variance per layer is (1-g)/g.
+    g = jnp.maximum(
+        1.0 - jnp.real(jnp.diagonal(binv, axis1=-2, axis2=-1)), 1e-6)
+    x_hat = jnp.moveaxis(xw / g, -1, 0).astype(jnp.complex64)
+    nv_out = jnp.moveaxis((1.0 - g) / g, -1, 0).astype(jnp.float32)
+    return x_hat, nv_out
+
+
 def equalize_zf_1xn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
                     tx_scaling: float = 1.0) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Zero-forcing variant: x_hat = sum conj(h) y / sum |h|^2."""

@@ -1,10 +1,12 @@
-"""2-layer MIMO end-to-end: layer map -> 2-port CDM DM-RS -> 2x2 channel ->
-OCC-separated estimation -> 2x2 MMSE -> decode."""
+"""Multi-layer MIMO end-to-end: layer map -> CDM DM-RS (both type-1 CDM
+groups at 4 layers) -> LxN channel -> OCC-separated estimation -> 2x2 /
+general LxN MMSE -> decode."""
 
 import jax.numpy as jnp
 import numpy as np
 
 from srsran_edgeric_5g_tpu.models import mimo, pdsch
+from srsran_edgeric_5g_tpu.ops import equalizer
 from srsran_edgeric_5g_tpu.ran import numerology as num
 
 
@@ -50,6 +52,76 @@ def test_2x2_mixing_channel():
     h = np.array([[1.0 + 0.2j, 0.45 - 0.3j],
                   [-0.35 + 0.4j, 0.9 - 0.1j]], dtype=np.complex64)
     payload, res, _ = _run(_cfg(), h, snr_db=27.0, seed=2)
+    assert np.asarray(res.tb_crc_ok).all()
+    np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))
+
+
+def _run4(cfg, h, snr_db, seed=0):
+    t = num.slot_timing(**num.CELL_10MHZ)
+    rng = np.random.default_rng(seed)
+    tbs = mimo.derived_tbs(cfg, n_layers=4)
+    payload = jnp.asarray(rng.integers(0, 2, (1, tbs), dtype=np.int8))
+    grids = np.asarray(mimo.process_mimo(payload, cfg, t.nsymb, t.nof_subc,
+                                         n_layers=4))
+    rx = np.einsum("ap,psk->ask", h, grids)
+    sig = float(np.mean(np.abs(rx[np.abs(rx) > 0]) ** 2))
+    nv = sig * 10 ** (-snr_db / 10)
+    rx = rx + (rng.normal(size=rx.shape) + 1j * rng.normal(size=rx.shape)) \
+        * np.sqrt(nv / 2)
+    times = np.asarray(t.cp.data_starts) / t.srate
+    res = mimo.receive_mimo(jnp.asarray(rx.astype(np.complex64)), cfg,
+                            t.srate, times, n_layers=4)
+    return payload, res, tbs
+
+
+def test_mmse_lxn_matches_2xn_closed_form():
+    """The general LxN whitened-Gram solve reproduces the closed-form 2x2
+    MMSE path at L=2 (same unbias + post-eq noise convention)."""
+    rng = np.random.default_rng(11)
+    shape = (3, 2, 5, 7)   # (ports, layers, ...)
+    h = (rng.normal(size=shape) + 1j * rng.normal(size=shape)) \
+        .astype(np.complex64)
+    y = (rng.normal(size=(3, 5, 7)) + 1j * rng.normal(size=(3, 5, 7))) \
+        .astype(np.complex64)
+    nv = rng.uniform(0.01, 0.3, size=(3, 1, 1)).astype(np.float32)
+    x2, n2 = equalizer.equalize_mmse_2xn(jnp.asarray(y), jnp.asarray(h),
+                                         jnp.asarray(nv))
+    xl, nl = equalizer.equalize_mmse_lxn(jnp.asarray(y), jnp.asarray(h),
+                                         jnp.asarray(nv))
+    np.testing.assert_allclose(np.asarray(xl), np.asarray(x2),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(nl), np.asarray(n2),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_4x4_identity_channel():
+    cfg = _cfg()
+    payload, res, tbs = _run4(cfg, np.eye(4, dtype=np.complex64), snr_db=27.0)
+    assert np.asarray(res.tb_crc_ok).all()
+    np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))
+    # 4-layer TBS really is ~2x the 2-layer TBS.
+    assert tbs > 1.8 * mimo.derived_tbs(cfg)
+
+
+def test_4x4_mixing_channel():
+    """Well-conditioned 4x4 complex mixing channel: layers (two per CDM
+    group) separated by the general LxN MMSE, exact payload recovery."""
+    h = (np.eye(4)
+         + 0.3 * np.exp(1j * 0.7) * np.eye(4, k=1)
+         + 0.25 * np.exp(-1j * 1.1) * np.eye(4, k=-1)
+         + 0.15 * np.exp(1j * 2.0) * np.eye(4, k=2)).astype(np.complex64)
+    payload, res, _ = _run4(_cfg(), h, snr_db=30.0, seed=5)
+    assert np.asarray(res.tb_crc_ok).all()
+    np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))
+
+
+def test_4x6_rx_diversity():
+    """6 rx antennas over 4 layers: extra diversity decodes a random
+    Rayleigh mix at moderate SNR."""
+    rng = np.random.default_rng(9)
+    h = (rng.normal(size=(6, 4)) + 1j * rng.normal(size=(6, 4))) \
+        .astype(np.complex64) / np.sqrt(2)
+    payload, res, _ = _run4(_cfg(), h, snr_db=24.0, seed=6)
     assert np.asarray(res.tb_crc_ok).all()
     np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))
 

@@ -162,4 +162,70 @@ int ofh_uplane_parse(const uint8_t* frame, unsigned frame_len,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// VLAN Ethernet framing — the reference's
+// lib/ofh/ethernet/vlan_ethernet_frame_builder_impl.cpp:36-57 (dst MAC,
+// src MAC, TPID 0x8100, TCI, ethertype) and
+// vlan_ethernet_frame_decoder_impl.cpp:31-52 (NIC-stripped header parse with
+// the 64-byte minimum-length drop rule; frames below it are rejected).
+// The raw-socket/DPDK NIC send itself stays out of scope (no fronthaul NIC);
+// this is the wire format so a transport can be plugged underneath.
+
+namespace {
+constexpr unsigned ETH_MIN_LEN = 64;
+constexpr uint16_t VLAN_TPID = 0x8100;
+} // namespace
+
+// Header size of a VLAN-tagged frame (builder's get_header_size()).
+unsigned ofh_eth_header_size() { return 6 + 6 + 4 + 2; }
+
+// Build a VLAN-tagged Ethernet frame around payload, zero-padding to the
+// 64-byte minimum like the reference's ethernet_frame_pool. Returns length.
+unsigned ofh_eth_build(uint8_t* out, const uint8_t* dst, const uint8_t* src,
+                       uint16_t tci, uint16_t eth_type,
+                       const uint8_t* payload, unsigned payload_len)
+{
+  uint8_t* p = out;
+  std::memcpy(p, dst, 6);
+  p += 6;
+  std::memcpy(p, src, 6);
+  p += 6;
+  put_u16(p, VLAN_TPID);
+  p += 2;
+  put_u16(p, tci);
+  p += 2;
+  put_u16(p, eth_type);
+  p += 2;
+  std::memcpy(p, payload, payload_len);
+  p += payload_len;
+  while (unsigned(p - out) < ETH_MIN_LEN) {
+    *p++ = 0;
+  }
+  return unsigned(p - out);
+}
+
+// Parse an Ethernet frame. The reference decoder sees the VLAN tag already
+// stripped by the NIC; loopback frames keep it — both are handled by the
+// TPID check. Writes dst/src (6 bytes each), *tci (0xffff when untagged)
+// and *eth_type; returns the payload byte offset, or -1 when the frame is
+// below the 64-byte minimum (the reference's drop rule).
+int ofh_eth_parse(const uint8_t* frame, unsigned frame_len, uint8_t* dst,
+                  uint8_t* src, uint16_t* tci, uint16_t* eth_type)
+{
+  if (frame_len < ETH_MIN_LEN) {
+    return -1;
+  }
+  std::memcpy(dst, frame, 6);
+  std::memcpy(src, frame + 6, 6);
+  const uint8_t* p = frame + 12;
+  *tci = 0xffff;
+  if (get_u16(p) == VLAN_TPID) {
+    *tci = get_u16(p + 2);
+    p += 4;
+  }
+  *eth_type = get_u16(p);
+  p += 2;
+  return int(p - frame);
+}
+
 } // extern "C"

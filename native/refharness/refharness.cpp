@@ -113,6 +113,8 @@
 #include "srsran/phy/upper/channel_processors/pusch/pusch_codeword_buffer.h"
 #include "ofh_uplane_message_builder_static_compression_impl.h"
 #include "ecpri_packet_builder_impl.h"
+#include "vlan_ethernet_frame_builder_impl.h"
+#include "vlan_ethernet_frame_decoder_impl.h"
 #include "srsran/ofh/ecpri/ecpri_packet_properties.h"
 #include "srsran/phy/support/resource_grid_reader.h"
 #include "srsran/phy/support/resource_grid_writer.h"
@@ -1349,6 +1351,58 @@ int cmd_ouplane(unsigned nprb, unsigned width, unsigned pc_id, unsigned seq,
   write_bytes(&total, 4);
   write_bytes(iq_f32.data(), nsamp * sizeof(cf_t));
   write_bytes(frame.data(), total);
+  return 0;
+}
+
+// VLAN Ethernet frame serdes (vlan_ethernet_frame_builder_impl +
+// vlan_ethernet_frame_decoder_impl): builds the tagged header around a
+// random payload (padded to the 64-byte minimum like ethernet_frame_pool),
+// then runs the reference decoder on the NIC-stripped form.  Emits the MACs,
+// the tagged frame, and the decoder's parsed eth_type + payload span so the
+// Python side can compare both directions byte-exactly.
+int cmd_oeth(unsigned tci, unsigned eth_type, unsigned payload_len,
+             uint64_t seed)
+{
+  ether::vlan_frame_builder_impl builder;
+  auto& logger = srslog::fetch_basic_logger("ETH");
+  ether::vlan_frame_decoder_impl decoder(logger);
+
+  std::mt19937_64 g(seed);
+  ether::vlan_frame_params params;
+  for (unsigned i = 0; i != 6; ++i) {
+    params.mac_dst_address[i] = uint8_t(g());
+    params.mac_src_address[i] = uint8_t(g());
+  }
+  params.tci = uint16_t(tci);
+  params.eth_type = uint16_t(eth_type);
+
+  unsigned hdr = builder.get_header_size().value();
+  std::vector<uint8_t> frame(hdr + payload_len, 0);
+  builder.build_vlan_frame(span<uint8_t>(frame), params);
+  for (unsigned i = 0; i != payload_len; ++i) {
+    frame[hdr + i] = uint8_t(g());
+  }
+  if (frame.size() < 64) {
+    frame.resize(64, 0);  // ethernet_frame_pool minimum-length padding
+  }
+
+  // NIC-stripped form (VLAN tag removed) for the reference decoder.
+  std::vector<uint8_t> stripped(frame.begin(), frame.begin() + 12);
+  stripped.insert(stripped.end(), frame.begin() + 16, frame.end());
+  ether::vlan_frame_params parsed;
+  span<const uint8_t> rest =
+      decoder.decode(span<const uint8_t>(stripped), parsed);
+
+  write_bytes(params.mac_dst_address.data(), 6);
+  write_bytes(params.mac_src_address.data(), 6);
+  uint32_t flen = uint32_t(frame.size());
+  write_bytes(&flen, 4);
+  write_bytes(frame.data(), frame.size());
+  uint32_t ptype = parsed.eth_type;
+  uint32_t rlen = uint32_t(rest.size());
+  write_bytes(&ptype, 4);
+  write_bytes(&rlen, 4);
+  write_bytes(rest.data(), rest.size());
   return 0;
 }
 
@@ -2844,6 +2898,9 @@ int main(int argc, char** argv)
     return cmd_ulschdemux(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9),
                           u(10), argc >= 13 ? u(11) : 0,
                           argc >= 13 ? u(12) : 0);
+  }
+  if (cmd == "oeth" && argc >= 6) {
+    return cmd_oeth(u(2), u(3), u(4), std::strtoull(argv[5], nullptr, 10));
   }
   if (cmd == "ouplane" && argc >= 11) {
     return cmd_ouplane(u(2), u(3), u(4), u(5), u(6), u(7), u(8), u(9),

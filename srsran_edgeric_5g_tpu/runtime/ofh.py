@@ -47,6 +47,15 @@ def lib() -> ctypes.CDLL:
              ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16)]
             + [ctypes.POINTER(ctypes.c_uint)] * 6
             + [ctypes.c_uint, ctypes.c_uint, u8p, u8p])
+        l.ofh_eth_header_size.restype = ctypes.c_uint
+        l.ofh_eth_header_size.argtypes = []
+        l.ofh_eth_build.restype = ctypes.c_uint
+        l.ofh_eth_build.argtypes = [u8p, u8p, u8p, ctypes.c_uint16,
+                                    ctypes.c_uint16, u8p, ctypes.c_uint]
+        l.ofh_eth_parse.restype = ctypes.c_int
+        l.ofh_eth_parse.argtypes = [u8p, ctypes.c_uint, u8p, u8p,
+                                    ctypes.POINTER(ctypes.c_uint16),
+                                    ctypes.POINTER(ctypes.c_uint16)]
         _lib = l
     return _lib
 
@@ -114,6 +123,43 @@ def parse_frame(frame: bytes, width: int, with_exponent: bool = True
     hdr = UplaneHeader(pc.value, seq.value, sfn.value, sub.value, slot.value,
                        sym.value, sprb.value, n)
     return hdr, (exps[:n] if with_exponent else None), packed[:n]
+
+
+ECPRI_ETH_TYPE = 0xAEFE  # include/srsran/ofh/ethernet/ethernet_properties.h:31
+
+
+def build_eth_frame(dst_mac: bytes, src_mac: bytes, tci: int,
+                    payload: bytes, eth_type: int = ECPRI_ETH_TYPE) -> bytes:
+    """VLAN-tagged Ethernet frame around one eCPRI message — the wire
+    format of vlan_ethernet_frame_builder_impl.cpp:36-57, zero-padded to
+    the 64-byte minimum (byte-exact vs the reference, refharness `oeth`)."""
+    assert len(dst_mac) == 6 and len(src_mac) == 6
+    pl = np.frombuffer(payload, np.uint8)
+    out = np.empty(max(18 + len(payload), 64), np.uint8)
+    n = lib().ofh_eth_build(
+        _u8(out), _u8(np.frombuffer(dst_mac, np.uint8)),
+        _u8(np.frombuffer(src_mac, np.uint8)), tci, eth_type,
+        _u8(pl), len(pl))
+    return out[:n].tobytes()
+
+
+def parse_eth_frame(frame: bytes
+                    ) -> tuple[bytes, bytes, int | None, int, bytes]:
+    """-> (dst_mac, src_mac, tci or None, eth_type, payload).  Handles both
+    the tagged loopback form and the NIC-stripped form the reference
+    decoder sees (vlan_ethernet_frame_decoder_impl.cpp:31-52); frames under
+    the 64-byte minimum are rejected like the reference's drop rule."""
+    buf = np.frombuffer(frame, np.uint8)
+    dst = np.zeros(6, np.uint8)
+    src = np.zeros(6, np.uint8)
+    tci = ctypes.c_uint16()
+    et = ctypes.c_uint16()
+    off = lib().ofh_eth_parse(_u8(buf), len(frame), _u8(dst), _u8(src),
+                              ctypes.byref(tci), ctypes.byref(et))
+    assert off > 0, f"eth parse failed: {off}"
+    return (dst.tobytes(), src.tobytes(),
+            None if tci.value == 0xFFFF else tci.value, et.value,
+            frame[off:])
 
 
 def frame_dl_slot(grid_iq: np.ndarray, pc_id: int, sfn: int, subframe: int,

@@ -7,3 +7,5 @@ layer and its executor-fed circular buffers.
 """
 
 from .iqbridge import IqRing, IqTxServer, IqRxClient, iq_file_read, iq_file_write  # noqa: F401
+from .events import (RadioEvents, RadioEventNotifier, SlotClock,  # noqa: F401
+                     SlotDeadline, fail_open)

@@ -34,7 +34,9 @@ def main(argv=None):
     from srsran_edgeric_5g_tpu import config as cfg_mod
     from srsran_edgeric_5g_tpu.utils.bits import from_device_complex, to_device_complex
     from srsran_edgeric_5g_tpu.models.cell_processor import CellProcessor
-    from srsran_edgeric_5g_tpu.runtime import IqRxClient, IqTxServer
+    from srsran_edgeric_5g_tpu.runtime import (
+        IqRxClient, IqTxServer, RadioEventNotifier, SlotClock, SlotDeadline,
+        fail_open)
     from srsran_edgeric_5g_tpu.utils.metrics import StdoutSink
     from srsran_edgeric_5g_tpu.utils.tracing import l1_tracer
 
@@ -55,6 +57,15 @@ def main(argv=None):
     tx = IqTxServer(addr, chunk=t.cp.total)
     rx = IqRxClient(addr.replace("*", "localhost"), chunk=t.cp.total)
 
+    # Failure detection (SURVEY §5): radio event counters, skipped-slot
+    # tracking, and a real-time budget check over a generous host-IO
+    # run-ahead (this app is a functional loopback, not the bench).
+    notifier = RadioEventNotifier(log=lambda s: print(f"[radio] {s}",
+                                                      flush=True))
+    slot_clock = SlotClock(notifier)
+    rt_deadline = SlotDeadline(t.cp.total / t.srate, run_ahead=5000,
+                               notifier=notifier)
+
     rng = np.random.default_rng(0)
     tbs = proc.tbs
     print(f"cell: {cfg.bandwidth_mhz} MHz / {cfg.nof_prb} PRB, "
@@ -65,6 +76,9 @@ def main(argv=None):
     t0 = time.time()
     ok_count = 0
     for slot in range(args.slots):
+        if slot_clock.advance(slot) is None:
+            continue  # stale request — counted LATE, dropped (puxch rule)
+        tok = rt_deadline.start()
         payloads = jnp.asarray(
             rng.integers(0, 2, (cell.nof_ue, tbs), dtype=np.int8))
         sent_payloads.append(np.asarray(payloads))
@@ -83,13 +97,22 @@ def main(argv=None):
             got = np.concatenate([got, chunk]) if len(chunk) else got
             if len(got) < t.cp.total:
                 time.sleep(0.0005)
-        assert len(got) == t.cp.total, f"radio underflow at slot {slot}"
+        if len(got) < t.cp.total:
+            # Radio underflow: count the event and skip the slot's UL
+            # (the reference notifies and keeps the cell alive).
+            notifier.on_underflow(slot)
+            continue
 
-        payload_hat, tb_ok = proc.process_ul_slot(to_device_complex(got))
+        res = fail_open(notifier, slot,
+                        lambda: proc.process_ul_slot(to_device_complex(got)))
+        if res is None:
+            continue  # UL processing error — counted, cell stays up
+        payload_hat, tb_ok = res
         okv = np.asarray(tb_ok)
         ok_count += int(okv.sum())
         if not okv.all():
             print(f"slot {slot}: CRC failures {np.nonzero(~okv)[0]}", flush=True)
+        rt_deadline.finish(slot, tok)
 
     dt = time.time() - t0
     rx.stop()
@@ -99,6 +122,7 @@ def main(argv=None):
     print(f"done: {args.slots} slots in {dt:.2f}s "
           f"({args.slots / dt:.1f} slot/s incl. host IO), "
           f"TB success {ok_count}/{n}", flush=True)
+    print(f"radio events: {notifier.events.as_dict()}", flush=True)
     print("throughput (Mbit/s @1k slots/s):",
           {hex(k): round(v, 2) for k, v in tp.items()}, flush=True)
     if er_sink is not None:

@@ -1,0 +1,300 @@
+"""MAC scheduler — per-slot DL grant computation with EdgeRIC overrides.
+
+Counterpart of the reference's ``lib/scheduler`` slot loop
+(cell_scheduler.cpp:87 ``run_slot``) and its two UE policies —
+proportional-fair (policy/scheduler_time_pf.cpp:230 ``compute_dl_prio``:
+``prio = estimated_rate / avg_rate^fairness_coeff`` with an exponential
+average, exp_avg_alpha = 0.01, scheduler_time_pf.h:46) and round-robin
+(policy/scheduler_time_rr.cpp: rotating start index, equal per-UE RB cap) —
+plus the EdgeRIC fork's real-time hooks, which are the point of the fork:
+
+* policy recv at slot start / metrics send at slot end
+  (cell_scheduler.cpp:92-96, :143-144 — here: the caller polls
+  ``runtime.edgeric.EdgericAgent`` and passes the latest weights/MCS in);
+* metric taps inside the policy loop (scheduler_time_pf.cpp:74-77
+  ``set_cqi/set_snr/set_dl_buffer/set_ul_buffer`` — here: ``ue_reports()``);
+* the weight override ``n_prbs = w * unused_crbs`` clamped by the
+  data-derived PRB need and expert min/max
+  (ue_cell_grid_allocator.cpp:296-305);
+* the MCS override replacing link adaptation
+  (ue_cell_grid_allocator.cpp:426-432).
+
+The scheduler is deliberately host-side Python: it is control logic at
+1 kHz, not compute — the reference runs it on one CPU thread inside the
+slot indication.  Its grants are static-shape descriptors that feed the
+jitted PHY (``models.hetero_cell.HeteroCellProcessor`` for arbitrary
+allocations, ``parallel.slot_pipeline`` for the uniform fast path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..ran import tbs as tbs_mod
+
+# TS 38.214 Table 5.2.2.1-2 (4-bit CQI, 64QAM table): spectral efficiency
+# per CQI index (index 0 = out of range).  The reference's link adaptation
+# (link_adaptation_controller) selects the highest MCS whose efficiency does
+# not exceed the reported CQI's.
+CQI_EFFICIENCY = (
+    0.0, 0.1523, 0.2344, 0.3770, 0.6016, 0.8770, 1.1758, 1.4766,
+    1.9141, 2.4063, 2.7305, 3.3223, 3.9023, 4.5234, 5.1152, 5.5547,
+)
+
+N_SC_PER_PRB = 12
+
+
+def mcs_from_cqi(cqi: int, table: str = "qam64") -> int | None:
+    """CQI index -> highest MCS whose spectral efficiency <= the CQI's.
+
+    Returns None for CQI 0 (out of range — no allocation, the same bail-out
+    as calculate_dl_mcs returning nullopt, scheduler_time_pf.cpp:~290).
+    """
+    if cqi <= 0:
+        return None
+    cqi = min(cqi, 15)
+    target = CQI_EFFICIENCY[cqi]
+    best = None
+    for idx in range(32):
+        try:
+            m = tbs_mod.mcs_config(idx, table)
+        except (ValueError, IndexError):
+            break
+        if m.qm * m.target_rate <= target + 1e-9:
+            best = idx
+    return best if best is not None else 0
+
+
+def prbs_for_bytes(nof_bytes: int, mcs: tbs_mod.McsConfig, nof_symbols: int,
+                   nof_dmrs_re_per_prb: int, max_prbs: int) -> int:
+    """Smallest PRB count whose TBS carries ``nof_bytes`` (the allocator's
+    ``calc_prbs``); TBS is monotone in n_prb so a linear scan suffices at
+    these bandwidths.  Returns ``max_prbs`` when the buffer exceeds one
+    slot's capacity."""
+    need = 8 * nof_bytes
+    for n in range(1, max_prbs + 1):
+        if tbs_mod.tbs_for_alloc(n, nof_symbols, nof_dmrs_re_per_prb,
+                                 mcs) >= need:
+            return n
+    return max_prbs
+
+
+@dataclasses.dataclass
+class SchedUe:
+    """Per-UE scheduler context (the PF ``ue_ctxt`` + metric-tap state)."""
+
+    rnti: int
+    cqi: int = 15
+    snr_db: float = 30.0
+    dl_buffer: int = 0          # pending DL new-tx bytes
+    ul_buffer: int = 0
+    # PF exponential-average throughput state (scheduler_time_pf.cpp:385-404:
+    # plain average for the first 1/alpha samples, then exponential).
+    dl_avg_rate: float = 0.0
+    dl_nof_samples: int = 0
+    tx_bytes: float = 0.0       # cumulative, for the EdgeRIC report
+
+    def save_dl_alloc(self, alloc_bytes: int, alpha: float) -> None:
+        if self.dl_nof_samples < 1.0 / alpha:
+            self.dl_avg_rate += ((alloc_bytes - self.dl_avg_rate)
+                                 / (self.dl_nof_samples + 1))
+        else:
+            self.dl_avg_rate = ((1 - alpha) * self.dl_avg_rate
+                                + alpha * alloc_bytes)
+        self.dl_nof_samples += 1
+        self.tx_bytes += alloc_bytes
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    """Expert config (scheduler_expert_config.h + the zmq-mode YAML)."""
+
+    nof_prb: int                       # BWP size (52 @10 MHz, 106 @20 MHz)
+    nof_symbols: int = 12              # PDSCH time span
+    # 2 full DM-RS symbols with no data sharing (2 CDM groups without data,
+    # the PHY layout PdschConfig.derived_tbs assumes): 24 REs/PRB.
+    nof_dmrs_re_per_prb: int = 24
+    policy: str = "time_pf"            # or "time_rr"
+    fairness_coeff: float = 1.5        # pf_sched_fairness_coeff (zmq yml:39)
+    exp_avg_alpha: float = 0.01
+    min_prbs: int = 1                  # expert_cfg.pdsch_nof_rbs.start()
+    max_prbs_per_ue: int | None = None  # .stop(); None = whole BWP
+    mcs_table: str = "qam64"
+
+
+@dataclasses.dataclass(frozen=True)
+class DlGrant:
+    """One UE's PDSCH allocation for this slot — maps 1:1 onto
+    models.pdsch.PdschConfig(start_prb, nof_prb, modulation, target_rate)."""
+
+    rnti: int
+    start_prb: int
+    nof_prb: int
+    mcs: int
+    qm: int
+    target_rate: float
+    tbs: int
+
+    @property
+    def modulation(self) -> str:
+        return tbs_mod.McsConfig(self.qm, self.target_rate).modulation
+
+
+class CellScheduler:
+    """Slot-driven DL scheduler for one cell.
+
+    Usage per TTI (the cell_scheduler::run_slot sequence):
+        weights = agent.get_weights(rntis)   # EdgeRIC recv (fail-open None)
+        mcs     = agent.get_mcs(rntis)
+        grants  = sched.run_slot(weights=weights, mcs_overrides=mcs)
+        agent.send_metrics(sched.ue_reports())   # EdgeRIC send
+    """
+
+    def __init__(self, cfg: SchedulerConfig, rntis: list[int]):
+        self.cfg = cfg
+        self.ues = {r: SchedUe(rnti=r) for r in rntis}
+        self._rr_next = 0
+        self.slot = 0
+
+    # ---- feedback handlers (the MAC indication plumbing) ----
+
+    def update_buffer(self, rnti: int, dl_bytes: int | None = None,
+                      ul_bytes: int | None = None) -> None:
+        u = self.ues[rnti]
+        if dl_bytes is not None:
+            u.dl_buffer = dl_bytes
+        if ul_bytes is not None:
+            u.ul_buffer = ul_bytes
+
+    def handle_csi(self, rnti: int, cqi: int,
+                   snr_db: float | None = None) -> None:
+        u = self.ues[rnti]
+        u.cqi = cqi
+        if snr_db is not None:
+            u.snr_db = snr_db
+
+    # ---- the per-slot scheduling pass ----
+
+    def run_slot(self, weights: dict[int, float] | None = None,
+                 mcs_overrides: dict[int, int] | None = None
+                 ) -> list[DlGrant]:
+        """Compute this slot's DL grants.
+
+        ``weights``/``mcs_overrides``: the EdgeRIC policies (None = fail-open,
+        default policy decides everything — edgeric.cpp:289-295).
+        """
+        cfg = self.cfg
+        order = self._ue_order()
+        grants: list[DlGrant] = []
+        next_prb = 0
+        unused_crbs = cfg.nof_prb  # this_tti_unused_crbs at policy start
+        for rnti in order:
+            u = self.ues[rnti]
+            remaining = cfg.nof_prb - next_prb
+            if remaining <= 0 or u.dl_buffer <= 0:
+                continue
+            # --- MCS: link adaptation, unless EdgeRIC overrides
+            # (ue_cell_grid_allocator.cpp:426-432). ---
+            mcs_idx = mcs_from_cqi(u.cqi, cfg.mcs_table)
+            if mcs_overrides and rnti in mcs_overrides:
+                mcs_idx = int(mcs_overrides[rnti])
+            if mcs_idx is None:
+                continue
+            try:
+                mcs = tbs_mod.mcs_config(mcs_idx, cfg.mcs_table)
+            except ValueError:       # reserved entry requested: skip UE
+                continue
+            # --- PRB count: data-derived need (calc_prbs), policy split,
+            # then the EdgeRIC weight override. ---
+            cap = remaining
+            if cfg.max_prbs_per_ue is not None:
+                cap = min(cap, cfg.max_prbs_per_ue)
+            calc_prbs = prbs_for_bytes(u.dl_buffer, mcs, cfg.nof_symbols,
+                                       cfg.nof_dmrs_re_per_prb, cap)
+            if cfg.policy == "time_rr" and (weights is None
+                                            or rnti not in weights):
+                # equal split among backlogged UEs (rr: per-UE RB cap =
+                # remaining / n, compute_max_nof_rbs_per_ue_per_slot).
+                backlogged = sum(1 for x in self.ues.values()
+                                 if x.dl_buffer > 0)
+                calc_prbs = min(calc_prbs,
+                                max(1, cfg.nof_prb // max(backlogged, 1)))
+            n_prbs = min(calc_prbs, cap)
+            if weights is not None and rnti in weights:
+                # n_prbs = w * unused_crbs, clamped by calc_prbs and the
+                # expert limits (ue_cell_grid_allocator.cpp:296-305).
+                n_prbs = int(weights[rnti] * unused_crbs)
+                n_prbs = min(n_prbs, calc_prbs)
+                n_prbs = max(n_prbs, cfg.min_prbs)
+                if cfg.max_prbs_per_ue is not None:
+                    n_prbs = min(n_prbs, cfg.max_prbs_per_ue)
+                n_prbs = min(n_prbs, remaining)
+            if n_prbs <= 0:
+                continue
+            tb = tbs_mod.tbs_for_alloc(n_prbs, cfg.nof_symbols,
+                                       cfg.nof_dmrs_re_per_prb, mcs)
+            grants.append(DlGrant(rnti=rnti, start_prb=next_prb,
+                                  nof_prb=n_prbs, mcs=mcs_idx, qm=mcs.qm,
+                                  target_rate=mcs.target_rate, tbs=tb))
+            next_prb += n_prbs
+            alloc_bytes = tb // 8
+            u.save_dl_alloc(alloc_bytes, cfg.exp_avg_alpha)
+            u.dl_buffer = max(0, u.dl_buffer - alloc_bytes)
+        # UEs that got nothing still roll their PF average forward with 0
+        # (save_dl_alloc(alloc_result.alloc_bytes) runs for every queue pop).
+        granted = {g.rnti for g in grants}
+        for rnti, u in self.ues.items():
+            if rnti not in granted:
+                u.save_dl_alloc(0, cfg.exp_avg_alpha)
+        self.slot += 1
+        return grants
+
+    def _ue_order(self) -> list[int]:
+        rntis = list(self.ues)
+        if self.cfg.policy == "time_rr":
+            # rotating start index (scheduler_time_rr round_robin_apply).
+            k = self._rr_next % len(rntis)
+            self._rr_next += 1
+            return rntis[k:] + rntis[:k]
+        # time_pf: prio = estimated_rate / avg_rate^coeff
+        # (scheduler_time_pf.cpp:295-299; rate estimated at the maximum
+        # time-domain span over the full BWP, like compute_dl_prio's
+        # "estimate of instantaneous achievable rate").
+        prios = []
+        for rnti, u in self.ues.items():
+            mcs_idx = mcs_from_cqi(u.cqi, self.cfg.mcs_table)
+            if mcs_idx is None or u.dl_buffer <= 0:
+                prios.append((0.0, rnti))
+                continue
+            mcs = tbs_mod.mcs_config(mcs_idx, self.cfg.mcs_table)
+            est = tbs_mod.tbs_for_alloc(self.cfg.nof_prb, self.cfg.nof_symbols,
+                                        self.cfg.nof_dmrs_re_per_prb, mcs) / 8
+            if u.dl_avg_rate > 0:
+                p = est / (u.dl_avg_rate ** self.cfg.fairness_coeff)
+            else:
+                p = float("inf") if est > 0 else 0.0
+            prios.append((p, rnti))
+        prios.sort(key=lambda t: (-t[0], t[1]))
+        return [r for _, r in prios]
+
+    # ---- EdgeRIC metric taps out (scheduler_time_pf.cpp:74-77 set_*,
+    # ue_event_manager.cpp:351,384 byte taps) ----
+
+    def ue_reports(self):
+        from ..runtime.edgeric import UeReport
+        return [UeReport(rnti=u.rnti, cqi=u.cqi, snr=u.snr_db,
+                         tx_bytes=u.tx_bytes, dl_buffer=u.dl_buffer,
+                         ul_buffer=u.ul_buffer,
+                         dl_tbs=8.0 * u.dl_avg_rate)
+                for u in self.ues.values()]
+
+    # ---- PHY hand-off ----
+
+    def to_pdsch_configs(self, grants: list[DlGrant], slot: int = 0,
+                         **kw) -> list:
+        """Grants -> models.pdsch.PdschConfig list for HeteroCellProcessor."""
+        from ..models.pdsch import PdschConfig
+        return [PdschConfig(rnti=g.rnti, nof_prb=g.nof_prb,
+                            start_prb=g.start_prb, modulation=g.modulation,
+                            target_rate=g.target_rate, slot=slot, **kw)
+                for g in grants]

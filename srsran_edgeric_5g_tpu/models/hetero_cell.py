@@ -46,9 +46,14 @@ class HeteroCellProcessor:
         times = np.asarray(t.cp.data_starts) / t.srate
 
         def dl(payloads):
+            # pusch.transmit, not pdsch.process: the loopback feeds
+            # pusch.process, whose channel estimator undoes the TS 38.214
+            # 3 dB DM-RS boost — an unboosted transmit would scale the
+            # equalized constellation by sqrt(2) (survives rate<=0.5 by
+            # luck, breaks >=0.65 even noiseless).
             grid = None
             for p, cfg in zip(payloads, self.ue_cfgs):
-                g = pdsch.process(p, cfg, t.nsymb, t.nof_subc)
+                g = pusch.transmit(p, cfg, t.nsymb, t.nof_subc)
                 grid = g if grid is None else grid + g
             return ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
 

@@ -15,8 +15,11 @@ def test_mixed_allocation_loopback():
     cfgs = [
         pdsch.PdschConfig(rnti=0x21, start_prb=0, nof_prb=8,
                           modulation="qpsk", target_rate=0.3),
+        # rate 0.75: guards the DM-RS-boost pairing (an unboosted TX into
+        # pusch.process scales the constellation by sqrt(2) — rates <= 0.5
+        # survive that distortion, >= 0.65 fail even noiseless)
         pdsch.PdschConfig(rnti=0x22, start_prb=8, nof_prb=24,
-                          modulation="qam64", target_rate=0.5),
+                          modulation="qam64", target_rate=0.75),
         pdsch.PdschConfig(rnti=0x23, start_prb=36, nof_prb=12,
                           modulation="qam16", target_rate=0.4),
     ]

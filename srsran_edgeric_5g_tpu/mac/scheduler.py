@@ -79,6 +79,15 @@ def prbs_for_bytes(nof_bytes: int, mcs: tbs_mod.McsConfig, nof_symbols: int,
     return max_prbs
 
 
+def rbg_size_for_bwp(nof_prb: int, config: int = 1) -> int:
+    """Nominal RBG size P, TS 38.214 Table 5.1.2.2.1-1."""
+    bounds = ((36, 2, 4), (72, 4, 8), (144, 8, 16), (275, 16, 16))
+    for hi, p1, p2 in bounds:
+        if nof_prb <= hi:
+            return p1 if config == 1 else p2
+    raise ValueError(nof_prb)
+
+
 @dataclasses.dataclass
 class SchedUe:
     """Per-UE scheduler context (the PF ``ue_ctxt`` + metric-tap state)."""
@@ -120,6 +129,11 @@ class SchedulerConfig:
     min_prbs: int = 1                  # expert_cfg.pdsch_nof_rbs.start()
     max_prbs_per_ue: int | None = None  # .stop(); None = whole BWP
     mcs_table: str = "qam64"
+    # Resource-block-group granularity (TS 38.214 Table 5.1.2.2.1-1,
+    # config 1): grants snap to RBG multiples.  Besides spec fidelity this
+    # bounds the distinct allocation layouts, so the jitted hetero-PHY
+    # programs cache instead of recompiling per TTI (bucket-and-pad).
+    rbg_size: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -231,6 +245,9 @@ class CellScheduler:
                 n_prbs = min(n_prbs, remaining)
             if n_prbs <= 0:
                 continue
+            if cfg.rbg_size > 1:   # snap up to the RBG grid, cap at the BWP
+                n_prbs = min(-(-n_prbs // cfg.rbg_size) * cfg.rbg_size,
+                             remaining)
             tb = tbs_mod.tbs_for_alloc(n_prbs, cfg.nof_symbols,
                                        cfg.nof_dmrs_re_per_prb, mcs)
             grants.append(DlGrant(rnti=rnti, start_prb=next_prb,

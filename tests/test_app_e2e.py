@@ -97,3 +97,25 @@ def test_loopback_app_with_edgeric_muapp(tmp_path):
     assert any(u.cqi > 0 for m in seen for u in m.ue_metrics)
     # ...and by the last TTIs the app received a normalized weight policy.
     assert "weights={" in out.stdout, out.stdout
+
+
+def test_loopback_app_scheduled_mode(tmp_path):
+    """--sched pf: MAC grants (RBG-quantized) drive the cached hetero PHY;
+    every scheduled TB decodes and the layout cache stays small."""
+    import re
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "run_loopback_app.py"),
+         "--slots", "6", "--snr", "25", "--port", "47823",
+         "--sched", "pf"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert out.returncode == 0, out.stdout + out.stderr
+    m = re.search(r"TB success (\d+)/(\d+), (\d+) compiled", out.stdout)
+    assert m, out.stdout
+    assert m.group(1) == m.group(2) and int(m.group(2)) >= 6
+    assert int(m.group(3)) <= 4          # RBG snap bounds the layouts
+    assert "bytes served" in out.stdout

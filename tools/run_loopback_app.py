@@ -17,6 +17,102 @@ import time
 import numpy as np
 
 
+def _radio_roundtrip(tx, rx, samples, snr_db, rng, total):
+    """Push DL samples through the ZMQ bridge with AWGN, pull them back.
+    Returns the received block or None on underflow."""
+    import time as _time
+
+    nv = float((np.abs(samples) ** 2).mean()) * 10 ** (-snr_db / 10)
+    noise = rng.normal(size=samples.shape) + 1j * rng.normal(size=samples.shape)
+    tx.push(samples + (noise * np.sqrt(nv / 2)).astype(np.complex64))
+    got = np.empty(0, np.complex64)
+    deadline = _time.time() + 5.0
+    while len(got) < total and _time.time() < deadline:
+        chunk = rx.pull(total - len(got))
+        got = np.concatenate([got, chunk]) if len(chunk) else got
+        if len(got) < total:
+            _time.sleep(0.0005)
+    return got if len(got) >= total else None
+
+
+def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
+                  rng):
+    """The scheduled cell: MAC grants (policy + EdgeRIC overrides) drive a
+    cached heterogeneous-allocation PHY slot-by-slot — the cell_scheduler
+    run_slot -> FAPI -> PDSCH sequence of the reference, with the jitted
+    hetero program cached per RBG-quantized grant layout."""
+    import jax.numpy as jnp
+
+    from srsran_edgeric_5g_tpu.mac import scheduler as mac
+    from srsran_edgeric_5g_tpu.models.hetero_cell import HeteroCellProcessor
+    from srsran_edgeric_5g_tpu.utils.bits import from_device_complex, \
+        to_device_complex
+
+    t = cell.timing
+    rntis = [0x4601 + u for u in range(cell.nof_ue)]
+    scfg = mac.SchedulerConfig(
+        nof_prb=cfg.nof_prb,
+        policy="time_rr" if args.sched == "rr" else "time_pf",
+        rbg_size=mac.rbg_size_for_bwp(cfg.nof_prb))
+    sched = mac.CellScheduler(scfg, rntis)
+    from srsran_edgeric_5g_tpu.runtime.edgeric import cqi_from_sinr_db
+    for r in rntis:
+        sched.handle_csi(r, cqi_from_sinr_db(args.snr), args.snr)
+    # Uneven traffic so policies visibly differ: UE u gets ~(u+1) shares.
+    mean_arrival = [2000 * (u + 1) for u in range(cell.nof_ue)]
+    procs: dict[tuple, HeteroCellProcessor] = {}
+    agent = er_sink.agent if er_sink is not None else None
+    ok_count = tb_count = 0
+    bytes_served = dict.fromkeys(rntis, 0)
+    t0 = time.time()
+    for slot in range(args.slots):
+        if slot_clock.advance(slot) is None:
+            continue
+        for r, lam in zip(rntis, mean_arrival):
+            sched.update_buffer(
+                r, dl_bytes=sched.ues[r].dl_buffer + int(rng.poisson(lam)))
+        weights = agent.get_weights(rntis) if agent else None
+        mcs_ovr = agent.get_mcs(rntis) if agent else None
+        grants = sched.run_slot(weights=weights, mcs_overrides=mcs_ovr)
+        if agent:
+            agent.send_metrics(sched.ue_reports())
+        if not grants:
+            continue
+        key = tuple((g.rnti, g.start_prb, g.nof_prb, g.qm, g.target_rate)
+                    for g in grants)
+        if key not in procs:
+            procs[key] = HeteroCellProcessor(t, sched.to_pdsch_configs(grants))
+        proc = procs[key]
+        payloads = [jnp.asarray(rng.integers(0, 2, (1, n), dtype=np.int8))
+                    for n in proc.tbs]
+        td = proc.process_dl_slot(payloads)
+        got = _radio_roundtrip(tx, rx, from_device_complex(td), args.snr,
+                               rng, t.cp.total)
+        if got is None:
+            notifier.on_underflow(slot)
+            continue
+        outs = proc.process_ul_slot(to_device_complex(got))
+        for g, (payload, ok, nv_est, _), want in zip(grants, outs, payloads):
+            tb_count += 1
+            good = bool(np.asarray(ok).all())
+            ok_count += int(good)
+            if good:
+                bytes_served[g.rnti] += g.tbs // 8
+            nv_u = float(np.asarray(nv_est).reshape(-1)[0])
+            sinr = -10.0 * np.log10(max(nv_u, 1e-12))
+            sched.handle_csi(g.rnti, cqi_from_sinr_db(sinr), sinr)
+    dt = time.time() - t0
+    print(f"sched[{args.sched}] done: {args.slots} slots in {dt:.2f}s, "
+          f"TB success {ok_count}/{tb_count}, "
+          f"{len(procs)} compiled grant layouts", flush=True)
+    print("bytes served:",
+          {hex(r): b for r, b in bytes_served.items()}, flush=True)
+    if agent is not None:
+        print(f"edgeric: {agent.tti} TTIs; last weights age "
+              f"{agent.weights_age}", flush=True)
+    return 0 if ok_count == tb_count else 1
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("config", nargs="?", default=None)
@@ -27,6 +123,11 @@ def main(argv=None):
     ap.add_argument("--edgeric", action="store_true",
                     help="publish per-TTI metrics to an EdgeRIC muApp "
                          "(ipc:///tmp/metrics) and poll policy channels")
+    ap.add_argument("--sched", choices=("off", "rr", "pf"), default="off",
+                    help="run the MAC scheduler per slot: grants (RBG-"
+                         "quantized, EdgeRIC-weight steerable) drive a "
+                         "cached hetero-allocation PHY instead of the "
+                         "fixed equal split")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -71,6 +172,15 @@ def main(argv=None):
     print(f"cell: {cfg.bandwidth_mhz} MHz / {cfg.nof_prb} PRB, "
           f"{cell.nof_ue} UEs x {cell.prb_per_ue} PRB, TBS {tbs}, "
           f"srate {t.srate/1e6:.2f} Msps", flush=True)
+
+    if args.sched != "off":
+        code = run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier,
+                             slot_clock, rng)
+        rx.stop()
+        tx.stop()
+        if er_sink is not None:
+            er_sink.agent.close()
+        return code
 
     sent_payloads = []
     t0 = time.time()

@@ -101,7 +101,10 @@ class SchedUe:
     # plain average for the first 1/alpha samples, then exponential).
     dl_avg_rate: float = 0.0
     dl_nof_samples: int = 0
+    ul_avg_rate: float = 0.0
+    ul_nof_samples: int = 0
     tx_bytes: float = 0.0       # cumulative, for the EdgeRIC report
+    rx_bytes: float = 0.0
 
     def save_dl_alloc(self, alloc_bytes: int, alpha: float) -> None:
         if self.dl_nof_samples < 1.0 / alpha:
@@ -112,6 +115,17 @@ class SchedUe:
                                 + alpha * alloc_bytes)
         self.dl_nof_samples += 1
         self.tx_bytes += alloc_bytes
+
+    def save_ul_alloc(self, alloc_bytes: int, alpha: float) -> None:
+        """The UL mirror (scheduler_time_pf.cpp:397-404)."""
+        if self.ul_nof_samples < 1.0 / alpha:
+            self.ul_avg_rate += ((alloc_bytes - self.ul_avg_rate)
+                                 / (self.ul_nof_samples + 1))
+        else:
+            self.ul_avg_rate = ((1 - alpha) * self.ul_avg_rate
+                                + alpha * alloc_bytes)
+        self.ul_nof_samples += 1
+        self.rx_bytes += alloc_bytes
 
 
 @dataclasses.dataclass(frozen=True)
@@ -197,15 +211,28 @@ class CellScheduler:
         ``weights``/``mcs_overrides``: the EdgeRIC policies (None = fail-open,
         default policy decides everything — edgeric.cpp:289-295).
         """
+        grants = self._run_pass("dl", weights, mcs_overrides)
+        self.slot += 1
+        return grants
+
+    def run_slot_ul(self) -> list[DlGrant]:
+        """The UL scheduling pass (scheduler_time_pf.cpp ul_sched /
+        scheduler_time_rr ul counterpart): same policies over ul_buffer with
+        the UL average-rate history.  The EdgeRIC overrides are DL-side
+        hooks in the reference, so none apply here."""
+        return self._run_pass("ul", None, None)
+
+    def _run_pass(self, d: str, weights, mcs_overrides) -> list[DlGrant]:
         cfg = self.cfg
-        order = self._ue_order()
+        buf = (lambda u: u.dl_buffer) if d == "dl" else (lambda u: u.ul_buffer)
+        order = self._ue_order(d)
         grants: list[DlGrant] = []
         next_prb = 0
         unused_crbs = cfg.nof_prb  # this_tti_unused_crbs at policy start
         for rnti in order:
             u = self.ues[rnti]
             remaining = cfg.nof_prb - next_prb
-            if remaining <= 0 or u.dl_buffer <= 0:
+            if remaining <= 0 or buf(u) <= 0:
                 continue
             # --- MCS: link adaptation, unless EdgeRIC overrides
             # (ue_cell_grid_allocator.cpp:426-432). ---
@@ -223,14 +250,14 @@ class CellScheduler:
             cap = remaining
             if cfg.max_prbs_per_ue is not None:
                 cap = min(cap, cfg.max_prbs_per_ue)
-            calc_prbs = prbs_for_bytes(u.dl_buffer, mcs, cfg.nof_symbols,
+            calc_prbs = prbs_for_bytes(buf(u), mcs, cfg.nof_symbols,
                                        cfg.nof_dmrs_re_per_prb, cap)
             if cfg.policy == "time_rr" and (weights is None
                                             or rnti not in weights):
                 # equal split among backlogged UEs (rr: per-UE RB cap =
                 # remaining / n, compute_max_nof_rbs_per_ue_per_slot).
                 backlogged = sum(1 for x in self.ues.values()
-                                 if x.dl_buffer > 0)
+                                 if buf(x) > 0)
                 calc_prbs = min(calc_prbs,
                                 max(1, cfg.nof_prb // max(backlogged, 1)))
             n_prbs = min(calc_prbs, cap)
@@ -255,18 +282,22 @@ class CellScheduler:
                                   target_rate=mcs.target_rate, tbs=tb))
             next_prb += n_prbs
             alloc_bytes = tb // 8
-            u.save_dl_alloc(alloc_bytes, cfg.exp_avg_alpha)
-            u.dl_buffer = max(0, u.dl_buffer - alloc_bytes)
+            if d == "dl":
+                u.save_dl_alloc(alloc_bytes, cfg.exp_avg_alpha)
+                u.dl_buffer = max(0, u.dl_buffer - alloc_bytes)
+            else:
+                u.save_ul_alloc(alloc_bytes, cfg.exp_avg_alpha)
+                u.ul_buffer = max(0, u.ul_buffer - alloc_bytes)
         # UEs that got nothing still roll their PF average forward with 0
         # (save_dl_alloc(alloc_result.alloc_bytes) runs for every queue pop).
         granted = {g.rnti for g in grants}
         for rnti, u in self.ues.items():
             if rnti not in granted:
-                u.save_dl_alloc(0, cfg.exp_avg_alpha)
-        self.slot += 1
+                (u.save_dl_alloc if d == "dl"
+                 else u.save_ul_alloc)(0, cfg.exp_avg_alpha)
         return grants
 
-    def _ue_order(self) -> list[int]:
+    def _ue_order(self, d: str = "dl") -> list[int]:
         rntis = list(self.ues)
         if self.cfg.policy == "time_rr":
             # rotating start index (scheduler_time_rr round_robin_apply).
@@ -280,14 +311,16 @@ class CellScheduler:
         prios = []
         for rnti, u in self.ues.items():
             mcs_idx = mcs_from_cqi(u.cqi, self.cfg.mcs_table)
-            if mcs_idx is None or u.dl_buffer <= 0:
+            pending = u.dl_buffer if d == "dl" else u.ul_buffer
+            if mcs_idx is None or pending <= 0:
                 prios.append((0.0, rnti))
                 continue
             mcs = tbs_mod.mcs_config(mcs_idx, self.cfg.mcs_table)
             est = tbs_mod.tbs_for_alloc(self.cfg.nof_prb, self.cfg.nof_symbols,
                                         self.cfg.nof_dmrs_re_per_prb, mcs) / 8
-            if u.dl_avg_rate > 0:
-                p = est / (u.dl_avg_rate ** self.cfg.fairness_coeff)
+            avg = u.dl_avg_rate if d == "dl" else u.ul_avg_rate
+            if avg > 0:
+                p = est / (avg ** self.cfg.fairness_coeff)
             else:
                 p = float("inf") if est > 0 else 0.0
             prios.append((p, rnti))
@@ -300,8 +333,8 @@ class CellScheduler:
     def ue_reports(self):
         from ..runtime.edgeric import UeReport
         return [UeReport(rnti=u.rnti, cqi=u.cqi, snr=u.snr_db,
-                         tx_bytes=u.tx_bytes, dl_buffer=u.dl_buffer,
-                         ul_buffer=u.ul_buffer,
+                         tx_bytes=u.tx_bytes, rx_bytes=u.rx_bytes,
+                         dl_buffer=u.dl_buffer, ul_buffer=u.ul_buffer,
                          dl_tbs=8.0 * u.dl_avg_rate)
                 for u in self.ues.values()]
 

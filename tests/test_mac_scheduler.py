@@ -260,3 +260,22 @@ def test_scheduler_muapp_closed_loop(tmp_path):
     agent.close()
     ric.msgr.close()
     ctx.term()
+
+
+def test_ul_scheduling_pass():
+    """run_slot_ul: same policies over ul_buffer with independent UL PF
+    state; DL state untouched."""
+    s = make_sched(policy="time_pf")
+    s.update_buffer(0x4601, ul_bytes=10**6)
+    s.update_buffer(0x4602, ul_bytes=500)
+    g = s.run_slot_ul()
+    # both bootstrap at prio=inf; the tie-break UE takes its full need (the
+    # whole BWP for the saturated buffer), the other waits for slot 2
+    assert [x.rnti for x in g] == [0x4601]
+    assert g[0].nof_prb == 52
+    assert s.ues[0x4601].ul_avg_rate > 0
+    assert s.ues[0x4601].dl_avg_rate == 0        # directions independent
+    assert s.ues[0x4601].rx_bytes > 0
+    g2 = s.run_slot_ul()                         # now UE2's inf prio wins
+    assert g2[0].rnti == 0x4602 and g2[0].nof_prb <= 3
+    assert s.ues[0x4602].ul_buffer == 0          # drained by the grant

@@ -108,6 +108,13 @@ class TorchWeightPolicy:
         obs = np.array([v for d in ue_data.values()
                         for v in (d["ul_buffer"], d["cqi"],
                                   self.media_bytes)], dtype=np.float32)
+        # ppo_train checkpoints carry their per-feature [BL, CQI, MB]
+        # normalization; apply it so deployment matches training (foreign
+        # checkpoints without the attribute get raw features, like muApp1).
+        scale = getattr(self.model, "obs_scale", None)
+        if scale is not None:
+            obs = obs * np.tile(np.asarray(scale, dtype=np.float32),
+                                len(ue_data))
         with torch.no_grad():
             action = self.model.select_action(
                 torch.from_numpy(obs).unsqueeze(0))

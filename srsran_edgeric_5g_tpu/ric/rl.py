@@ -66,6 +66,18 @@ class EdgeRicSimEnv:
     """
 
     def __init__(self, cfg: EnvConfig):
+        # Broadcast scalar / short per-UE parameters to num_ues so defaults
+        # work for any UE count (EnvConfig ships 2-UE tuples).
+        n = cfg.num_ues
+        arr = np.broadcast_to(np.asarray(cfg.arrival_bytes).ravel()[:1]
+                              if np.ndim(cfg.arrival_bytes) == 0
+                              or len(np.atleast_1d(cfg.arrival_bytes)) != n
+                              else cfg.arrival_bytes, (n,))
+        bands = cfg.cqi_bands
+        if len(bands) != n:
+            bands = tuple(bands[i % len(bands)] for i in range(n))
+        cfg = dataclasses.replace(cfg, arrival_bytes=tuple(int(a) for a in arr),
+                                  cqi_bands=bands)
         self.cfg = cfg
         self.rng = np.random.default_rng(cfg.seed)
         self.obs_dim = 3 * cfg.num_ues
@@ -219,6 +231,10 @@ def ppo_train(env: EdgeRicSimEnv, iterations: int = 30,
     opt_v = torch.optim.Adam(value.parameters(), lr=lr)
     obs_scale = np.array([1e-5, 1 / 15.0, 1e-6] * env.cfg.num_ues,
                          dtype=np.float32)
+    # Carry the normalization WITH the checkpoint: TorchWeightPolicy reads
+    # this per-feature [BL, CQI, MB] pattern so deployment sees the same
+    # features training did (train/serve skew otherwise saturates the tanh).
+    policy.obs_scale = obs_scale[:3].copy()
     history = []
     for _ in range(iterations):
         S, A, R, M = [], [], [], []

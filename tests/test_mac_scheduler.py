@@ -277,5 +277,12 @@ def test_ul_scheduling_pass():
     assert s.ues[0x4601].dl_avg_rate == 0        # directions independent
     assert s.ues[0x4601].rx_bytes > 0
     g2 = s.run_slot_ul()                         # now UE2's inf prio wins
-    assert g2[0].rnti == 0x4602 and g2[0].nof_prb <= 3
+    assert g2[0].rnti == 0x4602
+    # grant is MINIMAL for 500 bytes at the link-adapted MCS: its TBS covers
+    # the buffer and one PRB fewer would not (prbs_for_bytes linear scan).
+    mcs = tbs_mod.mcs_config(g2[0].mcs, s.cfg.mcs_table)
+    assert tbs_mod.tbs_for_alloc(g2[0].nof_prb, s.cfg.nof_symbols,
+                                 s.cfg.nof_dmrs_re_per_prb, mcs) >= 8 * 500
+    assert tbs_mod.tbs_for_alloc(g2[0].nof_prb - 1, s.cfg.nof_symbols,
+                                 s.cfg.nof_dmrs_re_per_prb, mcs) < 8 * 500
     assert s.ues[0x4602].ul_buffer == 0          # drained by the grant

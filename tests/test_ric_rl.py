@@ -97,3 +97,43 @@ def test_trained_policy_plugs_into_muapp(tmp_path):
     w = twp(ue_data)
     assert set(w) == {0x4601, 0x4602}
     assert sum(w.values()) == pytest.approx(1.0)
+
+
+def test_ppo_checkpoint_normalization_survives_deployment(tmp_path):
+    """A ppo_train checkpoint deployed through TorchWeightPolicy sees the
+    SAME normalized features as training (the obs_scale rides in the
+    checkpoint) — raw features would saturate the tanh layers and freeze
+    the weights regardless of CQI/backlog."""
+    from srsran_edgeric_5g_tpu.ric import muapp
+
+    cfg = rl.EnvConfig(num_ues=2, horizon=16, seed=4)
+    env = rl.EdgeRicSimEnv(cfg)
+    policy, _ = rl.ppo_train(env, iterations=1, batch_steps=64, seed=0)
+    path = tmp_path / "model_demo.pt"
+    torch.save(policy, path)
+    twp = muapp.TorchWeightPolicy(str(path))
+    assert getattr(twp.model, "obs_scale", None) is not None
+
+    # Deterministic head for the response check.
+    twp.model.select_action = (
+        lambda x, deterministic=False:
+        rl.Policy.select_action(twp.model, x, deterministic=True))
+    base = {0x4601: {"cqi": 8, "ul_buffer": 50_000},
+            0x4602: {"cqi": 8, "ul_buffer": 50_000}}
+    w0 = twp(base)
+    moved = {0x4601: {"cqi": 15, "ul_buffer": 290_000},
+             0x4602: {"cqi": 1, "ul_buffer": 100}}
+    w1 = twp(moved)
+    # Normalized inputs keep the network in its responsive region: a large
+    # feature move must move the output (raw inputs give |Δ| ~ 0 exactly).
+    delta = abs(w1[0x4601] - w0[0x4601]) + abs(w1[0x4602] - w0[0x4602])
+    assert delta > 1e-4, (w0, w1)
+
+
+def test_env_defaults_broadcast_to_any_ue_count():
+    """EnvConfig 2-UE default tuples broadcast to num_ues != 2."""
+    env = rl.EdgeRicSimEnv(rl.EnvConfig(num_ues=4, horizon=4, seed=0))
+    s = env.reset()
+    assert s.shape == (12,)
+    s, r, done, info = env.step(np.full(4, 0.25))
+    assert s.shape == (12,) and np.isfinite(r)

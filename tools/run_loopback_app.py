@@ -195,19 +195,9 @@ def main(argv=None):
         td = proc.process_dl_slot(payloads)
 
         # Radio out through the native bridge and back (the loopback "RF").
-        samples = from_device_complex(td)
-        nv = float((np.abs(samples) ** 2).mean()) * 10 ** (-args.snr / 10)
-        noise = (rng.normal(size=samples.shape) + 1j * rng.normal(size=samples.shape))
-        tx.push(samples + (noise * np.sqrt(nv / 2)).astype(np.complex64))
-
-        got = np.empty(0, np.complex64)
-        deadline = time.time() + 5.0
-        while len(got) < t.cp.total and time.time() < deadline:
-            chunk = rx.pull(t.cp.total - len(got))
-            got = np.concatenate([got, chunk]) if len(chunk) else got
-            if len(got) < t.cp.total:
-                time.sleep(0.0005)
-        if len(got) < t.cp.total:
+        got = _radio_roundtrip(tx, rx, from_device_complex(td), args.snr,
+                               rng, t.cp.total)
+        if got is None:
             # Radio underflow: count the event and skip the slot's UL
             # (the reference notifies and keeps the cell alive).
             notifier.on_underflow(slot)

@@ -46,11 +46,27 @@ class HeteroCellProcessor:
         times = np.asarray(t.cp.data_starts) / t.srate
 
         def dl(payloads):
-            # pusch.transmit, not pdsch.process: the loopback feeds
-            # pusch.process, whose channel estimator undoes the TS 38.214
-            # 3 dB DM-RS boost — an unboosted transmit would scale the
-            # equalized constellation by sqrt(2) (survives rate<=0.5 by
-            # luck, breaks >=0.65 even noiseless).
+            # True DL conventions: pdsch.process (0 dB DM-RS EPRE ratio,
+            # no UCI) — decoded UE-side by dl_rx below via pdsch.receive.
+            grid = None
+            for p, cfg in zip(payloads, self.ue_cfgs):
+                g = pdsch.process(p, cfg, t.nsymb, t.nof_subc)
+                grid = g if grid is None else grid + g
+            return ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
+
+        def dl_rx(rx_samples):
+            # UE-side PDSCH receivers (srsue role), one per UE, traced into
+            # one jitted program.
+            rx_grid = ofdm.demodulate_slot(rx_samples, t, scale=1.0)
+            outs = []
+            for cfg in self.ue_cfgs:
+                r = pdsch.receive(rx_grid, cfg, t.srate, times,
+                                  delay_spread_s=delay_spread_s)
+                outs.append((r.payload, r.tb_crc_ok, r.noise_var, r.cfo_hz))
+            return outs
+
+        def ul_tx(payloads):
+            # UE-side PUSCH transmit (TS 38.214 3 dB DM-RS boost).
             grid = None
             for p, cfg in zip(payloads, self.ue_cfgs):
                 g = pusch.transmit(p, cfg, t.nsymb, t.nof_subc)
@@ -67,13 +83,24 @@ class HeteroCellProcessor:
             return outs
 
         self._dl = jax.jit(dl)
+        self._dl_rx = jax.jit(dl_rx)
+        self._ul_tx = jax.jit(ul_tx)
         self._ul = jax.jit(ul)
 
     def process_dl_slot(self, payloads: list[jnp.ndarray]) -> jnp.ndarray:
-        """[(1, TBS_i)] per-UE payloads -> (total,) baseband samples."""
+        """gNB DL TX: [(1, TBS_i)] per-UE payloads -> (total,) samples."""
         assert len(payloads) == len(self.ue_cfgs)
         return self._dl(payloads)
 
+    def process_dl_rx_slot(self, rx_samples: jnp.ndarray):
+        """UE-side DL RX: (total,) samples -> [(payload, tb_ok, nv, cfo)]."""
+        return self._dl_rx(rx_samples)
+
+    def process_ul_tx_slot(self, payloads: list[jnp.ndarray]) -> jnp.ndarray:
+        """UE PUSCH TX: [(1, TBS_i)] per-UE payloads -> (total,) samples."""
+        assert len(payloads) == len(self.ue_cfgs)
+        return self._ul_tx(payloads)
+
     def process_ul_slot(self, rx_samples: jnp.ndarray):
-        """(total,) samples -> list of (payload, tb_ok, noise_var, cfo)."""
+        """gNB UL RX: (total,) samples -> [(payload, tb_ok, nv, cfo)]."""
         return self._ul(rx_samples)

@@ -187,3 +187,28 @@ def process(payload: jnp.ndarray, cfg: PdschConfig, nsymb: int, nsubc: int,
         from ..ops import precoding
         syms = precoding.transform_precode(syms, cfg.nof_prb * N_SC_PER_PRB)
     return map_to_grid(syms, cfg, nsymb, nsubc, amplitude)
+
+
+def receive(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
+            symbol_times: np.ndarray, rv: int = 0,
+            soft_buffer: jnp.ndarray | None = None,
+            num_iters: int | None = None, scs_hz: float = 15e3,
+            delay_spread_s: float | None = None):
+    """UE-side PDSCH receiver: (nsymb, nsubc) rx grid -> PuschResult.
+
+    Fills the srsue role (the reference closes DL through the 4G UE's NR
+    PHY, srs-4G-UE/lib/src/phy/phch/): the same estimate -> MMSE equalize ->
+    demap -> descramble -> dematch -> LDPC chain as the gNB PUSCH receiver,
+    but with DL DM-RS conventions — no TS 38.214 3 dB DM-RS boost
+    (pdsch_processor transmits 0 dB EPRE ratios) and no UCI multiplexing.
+    DL BLER and link adaptation can therefore close the loop as actual DL
+    (pdsch.process TX -> channel -> pdsch.receive RX) instead of reusing the
+    PUSCH pair.  HARQ retransmission combining uses ``soft_buffer``/``rv``
+    exactly as in UL.
+    """
+    from . import pusch
+    kw = {} if num_iters is None else {"num_iters": num_iters}
+    return pusch.process(rx_grid, cfg, srate, symbol_times, rv=rv,
+                         soft_buffer=soft_buffer, scs_hz=scs_hz,
+                         delay_spread_s=delay_spread_s, uci=None,
+                         dmrs_beta=1.0, **kw)

@@ -111,7 +111,8 @@ class PuschResult:
 
 def channel_estimate(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
                      symbol_times: np.ndarray, scs_hz: float = 15e3,
-                     delay_spread_s: float | None = None):
+                     delay_spread_s: float | None = None,
+                     dmrs_beta: float = PUSCH_DMRS_BETA):
     """Estimate the allocation's channel from the configured DM-RS symbols.
 
     rx_grid: (nsymb, nsubc).  Returns (h (width,), noise_var (), cfo ()).
@@ -120,6 +121,12 @@ def channel_estimate(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
     (port_channel_estimator_average_impl: IDFT time alignment + smoothing):
     TA-derotated interpolation plus windowed-sinc frequency denoising sized
     to the given delay spread.
+
+    ``dmrs_beta`` is the transmitted DM-RS-to-data amplitude ratio the
+    estimator undoes before the conj-product LS estimate: sqrt(2) for PUSCH
+    (TS 38.214 3 dB boost, 2 CDM groups w/o data), 1.0 for the DL PDSCH
+    defaults (0 dB EPRE ratios) when this chain runs as the UE-side PDSCH
+    receiver (srsue role, srs-4G-UE/lib/src/phy/phch/pdsch_nr.c).
     """
     sc0 = cfg.start_prb * N_SC_PER_PRB
     width = cfg.nof_prb * N_SC_PER_PRB
@@ -129,9 +136,9 @@ def channel_estimate(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
     for l in cfg.dmrs_symbols:
         pil = pilot_values(cfg, l, pat)      # Gold QPSK / low-PAPR ZC
         ref_p.append(pil * jnp.asarray(pat.wf))
-        # Undo the TS 38.214 3 dB DM-RS boost (ls_estimate wants |P|=1).
+        # Undo the transmitted DM-RS boost (ls_estimate wants |P|=1).
         rx_p.append(rx_grid[l, jnp.asarray(pat.subcarriers + sc0)]
-                    * jnp.float32(1.0 / PUSCH_DMRS_BETA))
+                    * jnp.float32(1.0 / dmrs_beta))
     rx_pilots = jnp.stack(rx_p)[None]      # (1, ndmrs, npil)
     ref_pilots = jnp.stack(ref_p)[None]
     times = np.asarray([symbol_times[l] for l in cfg.dmrs_symbols])
@@ -153,8 +160,13 @@ def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
             num_iters: int = decoder.DEFAULT_ITERS,
             scs_hz: float = 15e3,
             delay_spread_s: float | None = None,
-            uci: UciConfig | None = None) -> PuschResult:
-    """Full PUSCH receive for one UE from an (nsymb, nsubc) rx grid."""
+            uci: UciConfig | None = None,
+            dmrs_beta: float = PUSCH_DMRS_BETA) -> PuschResult:
+    """Full PUSCH receive for one UE from an (nsymb, nsubc) rx grid.
+
+    With ``dmrs_beta=1.0`` and no UCI this same chain is the UE-side PDSCH
+    receiver (DL DM-RS conventions) — see ``models.pdsch.receive``.
+    """
     plan_u = _uci_plan(cfg, uci) if uci is not None else None
     seg, rms = _plans(cfg, rv,
                       plan_u.sch_len if plan_u is not None else None)
@@ -162,7 +174,7 @@ def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
     width = cfg.nof_prb * N_SC_PER_PRB
 
     h, nv, cfo = channel_estimate(rx_grid, cfg, srate, symbol_times,
-                                  scs_hz, delay_spread_s)
+                                  scs_hz, delay_spread_s, dmrs_beta)
 
     sym_idx = jnp.asarray(np.asarray(cfg.data_symbols, dtype=np.int32))
     y = rx_grid[sym_idx, sc0:sc0 + width]             # (ndata_sym, width)

@@ -42,7 +42,9 @@ def run_loopback(cfg, snr_db, seed=0, delay_samples=0, scale=1.0):
     rx_grid = ofdm.demodulate_slot(jnp.asarray(rx_td.astype(np.complex64)), t,
                                    scale=1.0)
     times = np.asarray(t.cp.data_starts) / t.srate
-    res = pusch.process(rx_grid, cfg, t.srate, times)
+    # The matched DL pair: gNB pdsch.process TX -> UE-side pdsch.receive
+    # (0 dB DM-RS EPRE on both ends).
+    res = pdsch.receive(rx_grid, cfg, t.srate, times)
     return payload, res, tbs
 
 
@@ -97,6 +99,56 @@ def test_loopback_qam64_20mhz_full_band():
     assert np.asarray(res.cb_crc_ok).all()
     assert np.asarray(res.tb_crc_ok).all()
     np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))
+
+
+def test_dl_receive_high_rate():
+    """UE-side PDSCH receive at rate 0.75 / 64QAM: the DM-RS-beta-matched
+    DL pair decodes where a PUSCH-conventions receiver (sqrt(2) estimator
+    de-boost on an unboosted DL transmit) fails even at high SNR."""
+    cfg = make_cfg(modulation="qam64", target_rate=0.75)
+    payload, res, _ = run_loopback(cfg, snr_db=30.0, seed=11)
+    assert np.asarray(res.tb_crc_ok).all()
+    np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))
+
+    # Sanity: the mismatched pairing really does fail at this rate.
+    t = num.slot_timing(**num.CELL_10MHZ)
+    rng = np.random.default_rng(11)
+    p = jnp.asarray(rng.integers(0, 2, (1, cfg.derived_tbs()), dtype=np.int8))
+    td = ofdm.modulate_slot(pdsch.process(p, cfg, t.nsymb, t.nof_subc), t,
+                            scale=1.0 / t.nfft)
+    rx_grid = ofdm.demodulate_slot(td, t, scale=1.0)
+    times = np.asarray(t.cp.data_starts) / t.srate
+    bad = pusch.process(rx_grid, cfg, t.srate, times)
+    assert not np.asarray(bad.tb_crc_ok).all()
+
+
+def test_dl_harq_retransmission():
+    """DL HARQ: rv0 fails at low SNR, rv2 retransmission combines in the
+    UE-side soft buffer and decodes (the srsue softbuffer role)."""
+    cfg = make_cfg(modulation="qam16", target_rate=0.6)
+    t = num.slot_timing(**num.CELL_10MHZ)
+    rng = np.random.default_rng(17)
+    payload = jnp.asarray(rng.integers(0, 2, (1, cfg.derived_tbs()),
+                                       dtype=np.int8))
+    snr_db = 6.5
+    times = np.asarray(t.cp.data_starts) / t.srate
+
+    def one_tx(seed, soft, rv):
+        grid = pdsch.process(payload, cfg, t.nsymb, t.nof_subc, rv=rv)
+        td = ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
+        rngl = np.random.default_rng(seed)
+        nv = float(jnp.mean(jnp.abs(td) ** 2)) * 10 ** (-snr_db / 10)
+        noise = rngl.normal(size=td.shape) + 1j * rngl.normal(size=td.shape)
+        rx = jnp.asarray((np.asarray(td) + noise * np.sqrt(nv / 2))
+                         .astype(np.complex64))
+        rx_grid = ofdm.demodulate_slot(rx, t, scale=1.0)
+        return pdsch.receive(rx_grid, cfg, t.srate, times, rv=rv,
+                             soft_buffer=soft)
+
+    r1 = one_tx(1, None, rv=0)
+    r2 = one_tx(2, r1.soft_buffer, rv=2)
+    assert np.asarray(r2.tb_crc_ok).all()
+    np.testing.assert_array_equal(np.asarray(r2.payload), np.asarray(payload))
 
 
 def test_harq_soft_combining():

@@ -171,7 +171,8 @@ def test_grants_through_hetero_phy_loopback():
     nv = float((np.abs(x) ** 2).mean()) * 10 ** (-30 / 10)
     noise = rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
     rx = jnp.asarray((x + noise * np.sqrt(nv / 2)).astype(np.complex64))
-    for (payload, ok, *_), want in zip(proc.process_ul_slot(rx), payloads):
+    # DL closes through the UE-side PDSCH receiver (srsue role).
+    for (payload, ok, *_), want in zip(proc.process_dl_rx_slot(rx), payloads):
         assert np.asarray(ok).all()
         np.testing.assert_array_equal(np.asarray(payload), np.asarray(want))
 

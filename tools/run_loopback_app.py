@@ -91,7 +91,9 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
         if got is None:
             notifier.on_underflow(slot)
             continue
-        outs = proc.process_ul_slot(to_device_complex(got))
+        # UE-side PDSCH receivers decode the DL (srsue role): DL BLER and
+        # the CQI feedback below are now exercised as actual DL.
+        outs = proc.process_dl_rx_slot(to_device_complex(got))
         for g, (payload, ok, nv_est, _), want in zip(grants, outs, payloads):
             tb_count += 1
             good = bool(np.asarray(ok).all())

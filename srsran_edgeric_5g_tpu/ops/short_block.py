@@ -54,11 +54,21 @@ def encode(bits: jnp.ndarray, e: int) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _codebook(k: int, e: int) -> np.ndarray:
-    """(2^K, E) all codewords as +-1 float32 (bit0 -> +1)."""
-    msgs = ((np.arange(1 << k)[:, None] >> np.arange(k)) & 1).astype(np.int8)
-    import jax
+    """(2^K, E) all codewords as +-1 float32 (bit0 -> +1).
 
-    cw = np.asarray(encode(jnp.asarray(msgs), e))
+    Pure numpy mirror of `encode` (it must stay host-side: inside a jit
+    trace every jnp op is staged out, so a jnp round-trip here would leak
+    tracers into the lru cache)."""
+    msgs = ((np.arange(1 << k)[:, None] >> np.arange(k)) & 1).astype(np.int8)
+    if k == 1:
+        cw = np.broadcast_to(msgs, (2, e))
+    elif k == 2:
+        trip = np.stack([msgs[:, 0], msgs[:, 1],
+                         msgs[:, 0] ^ msgs[:, 1]], axis=1)
+        cw = np.tile(trip, (1, -(-e // 3)))[:, :e]
+    else:
+        d = (msgs.astype(np.int64) @ rm_basis()[:k].astype(np.int64)) % 2
+        cw = np.tile(d, (1, -(-e // 32)))[:, :e]
     return (1.0 - 2.0 * cw).astype(np.float32)
 
 

@@ -156,8 +156,19 @@ def _dl_code(payloads: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
     return modulation.modulate(bits, cell.modulation)      # (B_tb, G/Qm)
 
 
-def _dl_grid_ofdm(syms: jnp.ndarray, cell: CellConfig) -> jnp.ndarray:
-    """(U, G/Qm) modulated symbols -> (total,) time-domain samples."""
+def _dl_grid(syms: jnp.ndarray, cell: CellConfig,
+             dmrs_scale: float = float(np.sqrt(2.0)),
+             add_rows: dict[int, jnp.ndarray] | None = None) -> jnp.ndarray:
+    """(U, G/Qm) modulated symbols -> (nsymb, nsubc) resource grid.
+
+    ``dmrs_scale``: DM-RS-to-data amplitude.  The default sqrt(2) is the
+    PUSCH convention (TS 38.214 3 dB boost for 2 CDM groups w/o data, which
+    the reference receiver assumes — dmrs_pusch_estimator scaling, interop-
+    validated in test_reference_parity); DL PDSCH passes 1.0 (0 dB EPRE).
+
+    ``add_rows``: symbol index -> (nsubc,) contribution ADDED to that
+    symbol's row (control channels on disjoint REs: PDCCH, SSB, PUCCH…).
+    """
     t = cell.timing
     u = cell.nof_ue
     w = cell.ue_width_sc
@@ -181,19 +192,27 @@ def _dl_grid_ofdm(syms: jnp.ndarray, cell: CellConfig) -> jnp.ndarray:
     rows = []
     for l in range(t.nsymb):
         if l in cell.data_symbols:
-            rows.append(jnp.concatenate([left, band[next(data_iter)], right]))
+            row = jnp.concatenate([left, band[next(data_iter)], right])
         elif l in cell.dmrs_symbols:
             i = cell.dmrs_symbols.index(l)
-            # PUSCH DM-RS rides 3 dB above data (2 CDM groups w/o data,
-            # TS 38.214) — the reference receiver assumes this ratio
-            # (dmrs_pusch_estimator scaling), interop-validated in
-            # test_reference_parity::test_reference_receiver_decodes_our_pusch.
-            pil = pilots[i, p0:p0 + npil_span] * np.float32(np.sqrt(2.0))
+            pil = pilots[i, p0:p0 + npil_span] * np.float32(dmrs_scale)
             row_span = jnp.stack([pil, jnp.zeros_like(pil)], axis=-1).reshape(span)
-            rows.append(jnp.concatenate([left, row_span, right]))
+            row = jnp.concatenate([left, row_span, right])
         else:
-            rows.append(zero_row)
-    grid = jnp.stack(rows)
+            row = zero_row
+        if add_rows is not None and l in add_rows:
+            row = row + add_rows[l].astype(jnp.complex64)
+        rows.append(row)
+    return jnp.stack(rows)
+
+
+def _dl_grid_ofdm(syms: jnp.ndarray, cell: CellConfig,
+                  dmrs_scale: float = float(np.sqrt(2.0)),
+                  add_rows: dict[int, jnp.ndarray] | None = None
+                  ) -> jnp.ndarray:
+    """(U, G/Qm) modulated symbols -> (total,) time-domain samples."""
+    t = cell.timing
+    grid = _dl_grid(syms, cell, dmrs_scale, add_rows)
     return ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
 
 
@@ -265,20 +284,23 @@ def ul_slot(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
 
 def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
               rv: int = 0, mesh=None, ci: jnp.ndarray | None = None,
-              row_axes=(UE_AXIS,)):
+              row_axes=(UE_AXIS,), rx_grid: jnp.ndarray | None = None):
     """OFDM demod -> chest -> MMSE -> demap -> descramble, natively batched:
     (S, total) samples -> ((S, U, G) LLRs, (S, U) noise_var, (S, U) cfo).
     ``ci``/``row_axes`` as in `_dl_code` (multi-cell flattens carriers into
-    the S dim)."""
+    the S dim).  ``rx_grid`` skips the OFDM demodulation when the caller
+    already demodulated the slot (full-cell pipeline shares one grid between
+    PUSCH, PUCCH and SRS processing)."""
     seg, rm = _plans(cell, rv)
     t = cell.timing
-    s = rx_samples.shape[0]
+    s = rx_samples.shape[0] if rx_samples is not None else rx_grid.shape[0]
     u = cell.nof_ue
     w = cell.ue_width_sc
     span = u * w
     band0 = cell.first_prb * N_SC_PER_PRB
 
-    rx_grid = ofdm.demodulate_slot(rx_samples, t, scale=1.0)  # (S, nsymb, nsubc)
+    if rx_grid is None:
+        rx_grid = ofdm.demodulate_slot(rx_samples, t, scale=1.0)  # (S, nsymb, nsubc)
     band = rx_grid[..., band0:band0 + span]                # (S, nsymb, span)
 
     pilots = _dmrs_full_band(cell)
@@ -340,16 +362,28 @@ def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
 def _ul_back(llr: jnp.ndarray, cell: CellConfig, rv: int = 0,
              num_iters: int = decoder.DEFAULT_ITERS, mesh=None,
              soft_buffer: jnp.ndarray | None = None,
-             row_axes=(UE_AXIS,), cb_axes=((UE_AXIS, CB_AXIS),)):
+             row_axes=(UE_AXIS,), cb_axes=((UE_AXIS, CB_AXIS),),
+             new_data: jnp.ndarray | None = None):
     """Rate dematch (+ HARQ soft combine) + LDPC decode + TB CRC for a flat
     (B_tb, G) LLR batch.  Returns (payload, tb_ok, new_soft) where new_soft
     is the accumulated (B_tb*C, n_cb) circular buffer — the HBM-resident
     rx_buffer state the reference keeps per HARQ process
-    (rx_buffer_pool_impl.cpp)."""
+    (rx_buffer_pool_impl.cpp).
+
+    ``new_data``: (B_tb,) float mask, 1.0 = first transmission of this TB.
+    A new transmission zeroes its soft buffer before combining (the
+    reference re-reserves a cleared rx_buffer per new TB,
+    rx_buffer_pool_impl.cpp), so the HARQ state can stay resident in the
+    jitted program across slot batches without host intervention.
+    """
     seg, rm = _plans(cell, rv)
     b_tb = llr.shape[0]
     zc = seg.zc
     cb_llr = llr.reshape(b_tb * seg.c, rm.e)
+    if soft_buffer is not None and new_data is not None:
+        keep = (1.0 - new_data.astype(jnp.float32))
+        keep = jnp.repeat(keep, seg.c)[:, None]            # (B_tb*C, 1)
+        soft_buffer = soft_buffer * keep
     full = rate_match.rate_dematch(cb_llr, rm, soft_buffer)  # (B_tb*C, colsZc)
     full = shard(full, mesh, cb_axes)
     new_soft = full[:, 2 * zc:2 * zc + rm.n_cb]

@@ -1,29 +1,44 @@
 #!/usr/bin/env python3
-"""Headline benchmark: full DL+UL slot pipeline throughput on one TPU chip.
+"""Headline benchmark: FULL gNB slot pipeline throughput on one TPU chip.
 
 Config matches the reference's 20 MHz zmq-mode cell (106 PRB @ 23.04 Msps,
-4 UEs — BASELINE.md): per slot, DL = segment+LDPC encode+rate match+scramble+
-64QAM+grid+iFFT/CP for all UEs; UL = FFT+channel est+MMSE+demap+descramble+
-dematch+layered min-sum decode (6 iters)+CRC.
+4 UEs — BASELINE.md), but unlike round 1 the timed slot is the reference's
+COMPLETE per-slot workload (cell_scheduler.cpp:117-138 +
+downlink_processor_single_executor_impl.h:88-98 +
+uplink_processor_impl.cpp:70-154), not just the data plane:
 
-Timing methodology: every iteration's input carries a data dependency on the
-previous iteration's output (the TPU relay on this machine caches identical
-execution requests, so constant-input loops measure nothing), with a host
-sync only at the end.
+  DL TX (timed): PDSCH encode for 4 UEs + PDCCH CORESET with 8 DCIs/slot
+  (2 per UE) + SS/PBCH block every 10 ms (SSB slots carry the shortened
+  PDSCH sub-batch shape) -> grids -> OFDM modulate.
 
-The UL direction passes through AWGN at 25 dB SNR (comfortably above the
-64QAM r0.5 operating point, so payload recovery stays exact) rather than a
-noiseless wire: the decoder's syndrome early stop then runs a realistic
-iteration count instead of converging instantly.  `--clean` disables the
-channel for A/B timing.
+  UL RX (timed): OFDM demodulate -> PUSCH (chest+MMSE+demap+descramble+
+  dematch+layered min-sum decode+CRC) for 4 UEs with HARQ soft-buffer carry
+  through the program (soft state in/out every batch, new_data mask) +
+  PUCCH F1 ACK detection every slot + PUCCH F2 CSI decode every 5th slot +
+  SRS snapshots and PRACH occasion demod + 64-preamble detection every
+  10th slot.
+
+The UE-side UL generation (PUSCH+PUCCH+SRS+PRACH transmit) happens ONCE at
+setup — the gNB does not generate uplink — and the timed step re-noises it
+with a sign-alternated pre-generated AWGN tensor (25 dB), exactly as the
+radio would hand new noisy samples each slot.  Payload/ACK/CSI/PRACH
+correctness is asserted on the setup run.
+
+Timing methodology: every iteration chains data dependencies through the
+previous iteration (payload XOR, noise sign flip, HARQ soft state) — the
+TPU relay on this machine caches identical execution requests — and the DL
+transmit feeds the chain through a full power reduction so XLA cannot
+dead-code any channel.  Host sync only at the end.
 
 Metric: processed baseband samples per second per chip (23040 samples per
 1 ms slot, DL+UL both processed => 23.04e6 = exactly real-time).
 vs_baseline divides by the reference system's real-time operating point:
-how many 20 MHz 4-UE full-duplex cells' PHY one chip sustains (the srsRAN
-gNB runs this workload at 1.0x by construction as a real-time SDR).
+how many 20 MHz 4-UE full-duplex cells' PHY one chip sustains.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Flags: --sbatch=N (slots per dispatch, default 256), --data-only (the
+round-1 data-plane-only pipeline for A/B), --fft=impl, --clean (no AWGN).
 """
 
 import json
@@ -32,8 +47,107 @@ import time
 
 import numpy as np
 
+ITERS = 30
 
-def main():
+
+def bench_full_cell(s_batch: int, snr_db: float | None):
+    import jax
+    import jax.numpy as jnp
+
+    from srsran_edgeric_5g_tpu.parallel import full_cell as fcell
+    from srsran_edgeric_5g_tpu.parallel import slot_pipeline as sp
+
+    fc = fcell.FullCellConfig()
+    t = fc.timing
+    u = fc.nof_ue
+    s = s_batch
+    rng = np.random.default_rng(0)
+
+    cell_n, cell_s, cell_u = fc.dl_cell(), fc.dl_cell_ssb(), fc.ul_cell()
+    tbs_n, tbs_s, tbs_u = (cell_n.derived_tbs(), cell_s.derived_tbs(),
+                           cell_u.derived_tbs())
+    norm_idx, ssb_idx = fc.norm_slots(s), fc.ssb_slots(s)
+    seg_u, _ = sp._plans(cell_u, 0)
+
+    pay_n = jnp.asarray(rng.integers(0, 2, (len(norm_idx), u, tbs_n),
+                                     dtype=np.int8))
+    pay_s = jnp.asarray(rng.integers(0, 2, (len(ssb_idx), u, tbs_s),
+                                     dtype=np.int8))
+    dci = jnp.asarray(rng.integers(0, 2, (s, 2 * u, fc.dci_bits),
+                                   dtype=np.int8))
+    pbch = jnp.asarray(rng.integers(0, 2, (len(ssb_idx), 24), dtype=np.int8))
+    pay_u = jnp.asarray(rng.integers(0, 2, (s, u, tbs_u), dtype=np.int8))
+    ack = jnp.asarray(rng.integers(0, 2, (s, u, 2), dtype=np.int8))
+    csi = jnp.asarray(rng.integers(0, 2, (len(fc.csi_slots(s)), u,
+                                          fc.csi_bits), dtype=np.int8))
+
+    # UE-side UL generation + AWGN planes, once at setup (planar f32: a c64
+    # argument to the timed step costs a per-iteration layout copy).
+    @jax.jit
+    def make_ul(p, a, c, key):
+        td = fcell.ue_ul_slot_batch(p, a, c, fc, s)
+        re, im = jnp.real(td), jnp.imag(td)
+        if snr_db is None:
+            z = jnp.zeros((), jnp.float32)
+            return re, im, z, z
+        sig_pow = jnp.mean(re * re + im * im)
+        sigma = jnp.sqrt(sig_pow * 10.0 ** (-snr_db / 10.0) / 2.0)
+        n = jax.random.normal(key, td.shape + (2,), jnp.float32) * sigma
+        return re, im, n[..., 0], n[..., 1]
+
+    ul_re, ul_im, nre, nim = make_ul(pay_u, ack, csi,
+                                     jax.random.key(42, impl="rbg"))
+
+    nd_ones = jnp.ones((s, u), jnp.float32)
+
+    @jax.jit
+    def step(pn, ps, eps, flip, soft):
+        """One full-cell DL TX + UL RX slot batch, chained."""
+        pn = jnp.bitwise_xor(pn, eps)
+        td = fcell.gnb_dl_slot_batch(pn, ps, dci, pbch, fc, s)
+        # Full power reduction: forces the complete DL transmit (nothing
+        # dead-codes) at the cost of one cheap reduce.
+        dl_pow = jnp.mean(jnp.real(td) ** 2 + jnp.imag(td) ** 2)
+        rx = jax.lax.complex(ul_re + nre * flip, ul_im + nim * flip)
+        res = fcell.gnb_ul_slot_batch(rx, fc, s, soft_in=soft,
+                                      new_data=nd_ones)
+        eps_next = (res["payload"][0, 0, 0] & jnp.int8(0)) | \
+            (dl_pow > jnp.float32(1e30)).astype(jnp.int8)
+        return res, eps_next, -flip
+
+    eps = jnp.int8(0)
+    flip = jnp.float32(1.0)
+    soft = jnp.zeros((s, u * seg_u.c, sp._plans(cell_u, 0)[1].n_cb),
+                     jnp.float32)
+
+    res, eps, flip = step(pay_n, pay_s, eps, flip, soft)
+    ok = np.asarray(res["tb_ok"])
+    assert ok.all(), f"PUSCH CRC failed: {ok.sum()}/{ok.size}"
+    assert (np.asarray(res["payload"]) == np.asarray(pay_u)).all()
+    assert (np.asarray(res["ack_bits"]) == np.asarray(ack)).all(), \
+        "PUCCH F1 ACK mismatch"
+    assert np.asarray(res["csi_ok"]).all()
+    assert (np.asarray(res["csi_bits"]) == np.asarray(csi)).all(), \
+        "PUCCH F2 CSI mismatch"
+    det = np.asarray(res["prach_detected"])
+    assert det[:, 7].all() and not det[:, np.arange(64) != 7].any(), \
+        f"PRACH detection wrong: {np.nonzero(det)}"
+
+    iters = ITERS
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res, eps, flip = step(pay_n, pay_s, eps, flip, res["soft"])
+    _ = int(eps)  # host sync through the dependency chain
+    res["tb_ok"].block_until_ready()
+    slot_s = (time.perf_counter() - t0) / (iters * s)
+    return slot_s, t, (f"full gNB slot, S={s}: TBS dl {tbs_n}/{tbs_s} ul "
+                       f"{tbs_u} x {u} UE; 8 DCI/slot, SSB/10, F1/slot, "
+                       f"F2/5, SRS/10, PRACH/10; HARQ soft carry "
+                       f"{s}x{u * seg_u.c}x{sp._plans(cell_u, 0)[1].n_cb}")
+
+
+def bench_data_plane(s_batch: int, n_cells: int, snr_db: float | None):
+    """Round-1 data-plane-only pipeline (PDSCH+PUSCH, no control) for A/B."""
     import jax
     import jax.numpy as jnp
 
@@ -43,52 +157,16 @@ def main():
                          modulation="qam64", target_rate=0.5)
     t = cell.timing
     tbs = cell.derived_tbs()
-    # Slots per dispatch (run-ahead pipelining analogue).  Measured on v5e:
-    # S=16 0.262 ms/slot, S=32 0.166, S=64 0.138, S=128 0.110, and after the
-    # decode-side optimizations the knee moved: S=128 0.052 vs S=256 0.051
-    # (19.75x) — the batch amortizes per-layer overheads.  S=256 = 256 ms of
-    # run-ahead buffering: a throughput-serving operating point (the
-    # real-time analogue of the reference's nof_slot_tti_in_advance
-    # headroom, scaled to batch mode); use --sbatch=8/16 for
-    # latency-constrained operation.
-    s_batch = 256
-    n_cells = 1
-    for a in sys.argv:
-        if a.startswith("--sbatch="):
-            s_batch = int(a.split("=")[1])
-        if a.startswith("--cells="):
-            n_cells = int(a.split("=")[1])
-        if a.startswith("--fft="):
-            # --fft=mmdft[:default|high|highest] selects the MXU matmul-DFT
-            # slot transform (tools/tpu_fft_ab.py measurements).
-            from srsran_edgeric_5g_tpu.ops import ofdm as _ofdm
-            spec = a.split("=")[1].split(":")
-            _ofdm.set_fft_impl(spec[0], spec[1] if len(spec) > 1 else "default")
     rng = np.random.default_rng(0)
-    # --cells=N processes N independent carriers per dispatch (the per-cell
-    # PHY instances of the reference, vmapped): same amortization as a deep
-    # slot batch but the run-ahead latency stays at s_batch slots.
-    pshape = (s_batch, 4, tbs) if n_cells == 1 else (n_cells, s_batch, 4, tbs)
+    pshape = ((s_batch, 4, tbs) if n_cells == 1
+              else (n_cells, s_batch, 4, tbs))
     payloads = jnp.asarray(rng.integers(0, 2, pshape, dtype=np.int8))
     rntis = jnp.asarray((0x4601 + np.arange(4 * n_cells)).astype(np.uint32))
     if n_cells > 1:
         rntis = rntis.reshape(n_cells, 4)
 
-    snr_db = None if "--clean" in sys.argv else 25.0
-
-    # The radio hands the receiver NOISY samples: AWGN *generation* is test
-    # harness, not pipeline (it was ~9% of device time when drawn with the
-    # HW RNG inside the timed step).  Pre-generate one device-resident noise
-    # tensor at setup; the timed step applies it with a single fused
-    # add — sign-alternated through the chain so successive iterations see
-    # different (but statistically identical) noise and the relay cannot
-    # dedup.  Payload-exactness is still asserted every setup run.
     @jax.jit
     def make_noise(p, key):
-        # Returned as separate re/im f32 planes: a c64 noise *argument* to
-        # the timed step costs a per-iteration layout copy plus an
-        # X64SplitHigh plane split (~4.5% of device time in the xplane
-        # profile); planar f32 planes fuse straight into the add.
         td = (sp.dl_slot_batch(p, rntis, cell) if n_cells == 1
               else sp.multi_cell_dl_slot_batch(p, rntis, cell))
         sig_pow = jnp.mean(jnp.abs(td) ** 2)
@@ -101,11 +179,7 @@ def main():
 
     @jax.jit
     def step(p, eps, flip, noise):
-        """One DL+UL (multi-cell) slot-batch with a chained perturbation.
-        (noise passed as a pair of f32 plane arguments: the axon backend
-        cannot close jits over concrete complex device arrays, and a c64
-        argument costs a layout copy + plane split every iteration.)"""
-        p = jnp.bitwise_xor(p, eps)            # eps == 0, but data-dependent
+        p = jnp.bitwise_xor(p, eps)
         nr, ni = noise
 
         def add_noise(td):
@@ -128,33 +202,59 @@ def main():
     if noise is None:
         noise = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
     eps = jnp.int8(0)
-    key = jnp.float32(1.0)  # noise sign flip, chained
+    key = jnp.float32(1.0)
     payload_hat, tb_ok, eps, key = step(payloads, eps, key, noise)
     ok = np.asarray(tb_ok)
     assert ok.all(), f"loopback CRC failed: {ok}"
     assert (np.asarray(payload_hat) == np.asarray(payloads)).all()
 
-    iters = 30
+    iters = ITERS
     t0 = time.perf_counter()
     for _ in range(iters):
         payload_hat, tb_ok, eps, key = step(payloads, eps, key, noise)
-    _ = int(eps)  # host sync through the dependency chain
+    _ = int(eps)
     tb_ok.block_until_ready()
     slot_s = (time.perf_counter() - t0) / (iters * s_batch * n_cells)
+    return slot_s, t, (f"data-plane only, S={s_batch} x {n_cells} cell(s), "
+                       f"TBS {tbs} x 4 UE")
+
+
+def main():
+    s_batch = 256
+    n_cells = 1
+    data_only = "--data-only" in sys.argv
+    global ITERS
+    for a in sys.argv:
+        if a.startswith("--sbatch="):
+            s_batch = int(a.split("=")[1])
+        if a.startswith("--iters="):
+            ITERS = int(a.split("=")[1])
+        if a.startswith("--cells="):
+            n_cells = int(a.split("=")[1])
+        if a.startswith("--fft="):
+            from srsran_edgeric_5g_tpu.ops import ofdm as _ofdm
+            spec = a.split("=")[1].split(":")
+            _ofdm.set_fft_impl(spec[0], spec[1] if len(spec) > 1 else "default")
+    snr_db = None if "--clean" in sys.argv else 25.0
+
+    if data_only or n_cells > 1:
+        slot_s, t, desc = bench_data_plane(s_batch, n_cells, snr_db)
+        metric = "slot_pipeline_samples_per_sec"
+    else:
+        slot_s, t, desc = bench_full_cell(s_batch, snr_db)
+        metric = "full_gnb_slot_samples_per_sec"
 
     slot_samples = t.cp.total  # 23040 @ 20 MHz
     samples_per_sec = slot_samples / slot_s
     realtime = slot_samples * 1000.0  # 1 ms slots => 23.04 Msps
 
     print(json.dumps({
-        "metric": "slot_pipeline_samples_per_sec",
+        "metric": metric,
         "value": round(samples_per_sec, 1),
         "unit": "samples/s/chip (20MHz 4UE DL+UL)",
         "vs_baseline": round(samples_per_sec / realtime, 3),
     }))
-    print(f"# chained timing, S={s_batch} x {n_cells} cell(s): "
-          f"{slot_s*1e3:.3f} ms/cell-slot; TBS {tbs} x 4 UE; "
-          f"coded throughput {2 * 4 * tbs / slot_s / 1e6:.0f} Mbit/s",
+    print(f"# chained timing, {desc}; {slot_s*1e3:.3f} ms/slot",
           file=sys.stderr)
 
 

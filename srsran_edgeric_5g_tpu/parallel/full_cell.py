@@ -606,7 +606,7 @@ def prach_occasion_td(fc: FullCellConfig, preamble_index: int,
 def ue_ul_slot_batch(payloads: jnp.ndarray, ack: jnp.ndarray,
                      csi: jnp.ndarray, fc: FullCellConfig, s_total: int,
                      prach_preamble: int = 7, prach_delay: int = 24,
-                     prach_amplitude: float = 0.02,
+                     prach_amplitude: float = 0.01,
                      mesh=None) -> jnp.ndarray:
     """UE-side UL generator: (S, U, TBS_ul) PUSCH payloads + (S, U, 2) ACK
     bits + (S_csi, U, K) CSI bits -> (S, total) clean UL samples with

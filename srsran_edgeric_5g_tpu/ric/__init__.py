@@ -9,3 +9,5 @@ from .muapp import (  # noqa: F401
     prop_fair_weights,
     round_robin_weights,
 )
+from .monitor import ThroughputMonitor  # noqa: F401
+from .switchboard import AlgorithmSwitch  # noqa: F401

@@ -134,15 +134,24 @@ class MuAppScheduler:
     """
 
     def __init__(self, messenger: RicMessenger, algorithm: str = "max_cqi",
-                 torch_policy: TorchWeightPolicy | None = None):
+                 torch_policy: TorchWeightPolicy | None = None,
+                 switch=None, whittle_policy=None):
         self.msgr = messenger
         self.algorithm = algorithm
         self.torch_policy = torch_policy
+        # muApp4 NeurWIN index policy (ric.neurwin.WhittleIndexPolicy).
+        self.whittle_policy = whittle_policy
+        # Live switching source (ric.switchboard.AlgorithmSwitch /
+        # RedisSwitch) — polled every TTI like the reference's redis key
+        # (muApp1_run_DL_scheduling.py:300).
+        self.switch = switch
         self._avg_cqis: dict[int, float] = {}
         self._rr_cnt = 0
         self.total_brate: list[float] = []
 
     def step(self, blocking: bool = True, timeout_ms: int = 1000) -> bool:
+        if self.switch is not None:
+            self.algorithm = self.switch.get()
         ran_tti, ue_data = self.msgr.get_metrics(blocking, timeout_ms)
         if not ue_data:
             return False
@@ -162,6 +171,10 @@ class MuAppScheduler:
         elif a == "rl":
             assert self.torch_policy is not None, "rl needs a torch_policy"
             w = self.torch_policy(ue_data)
+        elif a == "whittle":
+            assert self.whittle_policy is not None, \
+                "whittle needs a whittle_policy (ric.neurwin)"
+            w = self.whittle_policy(ue_data)
         else:
             raise ValueError(f"unknown algorithm {a!r}")
         self.msgr.send_scheduling_weight(ran_tti, w)

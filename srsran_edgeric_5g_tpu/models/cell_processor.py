@@ -62,13 +62,25 @@ class CellProcessor:
 
     def __init__(self, cell: sp.CellConfig, pci: int = 1,
                  ssb_period_slots: int = 20, metrics: MetricsHub | None = None,
-                 mesh=None):
+                 mesh=None, tx_gain: float = 1.0, tx_ceiling: float = 0.0):
         self.cell = cell
         self.pci = pci
         self.ssb_period = ssb_period_slots
         self.metrics = metrics or MetricsHub()
         self.mesh = mesh
         self.harq = HarqPool()
+        # TX amplitude controller (reference: per-symbol scale/clip at the
+        # lower-PHY baseband output, downlink_processor_baseband_impl +
+        # amplitude_controller_{scaling,clipping}_impl).  ceiling 0 = scale
+        # mode; > 0 = clipping mode.  Applied to every DL transmit; the
+        # metrics land in SlotMetrics.tx_*.
+        from ..ops import amplitude
+        if tx_ceiling > 0:
+            self._amp = jax.jit(lambda x: amplitude.clip(x, tx_gain,
+                                                         tx_ceiling))
+        else:
+            self._amp = jax.jit(lambda x: amplitude.scale(x, tx_gain))
+        self._last_amp = None
         self.rntis = jnp.asarray(0x4601 + np.arange(cell.nof_ue),
                                  dtype=np.uint32)
         self.tbs = cell.derived_tbs()
@@ -118,6 +130,8 @@ class CellProcessor:
         if extra is not None:
             from ..ops import ofdm
             td = td + ofdm.modulate_slot(extra, t, scale=1.0 / t.nfft)
+        td, amp = self._amp(td)
+        self._last_amp = amp
         return td
 
     # ------------------------------------------------------------------ UL
@@ -221,6 +235,14 @@ class CellProcessor:
                 cfo_hz=float(np.asarray(cfo)[u]),
                 ul_bytes=self.tbs // 8 if ok[u] else 0,
                 dl_bytes=self.tbs // 8))
-        self.metrics.report(SlotMetrics(slot=self._slot, ues=ues))
+        amp = self._last_amp
+        if amp is not None:
+            sm = SlotMetrics(slot=self._slot, ues=ues,
+                             tx_avg_power=float(amp.avg_power),
+                             tx_papr_db=amp.papr_db(),
+                             tx_clipped_ratio=float(amp.clipped_ratio))
+        else:
+            sm = SlotMetrics(slot=self._slot, ues=ues)
+        self.metrics.report(sm)
         self._slot += 1
         return payload, tb_ok

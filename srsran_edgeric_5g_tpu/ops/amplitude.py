@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 
@@ -19,6 +20,18 @@ class AmplitudeMetrics:
     peak_power: jnp.ndarray     # max |y|^2
     papr: jnp.ndarray           # peak / avg
     clipped_ratio: jnp.ndarray  # fraction of samples clipped
+
+    def papr_db(self) -> float:
+        import numpy as np
+        return float(10.0 * np.log10(max(float(self.papr), 1e-30)))
+
+
+# Pytree registration so the metrics can cross jit boundaries alongside the
+# scaled samples (the TX paths return them from jitted programs).
+jax.tree_util.register_dataclass(
+    AmplitudeMetrics,
+    data_fields=["avg_power", "peak_power", "papr", "clipped_ratio"],
+    meta_fields=[])
 
 
 def scale(samples: jnp.ndarray, gain: float) -> tuple[jnp.ndarray, AmplitudeMetrics]:

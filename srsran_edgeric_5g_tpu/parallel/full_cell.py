@@ -116,6 +116,10 @@ class FullCellConfig:
     # far under a real peak (>500 at the operating point) — same role as
     # prach_detector_generic_thresholds.h.
     prach_threshold: float = 20.0
+    # TX amplitude controller (lower-PHY scale/clip tail,
+    # amplitude_controller_{scaling,clipping}_impl): ceiling 0 = scale mode.
+    tx_gain: float = 1.0
+    tx_ceiling: float = 0.0
 
     # ------------------------------------------------------- derived cells
 
@@ -355,7 +359,15 @@ def gnb_dl_slot_batch(pay_norm: jnp.ndarray, pay_ssb: jnp.ndarray,
     perm = np.empty(s_total, np.int64)
     perm[norm_idx] = np.arange(len(norm_idx))
     perm[ssb_idx] = len(norm_idx) + np.arange(len(ssb_idx))
-    return jnp.concatenate([td_n, td_s], axis=0)[jnp.asarray(perm)]
+    td = jnp.concatenate([td_n, td_s], axis=0)[jnp.asarray(perm)]
+    # TX amplitude controller tail (every transmit passes through it, like
+    # the reference's per-symbol lower-PHY scale/clip).
+    from ..ops import amplitude
+    if fc.tx_ceiling > 0:
+        td, _ = amplitude.clip(td, fc.tx_gain, fc.tx_ceiling)
+    else:
+        td, _ = amplitude.scale(td, fc.tx_gain)
+    return td
 
 
 # ============================================================ PUCCH tables

@@ -36,9 +36,19 @@ class UeSlotMetrics:
 class SlotMetrics:
     slot: int
     ues: list[UeSlotMetrics]
+    # Cell-level TX amplitude-controller metrics (ops.amplitude — the
+    # reference lower PHY logs these per transmit: avg/peak power, PAPR,
+    # clipped-sample ratio; amplitude_controller_clipping_impl.cpp).
+    tx_avg_power: float = float("nan")
+    tx_papr_db: float = float("nan")
+    tx_clipped_ratio: float = float("nan")
 
     def to_dict(self) -> dict:
-        return {"slot": self.slot, "ues": [u.to_dict() for u in self.ues]}
+        d = {"slot": self.slot, "ues": [u.to_dict() for u in self.ues]}
+        if self.tx_avg_power == self.tx_avg_power:  # not NaN
+            d.update(tx_avg_power=self.tx_avg_power, tx_papr_db=self.tx_papr_db,
+                     tx_clipped_ratio=self.tx_clipped_ratio)
+        return d
 
 
 class MetricsHub:

@@ -156,3 +156,30 @@ def test_cell_pucch_f0_f1_occasions():
     rx = jnp.asarray((np.asarray(grid) + noise).astype(np.complex64))
     bits, metric = proc.process_pucch_f1(rx, c1, nof_bits=1, occ_index=1)
     assert np.asarray(bits).ravel()[0] == 1
+
+
+def test_amplitude_controller_wired_into_tx():
+    """The DL transmit tail passes through the amplitude controller
+    (reference: per-symbol scale/clip in downlink_processor_baseband_impl)
+    and the metrics land in SlotMetrics."""
+    rng = np.random.default_rng(3)
+    # Scale mode: gain applied, decode still fine (chest absorbs flat gain).
+    proc = make_proc(tx_gain=0.5)
+    payloads = jnp.asarray(rng.integers(0, 2, (2, proc.tbs), dtype=np.int8))
+    td = proc.process_dl_slot(payloads)
+    _, tb_ok = proc.process_ul_slot(td)
+    assert np.asarray(tb_ok).all()
+    m = list(proc.metrics.history)[-1]
+    assert np.isfinite(m.tx_avg_power) and m.tx_avg_power > 0
+    assert np.isfinite(m.tx_papr_db) and m.tx_clipped_ratio == 0.0
+
+    # Clipping mode: a ceiling below the peak clips a nonzero fraction and
+    # bounds the output magnitude.
+    ceiling = float(np.abs(np.asarray(td)).max()) * 1.6  # td had gain 0.5
+    proc2 = make_proc(tx_gain=1.0, tx_ceiling=ceiling)
+    td2 = proc2.process_dl_slot(payloads)
+    proc2.process_ul_slot(td2)
+    m2 = list(proc2.metrics.history)[-1]
+    assert m2.tx_clipped_ratio > 0
+    assert np.abs(np.asarray(td2)).max() <= ceiling * 1.0001
+    assert "tx_avg_power" in m2.to_dict()

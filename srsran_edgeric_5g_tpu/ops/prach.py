@@ -200,7 +200,11 @@ def ofdm_demodulate_prach(samples: jnp.ndarray,
     format 0 has a single repetition).
     """
     body = samples[..., info.cp_samples:info.cp_samples + info.dft_size]
-    fd = jnp.fft.fft(body, axis=-1)
+    # Route through the slot-transform dispatcher: on accelerator backends
+    # the occasion-sized DFT (e.g. 18432 = fs/1.25 kHz) runs as the MXU
+    # matmul-DFT two-step instead of an XLA FFT (ops.ofdm._use_mmdft).
+    from . import ofdm as _ofdm
+    fd = _ofdm._slot_fft(body)
     k = (info.freq_offset_bins + np.arange(info.l_ra)) % info.dft_size
     # Unitary pair with ofdm_modulate_prach: 1/sqrt(dft) each way.
     return fd[..., jnp.asarray(k)].astype(jnp.complex64) \

@@ -564,19 +564,28 @@ def _prach_static(fc: FullCellConfig):
     win = min(ncs, l_ra)
     rows = np.asarray([row_of[off] for off, _, _ in table])
     starts = np.asarray([(l_ra - cv) % l_ra for _, _, cv in table])
-    return cfg, root_f, rows, starts, win, l_ra
+    # L_RA = 839 is PRIME: jnp.fft.ifft over it lowers to a sequential
+    # while loop on TPU (measured 30% of the whole full-slot step!).  The
+    # MXU-native form is an explicit IDFT matmul — an (839, 839) c64
+    # constant (11 MB) and one tiny matrix product per occasion batch.
+    n = np.arange(l_ra)
+    idft = (np.exp(2j * np.pi * np.outer(n, n) / l_ra) / l_ra
+            ).astype(np.complex64)
+    return cfg, root_f, rows, starts, win, l_ra, idft
 
 
 def _prach_detect_batch(rx_freq: jnp.ndarray, fc: FullCellConfig):
     """(B, L_RA) freq-domain occasions -> ((B, 64) metric, delay, detected).
 
-    The batched form of ops.prach.detect: per-root IDFT correlations, each
-    preamble's windowed max over its own N_cs zone against the occasion
-    noise floor (prach_detector_generic_impl.cpp structure).
+    The batched form of ops.prach.detect: per-root IDFT correlations (as an
+    MXU matmul against the prime-length IDFT matrix — see _prach_static),
+    each preamble's windowed max over its own N_cs zone against the
+    occasion noise floor (prach_detector_generic_impl.cpp structure).
     """
-    cfg, root_f, rows, starts, win, l_ra = _prach_static(fc)
-    corr_t = jnp.fft.ifft(rx_freq[:, None, :] * jnp.conj(jnp.asarray(root_f)),
-                          axis=-1)
+    cfg, root_f, rows, starts, win, l_ra, idft = _prach_static(fc)
+    corr_f = rx_freq[:, None, :] * jnp.conj(jnp.asarray(root_f))  # (B, R, L)
+    corr_t = jnp.matmul(corr_f, jnp.asarray(idft),
+                        preferred_element_type=jnp.complex64)
     power = jnp.abs(corr_t) ** 2                            # (B, R, L)
     floor = jnp.mean(power, axis=(1, 2), keepdims=True) + 1e-30
     power2 = jnp.concatenate([power, power], axis=-1)       # wrap-around

@@ -42,6 +42,7 @@ round-1 data-plane-only pipeline for A/B), --fft=impl, --clean (no AWGN).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -100,6 +101,9 @@ def bench_full_cell(s_batch: int, snr_db: float | None):
 
     nd_ones = jnp.ones((s, u), jnp.float32)
 
+    num_iters = int(os.environ.get("BENCH_NUM_ITERS", "0")) or None
+    no_carry = os.environ.get("BENCH_NO_CARRY") == "1"
+
     @jax.jit
     def step(pn, ps, eps, flip, soft):
         """One full-cell DL TX + UL RX slot batch, chained."""
@@ -109,8 +113,11 @@ def bench_full_cell(s_batch: int, snr_db: float | None):
         # dead-codes) at the cost of one cheap reduce.
         dl_pow = jnp.mean(jnp.real(td) ** 2 + jnp.imag(td) ** 2)
         rx = jax.lax.complex(ul_re + nre * flip, ul_im + nim * flip)
-        res = fcell.gnb_ul_slot_batch(rx, fc, s, soft_in=soft,
-                                      new_data=nd_ones)
+        kw = {} if num_iters is None else {"num_iters": num_iters}
+        res = fcell.gnb_ul_slot_batch(rx, fc, s,
+                                      soft_in=None if no_carry else soft,
+                                      new_data=None if no_carry else nd_ones,
+                                      **kw)
         eps_next = (res["payload"][0, 0, 0] & jnp.int8(0)) | \
             (dl_pow > jnp.float32(1e30)).astype(jnp.int8)
         return res, eps_next, -flip
@@ -144,6 +151,76 @@ def bench_full_cell(s_batch: int, snr_db: float | None):
                        f"{tbs_u} x {u} UE; 8 DCI/slot, SSB/10, F1/slot, "
                        f"F2/5, SRS/10, PRACH/10; HARQ soft carry "
                        f"{s}x{u * seg_u.c}x{sp._plans(cell_u, 0)[1].n_cb}")
+
+
+def bench_mimo(s_batch: int, n_layers: int, snr_db: float | None):
+    """Multi-layer data plane: LxL spatial channel per UE (layer-mapped
+    single codeword, CDM DM-RS, LxP whitened-Gram MMSE) — the MIMO rows
+    for BASELINE.md (VERDICT item 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from srsran_edgeric_5g_tpu.parallel import slot_pipeline as sp
+
+    cell = sp.CellConfig(nof_prb=106, nfft=1536, nof_ue=4, prb_per_ue=26,
+                         modulation="qam64", target_rate=0.5,
+                         n_layers=n_layers)
+    t = cell.timing
+    tbs = cell.derived_tbs()
+    rng = np.random.default_rng(0)
+    payloads = jnp.asarray(rng.integers(0, 2, (s_batch, 4, tbs),
+                                        dtype=np.int8))
+    rntis = jnp.asarray((0x4601 + np.arange(4)).astype(np.uint32))
+    # Well-conditioned static spatial mixing (blend of random + DFT).
+    a_np = ((rng.normal(size=(n_layers, n_layers))
+             + 1j * rng.normal(size=(n_layers, n_layers))) / np.sqrt(2))
+    f = np.exp(-2j * np.pi * np.outer(np.arange(n_layers),
+                                      np.arange(n_layers)) / n_layers)
+    a_re = (0.35 * a_np + f / np.sqrt(n_layers)).astype(np.complex64)
+    a_r, a_i = jnp.asarray(a_re.real), jnp.asarray(a_re.imag)
+
+    @jax.jit
+    def make_noise(p, key):
+        td = sp.dl_slot_batch_mimo(p, rntis, cell)
+        sig_pow = jnp.mean(jnp.abs(td) ** 2)
+        sigma = jnp.sqrt(sig_pow * 10.0 ** (-snr_db / 10.0) / 2.0)
+        n = jax.random.normal(key, td.shape + (2,), jnp.float32) * sigma
+        return n[..., 0], n[..., 1]
+
+    noise = (make_noise(payloads, jax.random.key(42, impl="rbg"))
+             if snr_db is not None
+             else (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)))
+
+    @jax.jit
+    def step(p, eps, flip, noise):
+        p = jnp.bitwise_xor(p, eps)
+        td = sp.dl_slot_batch_mimo(p, rntis, cell)     # (S, L, total)
+        a = jax.lax.complex(a_r, a_i)
+        rx = jnp.einsum("pl,slt->spt", a, td)
+        if snr_db is not None:
+            nr, ni = noise
+            rx = jax.lax.complex(jnp.real(rx) + nr * flip,
+                                 jnp.imag(rx) + ni * flip)
+        hat, tb_ok, nv, cfo, _ = sp.ul_slot_batch_mimo(rx, rntis, cell)
+        return hat, tb_ok, (hat[0, 0, 0] & jnp.int8(0)), -flip
+
+    eps = jnp.int8(0)
+    key = jnp.float32(1.0)
+    hat, tb_ok, eps, key = step(payloads, eps, key, noise)
+    ok = np.asarray(tb_ok)
+    assert ok.all(), f"MIMO loopback CRC failed: {ok.mean()}"
+    assert (np.asarray(hat) == np.asarray(payloads)).all()
+
+    iters = ITERS
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        hat, tb_ok, eps, key = step(payloads, eps, key, noise)
+    _ = int(eps)
+    tb_ok.block_until_ready()
+    slot_s = (time.perf_counter() - t0) / (iters * s_batch)
+    return slot_s, t, (f"{n_layers}x{n_layers} MIMO data plane, "
+                       f"S={s_batch}, TBS {tbs} x 4 UE (single codeword, "
+                       f"{n_layers} layers, LxP MMSE)")
 
 
 def bench_data_plane(s_batch: int, n_cells: int, snr_db: float | None):
@@ -222,6 +299,7 @@ def bench_data_plane(s_batch: int, n_cells: int, snr_db: float | None):
 def main():
     s_batch = 256
     n_cells = 1
+    mimo = 0
     data_only = "--data-only" in sys.argv
     global ITERS
     for a in sys.argv:
@@ -231,13 +309,18 @@ def main():
             ITERS = int(a.split("=")[1])
         if a.startswith("--cells="):
             n_cells = int(a.split("=")[1])
+        if a.startswith("--mimo="):
+            mimo = int(a.split("=")[1])
         if a.startswith("--fft="):
             from srsran_edgeric_5g_tpu.ops import ofdm as _ofdm
             spec = a.split("=")[1].split(":")
             _ofdm.set_fft_impl(spec[0], spec[1] if len(spec) > 1 else "default")
     snr_db = None if "--clean" in sys.argv else 25.0
 
-    if data_only or n_cells > 1:
+    if mimo:
+        slot_s, t, desc = bench_mimo(s_batch, mimo, snr_db)
+        metric = f"mimo{mimo}x{mimo}_slot_samples_per_sec"
+    elif data_only or n_cells > 1:
         slot_s, t, desc = bench_data_plane(s_batch, n_cells, snr_db)
         metric = "slot_pipeline_samples_per_sec"
     else:

@@ -430,6 +430,54 @@ int cmd_decode(unsigned bg, unsigned zc, unsigned nmsg, uint64_t seed,
   return 0;
 }
 
+// Decode caller-supplied int8 LLRs: nmsg x (n_out + 2*zc) int8 on stdin in
+// the full-codeword layout cmd_decode exports (the leading 2*Zc punctured
+// positions are ignored).  Emits hard decisions (nmsg x k bytes) and
+// iteration counts (int32, -1 = hit max without the internal CRC hook).
+// This is the decoder-parity probe: the Python side generates ONE set of
+// noisy realizations (through its own modulate/demap/dematch chain at a
+// real MCS operating point) and feeds the identical buffers to this
+// reference decoder and to the TPU decoder schedules, so BLER curves
+// compare decoder-vs-decoder with no other variable.
+int cmd_decode_llrs(unsigned bg, unsigned zc, unsigned nmsg, unsigned iters,
+                    const std::string& impl)
+{
+  Dims d = dims(bg, zc);
+  unsigned n_full = d.n_out + 2 * zc;
+  std::vector<int8_t> llrs(size_t(nmsg) * n_full);
+  if (std::fread(llrs.data(), 1, llrs.size(), stdin) != llrs.size()) {
+    std::fprintf(stderr, "short stdin read\n");
+    return 2;
+  }
+  auto dec = make_decoder(impl);
+  ldpc_decoder::configuration cfg = {};
+  cfg.block_conf = make_cfg(bg, zc);
+  cfg.algorithm_conf.max_iterations = iters;
+  cfg.algorithm_conf.scaling_factor = 0.8;
+
+  std::vector<uint8_t> hards(size_t(nmsg) * d.k, 0);
+  std::vector<int32_t> its(nmsg, -1);
+  dynamic_bit_buffer out_packed(d.k);
+  std::vector<uint8_t> out_unpacked(d.k);
+  for (unsigned m = 0; m != nmsg; ++m) {
+    std::vector<log_likelihood_ratio> in(d.n_out);
+    const int8_t* lr = &llrs[size_t(m) * n_full];
+    for (unsigned i = 0; i != d.n_out; ++i) {
+      in[i] = lr[2 * zc + i];
+    }
+    auto r = dec->decode(out_packed, span<const log_likelihood_ratio>(in),
+                         nullptr, cfg);
+    if (r.has_value()) {
+      its[m] = static_cast<int32_t>(*r);
+    }
+    srsvec::bit_unpack(span<uint8_t>(out_unpacked), out_packed);
+    std::memcpy(&hards[size_t(m) * d.k], out_unpacked.data(), d.k);
+  }
+  write_bytes(hards.data(), hards.size());
+  write_bytes(its.data(), its.size() * 4);
+  return 0;
+}
+
 int cmd_bench_encode(unsigned bg, unsigned zc, unsigned iters,
                      const std::string& impl)
 {
@@ -2840,6 +2888,9 @@ int main(int argc, char** argv)
   }
   if (cmd == "decode" && argc >= 10) {
     return cmd_decode(u(2), u(3), u(4), u(5), u(6), u(7), argv[8], u(9));
+  }
+  if (cmd == "decode_llrs" && argc >= 7) {
+    return cmd_decode_llrs(u(2), u(3), u(4), u(5), argv[6]);
   }
   if (cmd == "bench_encode" && argc >= 6) {
     return cmd_bench_encode(u(2), u(3), u(4), argv[5]);

@@ -105,6 +105,8 @@ class SchedUe:
     ul_nof_samples: int = 0
     tx_bytes: float = 0.0       # cumulative, for the EdgeRIC report
     rx_bytes: float = 0.0
+    # Last applied MCS (link-adaptation hysteresis state; None = none yet).
+    applied_mcs: int | None = None
 
     def save_dl_alloc(self, alloc_bytes: int, alpha: float) -> None:
         if self.dl_nof_samples < 1.0 / alpha:
@@ -148,6 +150,12 @@ class SchedulerConfig:
     # bounds the distinct allocation layouts, so the jitted hetero-PHY
     # programs cache instead of recompiling per TTI (bucket-and-pad).
     rbg_size: int = 1
+    # Link-adaptation hysteresis: keep a UE's applied MCS until the
+    # CQI-derived MCS moves by at least this many indices.  0 = off
+    # (instant tracking).  Standard LA practice, and on this framework it
+    # also bounds grant-layout churn — every MCS flip is a new PHY shape
+    # (tools/sched_churn.py: 76 layouts / 5000 PF slots at 0, 18 at 2).
+    mcs_hysteresis: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -237,10 +245,15 @@ class CellScheduler:
             # --- MCS: link adaptation, unless EdgeRIC overrides
             # (ue_cell_grid_allocator.cpp:426-432). ---
             mcs_idx = mcs_from_cqi(u.cqi, cfg.mcs_table)
+            if (cfg.mcs_hysteresis > 0 and mcs_idx is not None
+                    and u.applied_mcs is not None
+                    and abs(mcs_idx - u.applied_mcs) < cfg.mcs_hysteresis):
+                mcs_idx = u.applied_mcs
             if mcs_overrides and rnti in mcs_overrides:
                 mcs_idx = int(mcs_overrides[rnti])
             if mcs_idx is None:
                 continue
+            u.applied_mcs = mcs_idx
             try:
                 mcs = tbs_mod.mcs_config(mcs_idx, cfg.mcs_table)
             except ValueError:       # reserved entry requested: skip UE

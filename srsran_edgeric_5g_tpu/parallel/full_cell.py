@@ -613,6 +613,16 @@ def prach_occasion_td(fc: FullCellConfig, preamble_index: int,
     x[k] = pre
     body = np.fft.ifft(x) * np.sqrt(info.dft_size)
     td = np.concatenate([body[info.dft_size - info.cp_samples:], body])
+    # Raised-cosine edge taper (~0.5 of the CP each side): a rectangular
+    # occasion window has sinc sidelobes that leak across the whole carrier
+    # (the 1.25 kHz preamble is not orthogonal to the 15 kHz grid) — the
+    # measured PUSCH noise floor on PRACH slots was 2.3x worse, which
+    # dragged the flat decode batch's early-stop loop to worst-case sweep
+    # counts.  Real UEs pulse-shape the preamble for the same reason.
+    ramp = info.cp_samples // 2
+    w = 0.5 - 0.5 * np.cos(np.pi * np.arange(ramp) / ramp)
+    td[:ramp] *= w
+    td[-ramp:] *= w[::-1]
     td = (td / np.sqrt(np.mean(np.abs(td) ** 2)) * amplitude
           ).astype(np.complex64)
     total = fc.timing.cp.total
@@ -664,13 +674,18 @@ def gnb_ul_slot_batch(rx: jnp.ndarray, fc: FullCellConfig, s_total: int,
                       soft_in: jnp.ndarray | None = None,
                       new_data: jnp.ndarray | None = None,
                       num_iters: int = decoder.DEFAULT_ITERS,
-                      mesh=None) -> dict:
+                      mesh=None, soft_flat: bool = False) -> dict:
     """Full UL slot batch: (S, total) samples -> every UL channel's results.
 
     Returns a dict: payload (S,U,TBS), tb_ok (S,U), noise_var, cfo,
     soft (S,U*C,n_cb) HARQ state, ack_bits (S,U,2), ack_metric (S,U),
     csi_bits (S_csi,U,K), csi_ok (S_csi,U), srs_h (S_srs,U,m_sc),
     srs_snr_db (S_srs,U), prach_metric/delay/detected (S_prach,64).
+
+    ``soft_flat``: accept/return the HARQ state in the decoder's native
+    flat (S*U*C, n_cb) layout — round-tripping it through (S, U*C, n_cb)
+    costs two full-tensor layout copies per batch when the state feeds
+    straight back into the next dispatch (the bench path).
     """
     cell = fc.ul_cell()
     t = cell.timing
@@ -681,7 +696,8 @@ def gnb_ul_slot_batch(rx: jnp.ndarray, fc: FullCellConfig, s_total: int,
     llr, nv, cfo = sp._ul_front(None, fc.rntis(), cell, mesh=mesh,
                                 rx_grid=rx_grid)
     seg, _ = sp._plans(cell, 0)
-    sb_flat = None if soft_in is None else soft_in.reshape(s * u * seg.c, -1)
+    sb_flat = soft_in if soft_in is None or soft_flat else \
+        soft_in.reshape(s * u * seg.c, -1)
     nd_flat = None if new_data is None else new_data.reshape(s * u)
     payload, tb_ok, soft = sp._ul_back(llr.reshape(s * u, -1), cell, 0,
                                        num_iters, mesh, sb_flat,
@@ -702,7 +718,7 @@ def gnb_ul_slot_batch(rx: jnp.ndarray, fc: FullCellConfig, s_total: int,
         "payload": payload.reshape(s, u, -1),
         "tb_ok": tb_ok.reshape(s, u),
         "noise_var": nv, "cfo": cfo,
-        "soft": soft.reshape(s, u * seg.c, -1),
+        "soft": soft if soft_flat else soft.reshape(s, u * seg.c, -1),
         "ack_bits": ack_bits, "ack_metric": ack_metric,
         "csi_bits": csi_bits, "csi_ok": csi_ok,
         "srs_h": srs_h, "srs_snr_db": srs_snr,

@@ -60,6 +60,10 @@ class CellConfig:
     delay_spread_us: float = 0.0
     # Limited-buffer rate matching: 0 = full buffer; > 0 = TBS_LBRM bits.
     tbs_lbrm: int = 0
+    # Spatial layers per UE (1 = the SISO pipeline; 2/4 route through the
+    # *_mimo slot programs: layer-mapped single codeword, type-1 CDM DM-RS
+    # groups, LxN whitened-Gram MMSE).
+    n_layers: int = 1
 
     @property
     def timing(self) -> SlotTiming:
@@ -87,14 +91,15 @@ class CellConfig:
         from ..ran.tbs import tbs as tbs_calc, nof_re
         nre = nof_re(self.prb_per_ue, self.nof_symbols,
                      12 * len(self.dmrs_symbols))
-        return tbs_calc(nre, self.target_rate, self.qm)
+        return tbs_calc(nre, self.target_rate, self.qm, self.n_layers)
 
 
 @functools.lru_cache(maxsize=None)
 def _plans(cell: CellConfig, rv: int = 0):
     tbs = cell.derived_tbs()
     bg = segmenter.select_base_graph(tbs, cell.target_rate)
-    seg = segmenter.get_segment_plan(tbs, bg, cell.g_total, cell.qm)
+    seg = segmenter.get_segment_plan(tbs, bg,
+                                     cell.n_layers * cell.g_total, cell.qm)
     assert len(set(seg.e)) == 1, "uniform-E configs only in the cell pipeline"
     n_cb = (rate_match.lbrm_n_cb(seg.bg, seg.zc, seg.c, cell.tbs_lbrm)
             if cell.tbs_lbrm > 0 else None)
@@ -453,3 +458,177 @@ def multi_cell_ul_slot_batch(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
     return (shard(payload.reshape(nc, s, u, -1), mesh, (CELL_AXIS,)),
             tb_ok.reshape(nc, s, u), nv.reshape(nc, s, u),
             cfo.reshape(nc, s, u), soft.reshape(nc, s, u * seg.c, -1))
+
+
+# ===================================================== multi-layer (MIMO)
+
+def _span_dmrs(cell: CellConfig, port: int):
+    """Static span-wide DM-RS geometry for one port: (span subcarrier
+    offsets, wf per pilot, per-UE pair centers)."""
+    u = cell.nof_ue
+    span_pat = dmrs_mod.dmrs_pattern(1, u * cell.prb_per_ue, port=port)
+    pat = dmrs_mod.dmrs_pattern(1, cell.prb_per_ue, port=port)
+    centers = (pat.subcarriers[0::2] + pat.subcarriers[1::2]) // 2
+    return span_pat.subcarriers, np.asarray(span_pat.wf), centers
+
+
+def dl_slot_batch_mimo(payloads: jnp.ndarray, rntis: jnp.ndarray,
+                       cell: CellConfig, rv: int = 0,
+                       mesh=None) -> jnp.ndarray:
+    """Multi-layer DL/UE-TX: (S, U, TBS_L) payloads -> (S, L, total)
+    per-port baseband samples.
+
+    One codeword per UE at L-layer TBS, layer mapping d(Li+l) -> layer l
+    (TS 38.211 §7.3.1.3), identity precoding (port p = layer p), type-1
+    CDM DM-RS (ports 0/1 on even subcarriers with frequency OCC [+,+]/
+    [+,-]; ports 2/3 on odd, L=4) — the fused-pipeline form of
+    models.mimo.process_mimo (reference: pusch_processor multi-port TX via
+    channel_precoder, resource_grid_impl [sc x sym x port]).  DM-RS rides
+    at data amplitude (models.mimo convention; the OCC estimator is
+    amplitude-normalising either way).
+    """
+    L = cell.n_layers
+    t = cell.timing
+    s, u, tbs = payloads.shape
+    w = cell.ue_width_sc
+    span = u * w
+    band0 = cell.first_prb * N_SC_PER_PRB
+    ndata = len(cell.data_symbols)
+
+    syms = _dl_code(payloads.reshape(s * u, tbs), rntis, cell, rv, mesh)
+    m = syms.reshape(s, u, ndata * w, L)            # d(Li+l) -> layer l
+
+    pilots = _dmrs_full_band(cell)                  # (ndmrs, 6*nof_prb)
+    p0 = 6 * cell.first_prb
+
+    left = jnp.zeros((band0,), jnp.complex64)
+    right = jnp.zeros((t.nof_subc - band0 - span,), jnp.complex64)
+    zero_row = jnp.zeros((t.nof_subc,), jnp.complex64)
+
+    def one_port_grid(sy_l, port):
+        # sy_l: (U, ndata*w) one layer's symbols for all UEs.
+        band = sy_l.reshape(u, ndata, w).transpose(1, 0, 2).reshape(ndata,
+                                                                    span)
+        sc_off, wf, _ = _span_dmrs(cell, port)
+        npil = len(sc_off)
+        rows = []
+        data_iter = iter(range(ndata))
+        for l in range(t.nsymb):
+            if l in cell.data_symbols:
+                rows.append(jnp.concatenate(
+                    [left, band[next(data_iter)].astype(jnp.complex64),
+                     right]))
+            elif l in cell.dmrs_symbols:
+                i = cell.dmrs_symbols.index(l)
+                vals = pilots[i, p0:p0 + npil] * jnp.asarray(wf)
+                row_span = jnp.zeros((span,), jnp.complex64)
+                row_span = row_span.at[jnp.asarray(sc_off)].set(
+                    vals.astype(jnp.complex64))
+                rows.append(jnp.concatenate([left, row_span, right]))
+            else:
+                rows.append(zero_row)
+        return jnp.stack(rows)
+
+    def one_slot(sy):                                # sy: (U, ndata*w, L)
+        tds = []
+        for p in range(L):
+            grid = one_port_grid(sy[:, :, p], p)
+            tds.append(ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft))
+        return jnp.stack(tds)
+
+    return jax.vmap(one_slot)(m)                     # (S, L, total)
+
+
+def ul_slot_batch_mimo(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
+                       cell: CellConfig, rv: int = 0,
+                       num_iters: int = decoder.DEFAULT_ITERS, mesh=None):
+    """Multi-port UL RX: (S, P, total) antenna samples -> per-slot decode
+    results (payload (S,U,TBS_L), tb_ok (S,U), noise_var (S,U),
+    cfo (S,U), soft).
+
+    Port axis through the whole front-end: per-antenna OFDM demod, per
+    (antenna, CDM group) OCC-despread channel estimation (frequency OCC
+    over pilot pairs -> half-rate virtual pilots into the standard
+    estimator), LxP whitened-Gram MMSE per RE (equalize_mmse_lxn,
+    trailing-dim batched over all S*U), layer demap, then the standard
+    flat-batch descramble/dematch/decode.  Counterpart of the reference's
+    per-port estimator loop + channel_equalizer_generic_impl
+    (pusch_processor_impl.cpp:167-181, equalize_mmse_1xn.h generalised).
+    """
+    L = cell.n_layers
+    t = cell.timing
+    s, p_rx, total = rx_samples.shape
+    u = cell.nof_ue
+    w = cell.ue_width_sc
+    span = u * w
+    band0 = cell.first_prb * N_SC_PER_PRB
+    ndata = len(cell.data_symbols)
+    ndmrs = len(cell.dmrs_symbols)
+    n_groups = (L + 1) // 2
+    seg, rm = _plans(cell, rv)
+
+    rx_grid = ofdm.demodulate_slot(rx_samples.reshape(s * p_rx, total), t,
+                                   scale=1.0)
+    rx_grid = rx_grid.reshape(s, p_rx, t.nsymb, t.nof_subc)
+    band = rx_grid[..., band0:band0 + span]          # (S, P, nsymb, span)
+
+    pilots = _dmrs_full_band(cell)
+    p0 = 6 * cell.first_prb
+    times = np.asarray([t.cp.data_starts[l] for l in cell.dmrs_symbols]) \
+        / t.srate
+    times_opt = times if ndmrs > 1 else None
+
+    hs = []      # per tx-port (layer) channel: list of (S, P, U, w)
+    nvs = []
+    cfos = []
+    for g in range(n_groups):
+        sc_off, wf, centers = _span_dmrs(cell, 2 * g)
+        npil = len(sc_off)
+        rx_p = jnp.stack([band[:, :, l, jnp.asarray(sc_off)]
+                          for l in cell.dmrs_symbols], axis=2)
+        # (S, P, ndmrs, npil) -> per-UE (S*P*U, ndmrs, npil_ue)
+        npil_ue = npil // u
+        rx_p = rx_p.reshape(s, p_rx, ndmrs, u, npil_ue).transpose(
+            0, 1, 3, 2, 4).reshape(s * p_rx * u, ndmrs, npil_ue)
+        ref = pilots[:, p0:p0 + npil]                # (ndmrs, npil)
+        ref = ref.reshape(ndmrs, u, npil_ue).transpose(1, 0, 2)
+        ref = jnp.tile(ref, (s * p_rx, 1, 1))
+        raw = rx_p * jnp.conj(ref)                   # unit-amplitude pilots
+        u_, v_ = raw[..., 0::2], raw[..., 1::2]
+        ones = jnp.ones_like(u_)
+        for sign in (1.0, -1.0):
+            hp = (u_ + sign * v_) / 2
+            h, nv, cfo = channel_est.estimate_port(
+                hp, ones, centers, w, dmrs_symbol_times_s=times_opt)
+            hs.append(h.reshape(s, p_rx, u, w))
+            nvs.append(nv.reshape(s, p_rx, u))
+            cfos.append(cfo.reshape(s, p_rx, u))
+    h = jnp.stack(hs[:L], axis=2)                    # (S, P, L, U, w)
+    nv = sum(nvs[:L]) / L                            # (S, P, U)
+    cfo = sum(cfos[:L]) / L
+
+    # y: (S, P, ndata, span) -> (P, S*U, ndata, w)
+    y = jnp.stack([band[:, :, l] for l in cell.data_symbols], axis=2)
+    y = y.reshape(s, p_rx, ndata, u, w).transpose(1, 0, 3, 2, 4)
+    y = y.reshape(p_rx, s * u, ndata, w)
+    hh = h.transpose(1, 2, 0, 3, 4).reshape(p_rx, L, s * u, 1, w)
+    hh = jnp.broadcast_to(hh, (p_rx, L, s * u, ndata, w))
+    # Noise floor: a zero noise estimate (noiseless loopback) would blow
+    # up the whitening weights into degenerate all-zero equalizer outputs
+    # (whose all-zero codeword PASSES parity) — same role as the 1xN
+    # path's abnormal-input semantics.
+    nv_p = jnp.maximum(nv.transpose(1, 0, 2).reshape(p_rx, s * u, 1, 1),
+                       1e-9)
+    x_hat, nv_out = equalizer.equalize_mmse_lxn(y, hh, nv_p)
+    # Layer demap d(Li+l) <- layer l: RE-major, layer-minor.
+    x = x_hat.transpose(1, 2, 3, 0).reshape(s * u, -1)
+    nv_x = nv_out.transpose(1, 2, 3, 0).reshape(s * u, -1)
+    llr = modulation.demodulate_soft(x, nv_x, cell.modulation,
+                                     quantize=False)
+    ci_row = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
+    llr = sequences.scramble_llrs(llr, jnp.tile(ci_row, s))
+
+    payload, tb_ok, soft = _ul_back(llr, cell, rv, num_iters, mesh)
+    return (payload.reshape(s, u, -1), tb_ok.reshape(s, u),
+            jnp.mean(nv, axis=1), jnp.mean(cfo, axis=1),
+            soft.reshape(s, u * seg.c, -1))

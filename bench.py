@@ -103,6 +103,7 @@ def bench_full_cell(s_batch: int, snr_db: float | None):
 
     num_iters = int(os.environ.get("BENCH_NUM_ITERS", "0")) or None
     no_carry = os.environ.get("BENCH_NO_CARRY") == "1"
+    no_es = os.environ.get("BENCH_NO_EARLYSTOP") == "1"
 
     @jax.jit
     def step(pn, ps, eps, flip, soft):
@@ -114,17 +115,19 @@ def bench_full_cell(s_batch: int, snr_db: float | None):
         dl_pow = jnp.mean(jnp.real(td) ** 2 + jnp.imag(td) ** 2)
         rx = jax.lax.complex(ul_re + nre * flip, ul_im + nim * flip)
         kw = {} if num_iters is None else {"num_iters": num_iters}
+        if no_es:
+            kw["early_stop"] = False
         res = fcell.gnb_ul_slot_batch(rx, fc, s,
                                       soft_in=None if no_carry else soft,
                                       new_data=None if no_carry else nd_ones,
-                                      **kw)
+                                      soft_flat=True, **kw)
         eps_next = (res["payload"][0, 0, 0] & jnp.int8(0)) | \
             (dl_pow > jnp.float32(1e30)).astype(jnp.int8)
         return res, eps_next, -flip
 
     eps = jnp.int8(0)
     flip = jnp.float32(1.0)
-    soft = jnp.zeros((s, u * seg_u.c, sp._plans(cell_u, 0)[1].n_cb),
+    soft = jnp.zeros((s * u * seg_u.c, sp._plans(cell_u, 0)[1].n_cb),
                      jnp.float32)
 
     res, eps, flip = step(pay_n, pay_s, eps, flip, soft)
@@ -151,6 +154,108 @@ def bench_full_cell(s_batch: int, snr_db: float | None):
                        f"{tbs_u} x {u} UE; 8 DCI/slot, SSB/10, F1/slot, "
                        f"F2/5, SRS/10, PRACH/10; HARQ soft carry "
                        f"{s}x{u * seg_u.c}x{sp._plans(cell_u, 0)[1].n_cb}")
+
+
+def bench_streaming(s_batch: int, snr_db: float | None, depth: int = 2,
+                    n_batches: int = 400):
+    """Bounded-latency streaming mode: small slot batches dispatched
+    double-buffered (depth-2 pipeline — batch k+1 is enqueued while batch k
+    computes on the chip; JAX async dispatch + on-device chaining means no
+    host sync between submits).  The TPU analogue of the reference's
+    nof_slot_tti_in_advance run-ahead
+    (downlink_processor_baseband_impl.cpp:47 /
+    lower_phy_baseband_processor.h:40-197): the radio must buffer
+    [p99 latency] of samples; sustained throughput must stay >= 1x.
+
+    Reports sustained x-real-time and p50/p99 submit->complete latency of
+    the FULL gNB slot batch (DL TX + UL RX with HARQ carry).
+    """
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    from srsran_edgeric_5g_tpu.parallel import full_cell as fcell
+    from srsran_edgeric_5g_tpu.parallel import slot_pipeline as sp
+
+    fc = fcell.FullCellConfig()
+    t = fc.timing
+    u = fc.nof_ue
+    s = s_batch
+    rng = np.random.default_rng(0)
+    cell_n, cell_s, cell_u = fc.dl_cell(), fc.dl_cell_ssb(), fc.ul_cell()
+    norm_idx, ssb_idx = fc.norm_slots(s), fc.ssb_slots(s)
+    seg_u, rm_u = sp._plans(cell_u, 0)
+
+    pay_n = jnp.asarray(rng.integers(0, 2, (len(norm_idx), u,
+                                            cell_n.derived_tbs()), np.int8))
+    pay_s = jnp.asarray(rng.integers(0, 2, (len(ssb_idx), u,
+                                            cell_s.derived_tbs()), np.int8))
+    dci = jnp.asarray(rng.integers(0, 2, (s, 2 * u, fc.dci_bits), np.int8))
+    pbch = jnp.asarray(rng.integers(0, 2, (len(ssb_idx), 24), np.int8))
+    pay_u = jnp.asarray(rng.integers(0, 2, (s, u, cell_u.derived_tbs()),
+                                     np.int8))
+    ack = jnp.asarray(rng.integers(0, 2, (s, u, 2), np.int8))
+    csi = jnp.asarray(rng.integers(0, 2, (len(fc.csi_slots(s)), u,
+                                          fc.csi_bits), np.int8))
+
+    @jax.jit
+    def make_ul(p, a, c, key):
+        td = fcell.ue_ul_slot_batch(p, a, c, fc, s)
+        re, im = jnp.real(td), jnp.imag(td)
+        sig_pow = jnp.mean(re * re + im * im)
+        sigma = jnp.sqrt(sig_pow * 10.0 ** (-(snr_db or 25.0) / 10.0) / 2.0)
+        n = jax.random.normal(key, td.shape + (2,), jnp.float32) * sigma
+        return re, im, n[..., 0], n[..., 1]
+
+    ul_re, ul_im, nre, nim = make_ul(pay_u, ack, csi,
+                                     jax.random.key(42, impl="rbg"))
+    nd_ones = jnp.ones((s, u), jnp.float32)
+
+    @jax.jit
+    def step(pn, eps, flip, soft):
+        pn = jnp.bitwise_xor(pn, eps)
+        td = fcell.gnb_dl_slot_batch(pn, pay_s, dci, pbch, fc, s)
+        dl_pow = jnp.mean(jnp.real(td) ** 2 + jnp.imag(td) ** 2)
+        rx = jax.lax.complex(ul_re + nre * flip, ul_im + nim * flip)
+        res = fcell.gnb_ul_slot_batch(rx, fc, s, soft_in=soft,
+                                      new_data=nd_ones, soft_flat=True)
+        eps_next = (res["payload"][0, 0, 0] & jnp.int8(0)) | \
+            (dl_pow > jnp.float32(1e30)).astype(jnp.int8)
+        return res, eps_next, -flip
+
+    eps = jnp.int8(0)
+    flip = jnp.float32(1.0)
+    soft = jnp.zeros((s * u * seg_u.c, rm_u.n_cb), jnp.float32)
+    res, eps, flip = step(pay_n, eps, flip, soft)
+    assert np.asarray(res["tb_ok"]).all()
+
+    inflight: collections.deque = collections.deque()
+    lat = []
+    t_start = time.perf_counter()
+    for _ in range(n_batches):
+        t_sub = time.perf_counter()
+        res, eps, flip = step(pay_n, eps, flip, res["soft"])
+        inflight.append((t_sub, res["tb_ok"]))
+        if len(inflight) >= depth:
+            t0, ok0 = inflight.popleft()
+            ok0.block_until_ready()
+            lat.append(time.perf_counter() - t0)
+    while inflight:
+        t0, ok0 = inflight.popleft()
+        ok0.block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    wall = time.perf_counter() - t_start
+
+    lat_ms = np.asarray(lat) * 1e3
+    slot_s = wall / (n_batches * s)
+    desc = (f"STREAMING full gNB slot, S={s} depth={depth}: sustained "
+            f"{1e-3 / slot_s:.2f}x real-time; batch latency p50 "
+            f"{np.percentile(lat_ms, 50):.2f} ms / p99 "
+            f"{np.percentile(lat_ms, 99):.2f} ms (run-ahead budget = "
+            f"{np.percentile(lat_ms, 99) + s:.1f} ms incl. the {s} ms "
+            f"batch fill)")
+    return slot_s, t, desc
 
 
 def bench_mimo(s_batch: int, n_layers: int, snr_db: float | None):
@@ -300,6 +405,7 @@ def main():
     s_batch = 256
     n_cells = 1
     mimo = 0
+    streaming = 0
     data_only = "--data-only" in sys.argv
     global ITERS
     for a in sys.argv:
@@ -311,13 +417,18 @@ def main():
             n_cells = int(a.split("=")[1])
         if a.startswith("--mimo="):
             mimo = int(a.split("=")[1])
+        if a.startswith("--streaming="):
+            streaming = int(a.split("=")[1])
         if a.startswith("--fft="):
             from srsran_edgeric_5g_tpu.ops import ofdm as _ofdm
             spec = a.split("=")[1].split(":")
             _ofdm.set_fft_impl(spec[0], spec[1] if len(spec) > 1 else "default")
     snr_db = None if "--clean" in sys.argv else 25.0
 
-    if mimo:
+    if streaming:
+        slot_s, t, desc = bench_streaming(streaming, snr_db)
+        metric = "streaming_full_gnb_slot_samples_per_sec"
+    elif mimo:
         slot_s, t, desc = bench_mimo(s_batch, mimo, snr_db)
         metric = f"mimo{mimo}x{mimo}_slot_samples_per_sec"
     elif data_only or n_cells > 1:

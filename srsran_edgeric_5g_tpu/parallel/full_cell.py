@@ -674,7 +674,8 @@ def gnb_ul_slot_batch(rx: jnp.ndarray, fc: FullCellConfig, s_total: int,
                       soft_in: jnp.ndarray | None = None,
                       new_data: jnp.ndarray | None = None,
                       num_iters: int = decoder.DEFAULT_ITERS,
-                      mesh=None, soft_flat: bool = False) -> dict:
+                      mesh=None, soft_flat: bool = False,
+                      early_stop: bool = True) -> dict:
     """Full UL slot batch: (S, total) samples -> every UL channel's results.
 
     Returns a dict: payload (S,U,TBS), tb_ok (S,U), noise_var, cfo,
@@ -701,7 +702,8 @@ def gnb_ul_slot_batch(rx: jnp.ndarray, fc: FullCellConfig, s_total: int,
     nd_flat = None if new_data is None else new_data.reshape(s * u)
     payload, tb_ok, soft = sp._ul_back(llr.reshape(s * u, -1), cell, 0,
                                        num_iters, mesh, sb_flat,
-                                       new_data=nd_flat)
+                                       new_data=nd_flat,
+                                       early_stop=early_stop)
 
     ack_bits, ack_metric = _f1_detect(rx_grid, fc, s_total)
     csi_idx = fc.csi_slots(s_total)

@@ -368,7 +368,8 @@ def _ul_back(llr: jnp.ndarray, cell: CellConfig, rv: int = 0,
              num_iters: int = decoder.DEFAULT_ITERS, mesh=None,
              soft_buffer: jnp.ndarray | None = None,
              row_axes=(UE_AXIS,), cb_axes=((UE_AXIS, CB_AXIS),),
-             new_data: jnp.ndarray | None = None):
+             new_data: jnp.ndarray | None = None,
+             early_stop: bool = True):
     """Rate dematch (+ HARQ soft combine) + LDPC decode + TB CRC for a flat
     (B_tb, G) LLR batch.  Returns (payload, tb_ok, new_soft) where new_soft
     is the accumulated (B_tb*C, n_cb) circular buffer — the HBM-resident
@@ -392,7 +393,8 @@ def _ul_back(llr: jnp.ndarray, cell: CellConfig, rv: int = 0,
     full = rate_match.rate_dematch(cb_llr, rm, soft_buffer)  # (B_tb*C, colsZc)
     full = shard(full, mesh, cb_axes)
     new_soft = full[:, 2 * zc:2 * zc + rm.n_cb]
-    hard, cb_ok = decoder.decode(full, seg.bg, seg.zc, num_iters=num_iters)
+    hard, cb_ok = decoder.decode(full, seg.bg, seg.zc, num_iters=num_iters,
+                                 early_stop=early_stop)
     payload, tb_ok = segmenter.desegment_tb(hard, seg)
     payload = shard(payload, mesh, row_axes)
     return payload, tb_ok, new_soft

@@ -287,3 +287,59 @@ def test_ul_scheduling_pass():
     assert tbs_mod.tbs_for_alloc(g2[0].nof_prb - 1, s.cfg.nof_symbols,
                                  s.cfg.nof_dmrs_re_per_prb, mcs) < 8 * 500
     assert s.ues[0x4602].ul_buffer == 0          # drained by the grant
+
+
+def test_grant_layout_churn_bounded():
+    """PF under Poisson traffic + CQI walk must produce a BOUNDED set of
+    RBG-quantized grant layouts (each distinct layout = one jitted
+    hetero-PHY compilation): the discovery curve converges instead of
+    growing linearly (tools/sched_churn.py measured 76 layouts / 5000
+    slots, 66 by slot 1000, top-5 covering 56%)."""
+    from srsran_edgeric_5g_tpu.mac import scheduler as mac
+    from srsran_edgeric_5g_tpu.runtime.edgeric import cqi_from_sinr_db
+
+    rng = np.random.default_rng(0)
+    rntis = [0x4601 + u for u in range(4)]
+    scfg = mac.SchedulerConfig(nof_prb=106, policy="time_pf",
+                               rbg_size=mac.rbg_size_for_bwp(106))
+    s = mac.CellScheduler(scfg, rntis)
+    sinr = {r: 25.0 for r in rntis}
+    for r in rntis:
+        s.handle_csi(r, cqi_from_sinr_db(25.0), 25.0)
+    seen = set()
+    first_half = None
+    n_slots = 1000
+    for slot in range(n_slots):
+        for i, r in enumerate(rntis):
+            s.update_buffer(r, dl_bytes=s.ues[r].dl_buffer
+                            + int(rng.poisson(2000 * (i + 1))))
+        grants = s.run_slot()
+        if grants:
+            seen.add(tuple((g.rnti, g.start_prb, g.nof_prb, g.qm,
+                            g.target_rate) for g in grants))
+        if slot == n_slots // 2:
+            first_half = len(seen)
+        for r in rntis:
+            sinr[r] = float(np.clip(sinr[r] + rng.uniform(-0.5, 0.5),
+                                    18.0, 30.0))
+            s.handle_csi(r, cqi_from_sinr_db(sinr[r]), sinr[r])
+    # Hard cap (regression guard: unbounded churn would blow past this)
+    # and convergence (second half adds a small fraction).
+    assert len(seen) <= 96, len(seen)
+    assert len(seen) - first_half <= first_half // 2, (first_half, len(seen))
+
+
+def test_mcs_hysteresis_damps_flapping():
+    """mcs_hysteresis keeps the applied MCS until CQI moves far enough."""
+    from srsran_edgeric_5g_tpu.mac import scheduler as mac
+    scfg = mac.SchedulerConfig(nof_prb=52, mcs_hysteresis=4)
+    s = mac.CellScheduler(scfg, [0x4601])
+    s.update_buffer(0x4601, dl_bytes=10**6)
+    s.handle_csi(0x4601, cqi=9)
+    m0 = s.run_slot()[0].mcs
+    s.update_buffer(0x4601, dl_bytes=10**6)
+    s.handle_csi(0x4601, cqi=10)        # small move: held
+    assert s.run_slot()[0].mcs == m0
+    s.update_buffer(0x4601, dl_bytes=10**6)
+    s.handle_csi(0x4601, cqi=14)        # big move: tracks
+    assert s.run_slot()[0].mcs != m0

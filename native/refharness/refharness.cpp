@@ -2339,11 +2339,24 @@ private:
 // result so our detector runs on identical input.
 int cmd_prachdet(unsigned root, unsigned zcz, unsigned restricted,
                  unsigned tx_preamble, unsigned delay_ns, int snr_db_x10,
-                 unsigned nsym, uint64_t seed, unsigned is_long = 1)
+                 unsigned nsym, uint64_t seed, unsigned is_long = 1,
+                 unsigned fmt_code = 99)
 {
   const unsigned L = is_long ? 839 : 139;
+  // fmt_code: 99 = legacy default (0 long / B4 short); otherwise
+  // 0..3 = long formats 0/1/2/3, 4..10 = A1/A2/A3/B1/B4/C0/C2.
   prach_format_type fmt =
       is_long ? prach_format_type::zero : prach_format_type::B4;
+  if (fmt_code != 99) {
+    static const prach_format_type codes[] = {
+        prach_format_type::zero, prach_format_type::one,
+        prach_format_type::two,  prach_format_type::three,
+        prach_format_type::A1,   prach_format_type::A2,
+        prach_format_type::A3,   prach_format_type::B1,
+        prach_format_type::B4,   prach_format_type::C0,
+        prach_format_type::C2};
+    fmt = codes[fmt_code];
+  }
   prach_generator_impl gen;
   prach_generator::configuration gcfg;
   gcfg.format = fmt;
@@ -2353,8 +2366,9 @@ int cmd_prachdet(unsigned root, unsigned zcz, unsigned restricted,
   gcfg.zero_correlation_zone = zcz;
   auto seq = gen.generate(gcfg);
 
-  // 1.25 kHz PRACH SCS (format 0) / 15 kHz (short B4 at mu=0).
-  double scs = is_long ? 1250.0 : 15000.0;
+  // 1.25 kHz PRACH SCS (long 0/1/2) / 5 kHz (format 3) / 15 kHz (short, mu 0).
+  double scs = is_long ? (fmt == prach_format_type::three ? 5000.0 : 1250.0)
+                       : 15000.0;
   double tau = delay_ns * 1e-9;
   double sigma = std::pow(10.0, -double(snr_db_x10) / 200.0);
   std::mt19937_64 g(seed);
@@ -2385,7 +2399,9 @@ int cmd_prachdet(unsigned root, unsigned zcz, unsigned restricted,
   dcfg.zero_correlation_zone = zcz;
   dcfg.start_preamble_index = 0;
   dcfg.nof_preamble_indices = 64;
-  dcfg.ra_scs = is_long ? prach_subcarrier_spacing::kHz1_25
+  dcfg.ra_scs = is_long ? (fmt == prach_format_type::three
+                               ? prach_subcarrier_spacing::kHz5
+                               : prach_subcarrier_spacing::kHz1_25)
                         : prach_subcarrier_spacing::kHz15;
   dcfg.nof_rx_ports = 1;
   dcfg.slot = slot_point(0, 0, 0);
@@ -2966,7 +2982,7 @@ int main(int argc, char** argv)
   if (cmd == "prachdet" && argc >= 10) {
     return cmd_prachdet(u(2), u(3), u(4), u(5), u(6),
                         int(std::strtol(argv[7], nullptr, 10)), u(8), u(9),
-                        argc >= 11 ? u(10) : 1);
+                        argc >= 11 ? u(10) : 1, argc >= 12 ? u(11) : 99);
   }
   if (cmd == "prachgen" && argc >= 7) {
     return cmd_prachgen(u(2), u(3), u(4), u(5), u(6));

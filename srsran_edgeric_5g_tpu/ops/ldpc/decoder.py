@@ -194,7 +194,9 @@ def _iterate(sweep, state, num_iters: int, early_stop: bool, parity_fn,
     ``done0``: convergence state of ``state`` as given (used when the caller
     already ran a specialized first sweep outside the loop)."""
     if not early_stop:
-        return jax.lax.fori_loop(0, num_iters, lambda _, s: sweep(s), state)
+        out = jax.lax.fori_loop(0, num_iters, lambda _, s: sweep(s), state)
+        _record_trips(jnp.int32(num_iters))
+        return out
 
     def cond(carry):
         i, done, _ = carry
@@ -206,7 +208,21 @@ def _iterate(sweep, state, num_iters: int, early_stop: bool, parity_fn,
         return i + 1, jnp.all(parity_fn(s)), s
 
     init_done = jnp.bool_(False) if done0 is None else done0
-    return jax.lax.while_loop(cond, body, (0, init_done, state))[2]
+    carry = jax.lax.while_loop(cond, body, (0, init_done, state))
+    _record_trips(carry[0])
+    return carry[2]
+
+
+# Diagnostic hook: when a list is installed here, _iterate appends the
+# (traced) while trip count of each decode it runs — lets probes return
+# the actual sweep count from inside a jitted program (the early-stop
+# loop's behavior is otherwise invisible; see tools/tpu_decode_probe.py).
+TRIP_SINK: list | None = None
+
+
+def _record_trips(i):
+    if TRIP_SINK is not None:
+        TRIP_SINK.append(i)
 
 
 def _minsum(t: jnp.ndarray, lmask: jnp.ndarray, scaling: float,

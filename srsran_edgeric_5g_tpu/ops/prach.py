@@ -55,14 +55,26 @@ NCS_125K = {
 }
 
 
+# TS 38.211 Table 6.3.3.1-6 (5 kHz preamble SCS, long format 3).
+NCS_5K = {
+    None: (0, 13, 26, 33, 38, 41, 49, 55, 64, 76, 93, 119, 139, 209, 279, 419),
+    "a": (36, 57, 72, 81, 89, 94, 103, 112, 121, 132, 137, 152, 173, 195, 216,
+          237),
+    "b": (36, 57, 60, 63, 65, 68, 71, 77, 81, 85, 97, 109, 122, 137, None,
+          None),
+}
+
+
 # TS 38.211 Table 6.3.3.1-7: short preambles (15 kHz x 2^mu SCS),
 # unrestricted sets only.
 NCS_SHORT = (0, 2, 4, 6, 8, 10, 12, 13, 15, 17, 19, 23, 27, 34, 46, 69)
 
 
-def ncs_from_zcz(zcz_config: int, restricted: str | None = None) -> int:
-    """zeroCorrelationZoneConfig -> N_cs for 1.25 kHz long preambles."""
-    v = NCS_125K[restricted][zcz_config]
+def ncs_from_zcz(zcz_config: int, restricted: str | None = None,
+                 scs_hz: int = 1250) -> int:
+    """zeroCorrelationZoneConfig -> N_cs for long preambles (1.25 or 5 kHz)."""
+    table = NCS_125K if scs_hz == 1250 else NCS_5K
+    v = table[restricted][zcz_config]
     if v is None:
         raise ValueError(f"zcz {zcz_config} reserved for set {restricted}")
     return v
@@ -176,6 +188,43 @@ class PrachOfdmInfo:
     dft_size: int       # fs / preamble_scs
     cp_samples: int
     freq_offset_bins: int  # first preamble bin within the PRACH DFT
+    n_reps: int = 1     # preamble symbol repetitions after the single CP
+
+
+# TS 38.211 Tables 6.3.3.1-1/-2, via the reference's
+# prach_preamble_information.cpp:30-118: format -> (L_RA, preamble SCS at
+# mu=0, symbol repetitions, CP length in kappa units = samples @30.72 Msps;
+# short-format CP kappa values are the mu=0 column and scale as >> mu).
+PRACH_FORMATS = {
+    "0": (839, 1250, 1, 3168),
+    "1": (839, 1250, 2, 21024),
+    "2": (839, 1250, 4, 4688),
+    "3": (839, 5000, 4, 3168),
+    "A1": (139, 15000, 2, 288),
+    "A2": (139, 15000, 4, 576),
+    "A3": (139, 15000, 6, 864),
+    "B1": (139, 15000, 2, 216),
+    "B4": (139, 15000, 12, 936),
+    "C0": (139, 15000, 1, 1240),
+    "C2": (139, 15000, 4, 2048),
+}
+
+
+def prach_format_info(fmt: str, srate: int, mu: int = 0,
+                      freq_offset_hz: float = 0.0) -> PrachOfdmInfo:
+    """Time-domain occasion layout of any TS 38.211 preamble format."""
+    l_ra, scs, n_reps, cp_kappa = PRACH_FORMATS[fmt]
+    if l_ra == L_SHORT:
+        scs <<= mu
+        cp_kappa >>= mu
+    assert srate % scs == 0, (srate, scs)
+    return PrachOfdmInfo(
+        l_ra=l_ra,
+        dft_size=srate // scs,
+        cp_samples=int(round(cp_kappa * srate / 30.72e6)),
+        freq_offset_bins=int(round(freq_offset_hz / scs)),
+        n_reps=n_reps,
+    )
 
 
 def prach_ofdm_info(srate: int, l_ra: int = L_LONG, cp_us: float = 103.0,
@@ -193,13 +242,20 @@ def prach_ofdm_info(srate: int, l_ra: int = L_LONG, cp_us: float = 103.0,
 
 def ofdm_demodulate_prach(samples: jnp.ndarray,
                           info: PrachOfdmInfo) -> jnp.ndarray:
-    """(..., cp + dft) time samples -> (..., L_RA) frequency-domain preamble.
+    """(..., cp + n_reps*dft) time samples -> frequency-domain preamble.
 
-    CP strip + one DFT at the preamble numerology + bin extraction — the
-    whole occasion in one batched op (the reference loops symbol repetitions;
-    format 0 has a single repetition).
+    CP strip + one DFT per symbol repetition at the preamble numerology +
+    bin extraction — the whole occasion in one batched op (the reference
+    loops symbol repetitions, ofdm_prach_demodulator_impl.cpp).  Returns
+    (..., L_RA) for single-repetition formats (0, C0) and
+    (..., n_reps, L_RA) for repeated formats (1/2/3, A*/B*/C2) — the
+    repetitions are phase-continuous copies of the same symbol, so detection
+    coherently combines them (prach_detector_generic_impl.cpp:240-251).
     """
-    body = samples[..., info.cp_samples:info.cp_samples + info.dft_size]
+    body = samples[..., info.cp_samples:
+                   info.cp_samples + info.n_reps * info.dft_size]
+    if info.n_reps > 1:
+        body = body.reshape(*body.shape[:-1], info.n_reps, info.dft_size)
     # Route through the slot-transform dispatcher: on accelerator backends
     # the occasion-sized DFT (e.g. 18432 = fs/1.25 kHz) runs as the MXU
     # matmul-DFT two-step instead of an XLA FFT (ops.ofdm._use_mmdft).
@@ -213,14 +269,19 @@ def ofdm_demodulate_prach(samples: jnp.ndarray,
 
 def ofdm_modulate_prach(preamble_freq: jnp.ndarray,
                         info: PrachOfdmInfo) -> jnp.ndarray:
-    """(..., L_RA) frequency preamble -> (..., cp + dft) time samples."""
+    """(..., L_RA) frequency preamble -> (..., cp + n_reps*dft) samples.
+
+    One CP (cyclic tail of the symbol) followed by n_reps contiguous
+    repetitions of the same symbol (TS 38.211 Table 6.3.3.1-1/-2 layout —
+    back-to-back repetitions of a periodic signal stay phase-continuous).
+    """
     x = jnp.zeros((*preamble_freq.shape[:-1], info.dft_size), jnp.complex64)
     k = (info.freq_offset_bins + np.arange(info.l_ra)) % info.dft_size
     x = x.at[..., jnp.asarray(k)].set(preamble_freq.astype(jnp.complex64))
     td = jnp.fft.ifft(x, axis=-1).astype(jnp.complex64) \
         * np.float32(np.sqrt(info.dft_size))
     cp = td[..., info.dft_size - info.cp_samples:]
-    return jnp.concatenate([cp, td], axis=-1)
+    return jnp.concatenate([cp] + [td] * info.n_reps, axis=-1)
 
 
 @dataclasses.dataclass
@@ -238,7 +299,14 @@ def detect(rx_freq: jnp.ndarray, cfg: PrachConfig,
     transmitted with shift C_v appears at t = C_v + propagation delay, so each
     preamble's metric is the windowed max over its own N_cs zone, normalised
     by the overall mean power (noise floor).
+
+    A (n_reps, L_RA) input (multi-repetition formats from
+    ofdm_demodulate_prach) is coherently averaged over the repetition axis
+    first — the reference's combine_symbols accumulation
+    (prach_detector_generic_impl.cpp:240-251).
     """
+    if rx_freq.ndim == 2:
+        rx_freq = jnp.mean(rx_freq, axis=0)
     l_ra = cfg.l_ra
     table = cfg.preamble_table
     offsets = sorted({off for off, _, _ in table})

@@ -189,3 +189,42 @@ def test_prach_short_format_roundtrip():
         det = prach.detect(back, cfg)
         found = np.nonzero(np.asarray(det.detected))[0]
         assert list(found) == [idx], (idx, found)
+
+
+@pytest.mark.parametrize("fmt", list(prach.PRACH_FORMATS))
+def test_prach_all_formats_roundtrip_delay(fmt):
+    """Every TS 38.211 preamble format (long 0/1/2/3, short A1-C2): generate
+    -> time-domain occasion (single CP + n_reps symbol repetitions, CP in
+    kappa units per prach_preamble_information.cpp:30-118) -> delayed noisy
+    channel -> OFDM demod (per-repetition DFT) -> coherently-combined
+    detection recovers the preamble index and the delay."""
+    l_ra, scs0, n_reps, cp_kappa = prach.PRACH_FORMATS[fmt]
+    srate = 11_520_000
+    info = prach.prach_format_info(fmt, srate)
+    assert info.n_reps == n_reps
+    assert info.cp_samples == round(cp_kappa * srate / 30.72e6)
+    if l_ra == prach.L_LONG:
+        ncs = prach.ncs_from_zcz(11, scs_hz=scs0)
+    else:
+        ncs = prach.ncs_from_zcz_short(11)
+    cfg = prach.PrachConfig(root_sequence_index=3,
+                            zero_correlation_zone=ncs, l_ra=l_ra)
+    idx = 29
+    fd = prach.generate(cfg, idx)
+    td = np.asarray(prach.ofdm_modulate_prach(fd, info))
+    assert td.shape == (info.cp_samples + n_reps * info.dft_size,)
+    delay = 12  # samples; must stay below the CP so the window still works
+    assert delay < info.cp_samples
+    rng = np.random.default_rng(hash(fmt) % 2**31)
+    noise = rng.normal(size=td.shape) + 1j * rng.normal(size=td.shape)
+    rx = np.concatenate([np.zeros(delay, np.complex64), td])[:td.shape[0]]
+    rx = jnp.asarray((rx + 0.03 * noise).astype(np.complex64))
+    back = prach.ofdm_demodulate_prach(rx, info)
+    assert back.shape == ((n_reps, l_ra) if n_reps > 1 else (l_ra,))
+    det = prach.detect(back, cfg)
+    found = np.nonzero(np.asarray(det.detected))[0]
+    assert list(found) == [idx], (fmt, found)
+    # Delay in L_RA-domain bins: d_samples * L / dft_size.
+    want_bins = delay * l_ra / info.dft_size
+    got = float(np.asarray(det.delays)[idx])
+    assert abs(got - want_bins) <= 1.0, (fmt, got, want_bins)

@@ -1328,3 +1328,52 @@ def test_reference_receiver_decodes_our_uci_on_pusch(harness, oack, ocsi1,
         assert fields[2][0] == 1, "CSI2 invalid"
         np.testing.assert_array_equal(fields[2][1],
                                       np.asarray(csi2)[0].astype(np.uint8))
+
+
+@pytest.mark.parametrize("fmt_code,fmt,root,zcz,pre,delay_ns", [
+    (1, "1", 22, 11, 5, 2000),     # long format 1 (2 reps, CP 21024k)
+    (2, "2", 300, 12, 13, 4000),   # long format 2 (4 reps)
+    (3, "3", 22, 11, 41, 2000),    # long format 3 (5 kHz SCS, 4 reps)
+    (4, "A1", 22, 11, 5, 200),     # short A1 (2 reps)
+    (9, "C0", 1, 14, 37, 400),     # short C0 (1 symbol)
+    (10, "C2", 100, 13, 60, 300),  # short C2 (4 reps)
+])
+def test_prach_format_breadth_parity(harness, fmt_code, fmt, root, zcz, pre,
+                                     delay_ns):
+    """PRACH format breadth (VERDICT missing #6): the reference
+    prach_generator_impl + prach_detector_generic_impl at formats 1/2/3 and
+    A1/C0/C2 (prach_preamble_information.cpp:30-118 layouts; 5 kHz N_cs
+    table prach_cyclic_shifts.cpp for format 3) vs ops/prach.detect on
+    IDENTICAL noisy delayed multi-repetition occasions: same detected
+    preamble, TA within one resolution step."""
+    snr_db = 10.0
+    l_ra, scs, n_reps, _ = prach_ops.PRACH_FORMATS[fmt]
+    is_long = 1 if l_ra == prach_ops.L_LONG else 0
+    out = harness("prachdet", root, zcz, 0, pre, delay_ns,
+                  int(snr_db * 10), n_reps, 7, is_long, fmt_code)
+    nsym_o, ndet = np.frombuffer(out[:8], dtype=np.uint32)
+    o = 8
+    dets = []
+    for _ in range(int(ndet)):
+        (idx,) = np.frombuffer(out[o:o + 4], dtype=np.uint32)
+        ta, metric = np.frombuffer(out[o + 4:o + 12], dtype=np.float32)
+        dets.append((int(idx), float(ta), float(metric)))
+        o += 12
+    syms = np.frombuffer(out[o:], dtype=np.complex64).reshape(int(nsym_o),
+                                                              l_ra)
+    assert int(nsym_o) == n_reps
+    assert [d[0] for d in dets] == [pre], dets
+
+    if is_long:
+        ncs = prach_ops.ncs_from_zcz(zcz, scs_hz=scs) if zcz else 0
+    else:
+        ncs = prach_ops.ncs_from_zcz_short(zcz) if zcz else 0
+    cfg = prach_ops.PrachConfig(root_sequence_index=root,
+                                zero_correlation_zone=ncs, l_ra=l_ra)
+    det = prach_ops.detect(jnp.asarray(syms), cfg)  # (n_reps, L) combined
+    detected = np.flatnonzero(np.asarray(det.detected))
+    assert detected.tolist() == [pre], (detected,
+                                        np.asarray(det.metrics)[pre])
+    t_sample = 1.0 / (float(scs) * l_ra)
+    ours_ta = float(np.asarray(det.delays)[pre]) * t_sample
+    assert abs(ours_ta - dets[0][1]) < 2.0 * t_sample, (ours_ta, dets[0][1])

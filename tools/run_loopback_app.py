@@ -130,6 +130,14 @@ def main(argv=None):
                          "quantized, EdgeRIC-weight steerable) drive a "
                          "cached hetero-allocation PHY instead of the "
                          "fixed equal split")
+    ap.add_argument("--run-ahead", type=int, default=2, dest="run_ahead",
+                    help="slots of DL run-ahead (the reference's "
+                         "nof_slot_tti_in_advance, downlink_processor_"
+                         "baseband_impl.cpp:47): DL compute for slot s+K is "
+                         "dispatched before slot s finishes UL, and UL "
+                         "results sync two slots late — JAX async dispatch "
+                         "overlaps device compute with the radio IO.  0 = "
+                         "fully serial slot loop")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -184,18 +192,54 @@ def main(argv=None):
             er_sink.agent.close()
         return code
 
-    sent_payloads = []
-    t0 = time.time()
+    # Pipelined slot loop (default): DL for up to `run_ahead` future slots
+    # is dispatched (JAX async) before the current slot's radio roundtrip,
+    # and UL results are synced `depth` slots late — the streaming operating
+    # mode the reference gets from nof_slot_tti_in_advance + its 4-executor
+    # lower PHY (lower_phy_baseband_processor.h:40-197).  --run-ahead=0
+    # degenerates to the old fully-serial loop (same code path).
+    from collections import deque
+
+    run_ahead = max(0, args.run_ahead)
+    depth = 2 if run_ahead else 0
+    dl_q: deque = deque()   # (slot, deadline token, device samples)
+    ul_q: deque = deque()   # (slot, token, submit time, device result)
+    lat_ms: list[float] = []
     ok_count = 0
-    for slot in range(args.slots):
+    next_dl = 0
+    t0 = time.time()
+
+    def dispatch_dl():
+        nonlocal next_dl
+        slot = next_dl
+        next_dl += 1
         if slot_clock.advance(slot) is None:
-            continue  # stale request — counted LATE, dropped (puxch rule)
-        tok = rt_deadline.start()
+            return  # stale request — counted LATE, dropped (puxch rule)
         payloads = jnp.asarray(
             rng.integers(0, 2, (cell.nof_ue, tbs), dtype=np.int8))
-        sent_payloads.append(np.asarray(payloads))
-        td = proc.process_dl_slot(payloads)
+        dl_q.append((slot, rt_deadline.start(), proc.process_dl_slot(payloads)))
 
+    def sync_ul(min_inflight):
+        nonlocal ok_count
+        while len(ul_q) > min_inflight:
+            slot, tok, t_sub, res = ul_q.popleft()
+            if res is None:
+                continue  # UL processing error — counted, cell stays up
+            _, tb_ok = res
+            okv = np.asarray(tb_ok)
+            ok_count += int(okv.sum())
+            if not okv.all():
+                print(f"slot {slot}: CRC failures {np.nonzero(~okv)[0]}",
+                      flush=True)
+            rt_deadline.finish(slot, tok)
+            lat_ms.append((time.time() - t_sub) * 1e3)
+
+    while next_dl < args.slots or dl_q:
+        while next_dl < args.slots and len(dl_q) <= run_ahead:
+            dispatch_dl()
+        if not dl_q:
+            break
+        slot, tok, td = dl_q.popleft()
         # Radio out through the native bridge and back (the loopback "RF").
         got = _radio_roundtrip(tx, rx, from_device_complex(td), args.snr,
                                rng, t.cp.total)
@@ -204,17 +248,11 @@ def main(argv=None):
             # (the reference notifies and keeps the cell alive).
             notifier.on_underflow(slot)
             continue
-
         res = fail_open(notifier, slot,
                         lambda: proc.process_ul_slot(to_device_complex(got)))
-        if res is None:
-            continue  # UL processing error — counted, cell stays up
-        payload_hat, tb_ok = res
-        okv = np.asarray(tb_ok)
-        ok_count += int(okv.sum())
-        if not okv.all():
-            print(f"slot {slot}: CRC failures {np.nonzero(~okv)[0]}", flush=True)
-        rt_deadline.finish(slot, tok)
+        ul_q.append((slot, tok, time.time(), res))
+        sync_ul(depth)
+    sync_ul(0)
 
     dt = time.time() - t0
     rx.stop()
@@ -224,6 +262,11 @@ def main(argv=None):
     print(f"done: {args.slots} slots in {dt:.2f}s "
           f"({args.slots / dt:.1f} slot/s incl. host IO), "
           f"TB success {ok_count}/{n}", flush=True)
+    if lat_ms:
+        print(f"slot latency (radio-roundtrip submit -> UL decoded, "
+              f"run-ahead {run_ahead}): p50 "
+              f"{float(np.percentile(lat_ms, 50)):.2f} ms / p99 "
+              f"{float(np.percentile(lat_ms, 99)):.2f} ms", flush=True)
     print(f"radio events: {notifier.events.as_dict()}", flush=True)
     print("throughput (Mbit/s @1k slots/s):",
           {hex(k): round(v, 2) for k, v in tp.items()}, flush=True)

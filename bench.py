@@ -49,6 +49,9 @@ import time
 import numpy as np
 
 ITERS = 30
+# Full-cell config overrides (e.g. the 256QAM / MCS-table-2 operating
+# point via --qam256); applied wherever a FullCellConfig is built.
+FC_KW: dict = {}
 
 
 def bench_full_cell(s_batch: int, snr_db: float | None):
@@ -58,7 +61,7 @@ def bench_full_cell(s_batch: int, snr_db: float | None):
     from srsran_edgeric_5g_tpu.parallel import full_cell as fcell
     from srsran_edgeric_5g_tpu.parallel import slot_pipeline as sp
 
-    fc = fcell.FullCellConfig()
+    fc = fcell.FullCellConfig(**FC_KW)
     t = fc.timing
     u = fc.nof_ue
     s = s_batch
@@ -178,7 +181,7 @@ def bench_streaming(s_batch: int, snr_db: float | None, depth: int = 2,
     from srsran_edgeric_5g_tpu.parallel import full_cell as fcell
     from srsran_edgeric_5g_tpu.parallel import slot_pipeline as sp
 
-    fc = fcell.FullCellConfig()
+    fc = fcell.FullCellConfig(**FC_KW)
     t = fc.timing
     u = fc.nof_ue
     s = s_batch
@@ -423,7 +426,17 @@ def main():
             from srsran_edgeric_5g_tpu.ops import ofdm as _ofdm
             spec = a.split("=")[1].split(":")
             _ofdm.set_fft_impl(spec[0], spec[1] if len(spec) > 1 else "default")
-    snr_db = None if "--clean" in sys.argv else 25.0
+    if "--qam256" in sys.argv:
+        # MCS-table-2 operating point (TS 38.214 Table 5.1.3.1-2, MCS 20:
+        # Qm 8, R 682.5/1024) on both directions at 33 dB: the post-eq SINR
+        # is ~2.4 dB under nominal (pilot-noise estimation loss + overlay
+        # power in the sigma), and at 30 dB this point sits on the
+        # 6-iteration decode waterfall tail (~2% TB failures; 12 iterations
+        # clears it) — 33 dB buys the assert margin.
+        FC_KW.update(dl_modulation="qam256", ul_modulation="qam256",
+                     dl_target_rate=682.5 / 1024, ul_target_rate=682.5 / 1024)
+    snr_db = None if "--clean" in sys.argv else (
+        33.0 if "--qam256" in sys.argv else 25.0)
 
     if streaming:
         slot_s, t, desc = bench_streaming(streaming, snr_db)
@@ -437,6 +450,8 @@ def main():
     else:
         slot_s, t, desc = bench_full_cell(s_batch, snr_db)
         metric = "full_gnb_slot_samples_per_sec"
+    if "--qam256" in sys.argv:
+        metric += "_qam256"
 
     slot_samples = t.cp.total  # 23040 @ 20 MHz
     samples_per_sec = slot_samples / slot_s

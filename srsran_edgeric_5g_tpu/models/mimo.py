@@ -149,14 +149,18 @@ def _estimate_ports_occ(rx_grid: jnp.ndarray, cfg: PdschConfig,
     times = (np.asarray([symbol_times[l] for l in cfg.dmrs_symbols])
              if len(cfg.dmrs_symbols) > 1 else None)
     ones = jnp.ones_like(u)
-    hs, nvs, cfos = [], [], []
+    hs, nvs, corrs = [], [], []
     for hp in ((u + v) / 2, (u - v) / 2):
-        h, nv, cfo = channel_est.estimate_port(
+        h, nv, _ = channel_est.estimate_port(
             hp, ones, centers, width, dmrs_symbol_times_s=times)
         hs.append(h[0])
         nvs.append(nv[0])
-        cfos.append(cfo[0])
-    return jnp.stack(hs), (nvs[0] + nvs[1]) / 2, (cfos[0] + cfos[1]) / 2
+        # Complex CFO correlation, NOT the per-stream angle: a dead stream
+        # (zero cross-channel entry, e.g. an identity 2x2 channel's
+        # off-diagonal) has noise-only pilots whose angle is a random CFO;
+        # summing correlations energy-weights it to ~zero instead.
+        corrs.append(channel_est.cfo_correlation(hp)[0])
+    return jnp.stack(hs), (nvs[0] + nvs[1]) / 2, corrs[0] + corrs[1]
 
 
 def receive_mimo(rx_grids: jnp.ndarray, cfg: PdschConfig, srate: float,
@@ -171,21 +175,39 @@ def receive_mimo(rx_grids: jnp.ndarray, cfg: PdschConfig, srate: float,
     sym_idx = jnp.asarray(np.asarray(cfg.data_symbols, dtype=np.int32))
     n_groups = (n_layers + 1) // 2
 
-    hs, nvs, cfos = [], [], []
+    hs, nvs, corrs = [], [], []
     for a in range(n_rx):
         per_group_h, per_group_nv = [], []
         for g in range(n_groups):
-            h, nv, cfo = _estimate_ports_occ(rx_grids[a], cfg, symbol_times,
-                                             cdm_group=g)
+            h, nv, corr = _estimate_ports_occ(rx_grids[a], cfg, symbol_times,
+                                              cdm_group=g)
             per_group_h.append(h)
             per_group_nv.append(nv)
-            cfos.append(cfo)
+            corrs.append(corr)
         hs.append(jnp.concatenate(per_group_h, axis=0)[:n_layers])
         nvs.append(sum(per_group_nv) / n_groups)
     h = jnp.stack(hs)                           # (n_rx, L, width)
     nv = jnp.stack(nvs)                         # (n_rx,)
 
+    # Energy-weighted CFO over every (antenna, OCC stream) correlation —
+    # dead cross-channel streams carry no weight (see _estimate_ports_occ).
+    cfo = jnp.zeros((), jnp.float32)
+    if len(cfg.dmrs_symbols) > 1:
+        dt = float(symbol_times[cfg.dmrs_symbols[-1]]
+                   - symbol_times[cfg.dmrs_symbols[0]])
+        cfo = (jnp.angle(sum(corrs))
+               / np.float32(2.0 * np.pi * dt)).astype(jnp.float32)
+
     y = rx_grids[:, sym_idx, sc0:sc0 + width]   # (n_rx, ndata, width)
+    # CFO compensation of the data symbols (estimates anchored at t=0; the
+    # reference re-applies the ramp per symbol estimate instead,
+    # port_channel_estimator_average_impl.cpp:245-253).
+    if len(cfg.dmrs_symbols) > 1:
+        import jax
+        t_data = np.asarray([symbol_times[l] for l in cfg.data_symbols],
+                            np.float32)
+        ph = np.float32(-2.0 * np.pi) * cfo * jnp.asarray(t_data)
+        y = y * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))[None, :, None]
     hh = jnp.broadcast_to(h[:, :, None, :], h.shape[:2] + y.shape[1:])
     eq = (equalizer.equalize_mmse_2xn if n_layers == 2
           else equalizer.equalize_mmse_lxn)
@@ -210,7 +232,7 @@ def receive_mimo(rx_grids: jnp.ndarray, cfg: PdschConfig, srate: float,
     sinr = -10.0 * jnp.log10(jnp.maximum(mean_nv, 1e-9))
     return PuschResult(payload=payload, tb_crc_ok=tb_ok, cb_crc_ok=cb_ok,
                        soft_buffer=None, noise_var=mean_nv,
-                       cfo_hz=jnp.mean(jnp.stack(cfos)), evm_sinr_db=sinr)
+                       cfo_hz=cfo, evm_sinr_db=sinr)
 
 
 def receive_2layer(rx_grids: jnp.ndarray, cfg: PdschConfig, srate: float,

@@ -178,6 +178,17 @@ def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
 
     sym_idx = jnp.asarray(np.asarray(cfg.data_symbols, dtype=np.int32))
     y = rx_grid[sym_idx, sc0:sc0 + width]             # (ndata_sym, width)
+    # CFO compensation of the data symbols: the estimate is anchored at t=0
+    # (estimate_port derotates the pilots by their symbol times), so each
+    # data symbol still rotates by e^{j2pi*cfo*t_l}.  The reference instead
+    # re-applies the CFO ramp onto every symbol's channel estimate
+    # (port_channel_estimator_average_impl.cpp:245-253) — same algebra.
+    if len(cfg.dmrs_symbols) > 1:
+        import jax
+        t_data = np.asarray([symbol_times[l] for l in cfg.data_symbols],
+                            np.float32)
+        ph = np.float32(-2.0 * np.pi) * cfo * jnp.asarray(t_data)
+        y = y * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))[:, None]
     hh = jnp.broadcast_to(h, y.shape)
     x_hat, nv_out = equalizer.equalize_mmse_1xn(
         y[None], hh[None], nv[None, None])            # port axis added

@@ -45,12 +45,24 @@ def ls_estimate(rx_pilots: jnp.ndarray, ref_pilots: jnp.ndarray) -> jnp.ndarray:
     return rx_pilots * jnp.conj(ref_pilots)
 
 
+def cfo_correlation(h_ls: jnp.ndarray) -> jnp.ndarray:
+    """Complex first-to-last DM-RS pilot correlation sum h[-1]*conj(h[0]).
+
+    Its angle over the DM-RS time distance is the CFO; its magnitude is the
+    stream energy — summing correlations across streams/antennas before
+    taking the angle gives an energy-weighted CFO where dead streams (e.g. a
+    zero cross-channel entry in MIMO OCC de-spreading) contribute nothing
+    instead of injecting a random phase.
+    """
+    return jnp.sum(h_ls[..., -1, :] * jnp.conj(h_ls[..., 0, :]), axis=-1)
+
+
 def cfo_estimate(h_ls: jnp.ndarray, symbol_distance_s: float) -> jnp.ndarray:
     """CFO (Hz) from phase drift between first and last DM-RS symbols.
 
     ``h_ls``: (..., ndmrs, npilots) with ndmrs >= 2.
     """
-    corr = jnp.sum(h_ls[..., -1, :] * jnp.conj(h_ls[..., 0, :]), axis=-1)
+    corr = cfo_correlation(h_ls)
     return (jnp.angle(corr) / (2.0 * np.pi * symbol_distance_s)).astype(jnp.float32)
 
 

@@ -637,11 +637,21 @@ def prach_occasion_td(fc: FullCellConfig, preamble_index: int,
 def ue_ul_slot_batch(payloads: jnp.ndarray, ack: jnp.ndarray,
                      csi: jnp.ndarray, fc: FullCellConfig, s_total: int,
                      prach_preamble: int = 7, prach_delay: int = 24,
-                     prach_amplitude: float = 0.01,
+                     prach_amplitude: float = 0.002,
                      mesh=None) -> jnp.ndarray:
     """UE-side UL generator: (S, U, TBS_ul) PUSCH payloads + (S, U, 2) ACK
     bits + (S_csi, U, K) CSI bits -> (S, total) clean UL samples with
     PUSCH + PUCCH F1 (+F2/SRS/PRACH on their occasions).
+
+    ``prach_amplitude`` models PRACH open-loop power control: the preamble
+    arrives ~-21 dB under the PUSCH RMS (real PRACH targets the DETECTOR,
+    which has ~29 dB of correlation processing gain over 839 bins — metric
+    ~770 vs threshold 20 at this level), because the 1.25 kHz preamble is
+    not orthogonal to the 15 kHz grid and its inter-numerology leakage
+    raises the adjacent PUSCH PRBs' noise floor: at the old -7 dB level the
+    PRACH-slot noise floor was 2.1x elevated, which capped the adjacent
+    UE's SINR (~18 dB — fatal for 256QAM) and dragged the flat decode
+    batch's early-stop loop to extra sweeps on every PRACH slot.
     """
     cell = fc.ul_cell()
     t = cell.timing

@@ -347,6 +347,18 @@ def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
             dmrs_symbol_times_s=times_opt)
     # h: (S*U, w), nv: (S*U,)
 
+    # CFO compensation of the data symbols: estimate_port anchors h at t=0
+    # (it derotates the pilots by their symbol times), so each data symbol
+    # still carries e^{j2pi*cfo*t_l}.  The reference equivalently re-applies
+    # the CFO ramp onto every symbol's channel estimate
+    # (port_channel_estimator_average_impl.cpp:245-253) — same algebra,
+    # |rot| = 1 so the noise statistics are untouched.
+    if len(cell.dmrs_symbols) > 1:
+        t_data = np.asarray([t.cp.data_starts[l] for l in cell.data_symbols],
+                            np.float32) / np.float32(t.srate)
+        ph = np.float32(-2.0 * np.pi) * cfo[:, None] * jnp.asarray(t_data)
+        y = y * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))[:, :, None]
+
     hh = jnp.broadcast_to(h[:, None, :], y.shape)
     x_hat, nv_out = equalizer.equalize_mmse_1xn(
         y[None], hh[None], nv[None, :, None, None])
@@ -600,19 +612,32 @@ def ul_slot_batch_mimo(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
         ones = jnp.ones_like(u_)
         for sign in (1.0, -1.0):
             hp = (u_ + sign * v_) / 2
-            h, nv, cfo = channel_est.estimate_port(
+            h, nv, _ = channel_est.estimate_port(
                 hp, ones, centers, w, dmrs_symbol_times_s=times_opt)
             hs.append(h.reshape(s, p_rx, u, w))
             nvs.append(nv.reshape(s, p_rx, u))
-            cfos.append(cfo.reshape(s, p_rx, u))
+            # Complex correlations, summed across streams AND antennas
+            # below: dead cross-channel streams carry no weight (see
+            # models/mimo._estimate_ports_occ).
+            cfos.append(channel_est.cfo_correlation(hp).reshape(s, p_rx, u))
     h = jnp.stack(hs[:L], axis=2)                    # (S, P, L, U, w)
     nv = sum(nvs[:L]) / L                            # (S, P, U)
-    cfo = sum(cfos[:L]) / L
+    dt = (np.float32(times[-1] - times[0]) if ndmrs > 1 else np.float32(1.0))
+    cfo = (jnp.angle(jnp.sum(sum(cfos), axis=1))     # (S, U)
+           / np.float32(2.0 * np.pi) / dt).astype(jnp.float32)
 
     # y: (S, P, ndata, span) -> (P, S*U, ndata, w)
     y = jnp.stack([band[:, :, l] for l in cell.data_symbols], axis=2)
     y = y.reshape(s, p_rx, ndata, u, w).transpose(1, 0, 3, 2, 4)
     y = y.reshape(p_rx, s * u, ndata, w)
+    # CFO compensation of the data symbols (see the SISO _ul_front note;
+    # port_channel_estimator_average_impl.cpp:245-253).
+    if ndmrs > 1:
+        t_data = np.asarray([t.cp.data_starts[l] for l in cell.data_symbols],
+                            np.float32) / np.float32(t.srate)
+        ph = np.float32(-2.0 * np.pi) * cfo.reshape(s * u)[:, None] \
+            * jnp.asarray(t_data)
+        y = y * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))[None, :, :, None]
     hh = h.transpose(1, 2, 0, 3, 4).reshape(p_rx, L, s * u, 1, w)
     hh = jnp.broadcast_to(hh, (p_rx, L, s * u, ndata, w))
     # Noise floor: a zero noise estimate (noiseless loopback) would blow
@@ -632,5 +657,5 @@ def ul_slot_batch_mimo(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
 
     payload, tb_ok, soft = _ul_back(llr, cell, rv, num_iters, mesh)
     return (payload.reshape(s, u, -1), tb_ok.reshape(s, u),
-            jnp.mean(nv, axis=1), jnp.mean(cfo, axis=1),
+            jnp.mean(nv, axis=1), cfo,
             soft.reshape(s, u * seg.c, -1))

@@ -279,3 +279,37 @@ def test_transmit_equals_pdsch_process_without_uci():
         dm[l, pat.subcarriers + cfg.start_prb * 12] = True
     np.testing.assert_allclose(g1[~dm], g2[~dm], atol=1e-6)
     np.testing.assert_allclose(g1[dm], g2[dm] * np.sqrt(2.0), atol=1e-5)
+
+
+def test_loopback_with_cfo():
+    """PUSCH through a 2-tap channel + 300 Hz CFO: the estimated CFO is
+    compensated on the data symbols (estimates are anchored at t=0 by the
+    pilot derotation; the reference instead re-applies the ramp per symbol,
+    port_channel_estimator_average_impl.cpp:245-253).  Regression for the
+    round-2 chest BLER A/B finding: before the fix ANY real CFO failed every
+    TB while the CFO estimate itself read exactly right."""
+    cfg = make_cfg(nof_prb=24, start_prb=4, modulation="qam16",
+                   target_rate=0.4)
+    t = num.slot_timing(nof_prb=52, nfft=768, mu=0)
+    times = np.asarray(t.cp.data_starts) / t.srate
+    rng = np.random.default_rng(17)
+    payload = jnp.asarray(rng.integers(0, 2, (1, cfg.derived_tbs()),
+                                       dtype=np.int8))
+    grid = pdsch.process(payload, cfg, t.nsymb, t.nof_subc)
+
+    k = np.arange(t.nof_subc)
+    h = (np.exp(-2j * np.pi * 15e3 * k * 100e-9)
+         + 0.4 * np.exp(-2j * np.pi * 15e3 * k * 300e-9))
+    rot = np.exp(2j * np.pi * 300.0 * times[:t.nsymb])
+    ch = (rot[:, None] * h[None, :]).astype(np.complex64)
+    sig = np.abs(np.asarray(grid))[np.asarray(grid) != 0].mean() ** 2
+    noise = (rng.normal(size=grid.shape) + 1j * rng.normal(size=grid.shape))
+    rx = jnp.asarray((np.asarray(grid) * ch
+                      + noise * np.sqrt(sig * 10 ** -2.2 / 2)
+                      ).astype(np.complex64))
+
+    res = pusch.process(rx, cfg, t.srate, times)
+    assert np.asarray(res.tb_crc_ok).all()
+    np.testing.assert_array_equal(np.asarray(res.payload),
+                                  np.asarray(payload))
+    assert abs(float(np.asarray(res.cfo_hz)) - 300.0) < 30.0

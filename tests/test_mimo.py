@@ -135,3 +135,55 @@ def test_2x4_rx_diversity():
     payload, res, _ = _run(_cfg(), h, snr_db=18.0, seed=3)
     assert np.asarray(res.tb_crc_ok).all()
     np.testing.assert_array_equal(np.asarray(res.payload), np.asarray(payload))
+
+
+def test_2x2_mixing_channel_with_cfo():
+    """2x2 MIMO through a mixing channel plus a 300 Hz CFO: the CFO is
+    combined energy-weighted over every (antenna, OCC stream) complex
+    correlation — an identity channel's dead cross-streams must carry no
+    weight (regression: plain averaging let a noise-only stream's random
+    phase poison the estimate) — and compensated on the data symbols."""
+    cfg = _cfg()
+    t = num.slot_timing(**num.CELL_10MHZ)
+    rng = np.random.default_rng(3)
+    tbs = mimo.derived_tbs(cfg)
+    payload = jnp.asarray(rng.integers(0, 2, (1, tbs), dtype=np.int8))
+    grids = np.asarray(mimo.process_2layer(payload, cfg, t.nsymb, t.nof_subc))
+    h2x2 = np.array([[1.0, 0.35 + 0.2j], [0.3 - 0.25j, 0.9j]],
+                    dtype=np.complex64)
+    rx = np.einsum("ap,psk->ask", h2x2, grids)
+    times = np.asarray(t.cp.data_starts) / t.srate
+    rot = np.exp(2j * np.pi * 300.0 * times[:t.nsymb])
+    rx = rx * rot[None, :, None]
+    sig = float(np.mean(np.abs(rx[np.abs(rx) > 0]) ** 2))
+    nv = sig * 10 ** (-25.0 / 10)
+    rx = rx + (rng.normal(size=rx.shape) + 1j * rng.normal(size=rx.shape)) \
+        * np.sqrt(nv / 2)
+    res = mimo.receive_2layer(jnp.asarray(rx.astype(np.complex64)), cfg,
+                              t.srate, times)
+    assert np.asarray(res.tb_crc_ok).all()
+    np.testing.assert_array_equal(np.asarray(res.payload),
+                                  np.asarray(payload))
+    assert abs(float(np.asarray(res.cfo_hz)) - 300.0) < 30.0
+
+
+def test_identity_channel_cfo_estimate_not_poisoned():
+    """Identity 2x2 channel (off-diagonal OCC streams are pure noise): the
+    energy-weighted CFO estimate stays near zero instead of the random
+    hundreds of Hz the dead streams' phases used to inject."""
+    cfg = _cfg()
+    t = num.slot_timing(**num.CELL_10MHZ)
+    rng = np.random.default_rng(4)
+    tbs = mimo.derived_tbs(cfg)
+    payload = jnp.asarray(rng.integers(0, 2, (1, tbs), dtype=np.int8))
+    grids = np.asarray(mimo.process_2layer(payload, cfg, t.nsymb, t.nof_subc))
+    rx = grids.copy()
+    sig = float(np.mean(np.abs(rx[np.abs(rx) > 0]) ** 2))
+    nv = sig * 10 ** (-25.0 / 10)
+    rx = rx + (rng.normal(size=rx.shape) + 1j * rng.normal(size=rx.shape)) \
+        * np.sqrt(nv / 2)
+    times = np.asarray(t.cp.data_starts) / t.srate
+    res = mimo.receive_2layer(jnp.asarray(rx.astype(np.complex64)), cfg,
+                              t.srate, times)
+    assert np.asarray(res.tb_crc_ok).all()
+    assert abs(float(np.asarray(res.cfo_hz))) < 30.0

@@ -30,11 +30,13 @@ import numpy as np
 HARNESS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native", "build", "refharness", "refharness")
 
-# (mcs_idx, label, SNR grid) — 0.25 dB steps around each waterfall.
+# (mcs_idx, label, SNR grid) — 0.25 dB steps around each waterfall (placed
+# by a coarse reference-decoder sweep at 32 TBs: 0.84->0 across [-1,0],
+# 1->0 across [8,10], 1->0 across [16,17]).
 CASES = [
-    (4, "QPSK r0.30", np.arange(-1.0, 1.75, 0.25)),
-    (15, "16QAM r0.60", np.arange(5.5, 8.25, 0.25)),
-    (24, "64QAM r0.75", np.arange(14.5, 17.25, 0.25)),
+    (4, "QPSK r0.30", np.arange(-1.75, 0.30, 0.25)),
+    (15, "16QAM r0.60", np.arange(7.75, 10.05, 0.25)),
+    (24, "64QAM r0.75", np.arange(15.25, 17.30, 0.25)),
 ]
 
 

@@ -14,6 +14,8 @@ x_hat = 0 and nvar_out = +inf (so the demapper emits zero LLRs).
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 INFINITY = jnp.float32(jnp.inf)
@@ -103,6 +105,47 @@ def equalize_mmse_2xn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
     return x_hat, nv_out
 
 
+def _inv2(b: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of batched (..., 2, 2) matrices."""
+    det = b[..., 0, 0] * b[..., 1, 1] - b[..., 0, 1] * b[..., 1, 0]
+    d = 1.0 / det
+    row0 = jnp.stack([b[..., 1, 1] * d, -b[..., 0, 1] * d], axis=-1)
+    row1 = jnp.stack([-b[..., 1, 0] * d, b[..., 0, 0] * d], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+def _inv_small(b: jnp.ndarray) -> jnp.ndarray:
+    """Batched inverse of tiny Hermitian-PD (..., L, L) Gram matrices.
+
+    jnp.linalg.inv lowers batched small LU factorisations to sequential
+    triangular solves on TPU (measured ~100x the cost of the rest of the
+    MIMO front at the bench shapes); L=2 uses the closed form and L=4 a
+    blockwise 2x2 Schur-complement inverse (A+I is Hermitian PD, so the
+    Schur complement D - C A^-1 B stays invertible) — both are pure
+    elementwise tensor ops that fuse.  Other L falls back to linalg.inv.
+    """
+    l = b.shape[-1]
+    if l == 1:
+        return 1.0 / b
+    if l == 2:
+        return _inv2(b)
+    if l == 4:
+        mm = functools.partial(jnp.einsum, "...ij,...jk->...ik")
+        a, b12 = b[..., :2, :2], b[..., :2, 2:]
+        c, d = b[..., 2:, :2], b[..., 2:, 2:]
+        ai = _inv2(a)
+        si = _inv2(d - mm(c, mm(ai, b12)))
+        aib = mm(ai, b12)
+        sicai = mm(si, mm(c, ai))
+        tl = ai + mm(aib, sicai)
+        tr = -mm(aib, si)
+        bl = -sicai
+        top = jnp.concatenate([tl, tr], axis=-1)
+        bot = jnp.concatenate([bl, si], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+    return jnp.linalg.inv(b)
+
+
 def equalize_mmse_lxn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
                       tx_scaling: float = 1.0
                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -130,7 +173,7 @@ def equalize_mmse_lxn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
     a = jnp.einsum("pl...,pm...->...lm", jnp.conj(h), hw)
     z = jnp.einsum("pl...,p...->...l", jnp.conj(hw), y)
     b = a + jnp.eye(nof_layers, dtype=a.dtype)
-    binv = jnp.linalg.inv(b)
+    binv = _inv_small(b)
     xw = jnp.einsum("...lm,...m->...l", binv, z)
 
     # Unbias: E[x_hat_l | x] = g_l x_l with g_l = 1 - [(A+I)^-1]_ll;

@@ -53,3 +53,20 @@ def test_zf_inverts_channel():
                                       jnp.asarray(h[None]),
                                       jnp.full((1, n), 0.1, np.float32))
     np.testing.assert_allclose(np.asarray(xh), x, rtol=1e-4, atol=1e-5)
+
+
+def test_inv_small_matches_linalg():
+    """_inv_small (closed-form 2x2 / blockwise-Schur 4x4, replacing TPU-slow
+    batched linalg.inv) equals jnp.linalg.inv on random Hermitian-PD
+    Gram+I matrices."""
+    import numpy as np
+    from srsran_edgeric_5g_tpu.ops.equalizer import _inv_small
+
+    rng = np.random.default_rng(0)
+    for l in (1, 2, 4):
+        h = (rng.normal(size=(64, 6, l)) + 1j * rng.normal(size=(64, 6, l))
+             ).astype(np.complex64)
+        b = np.einsum("bpl,bpm->blm", h.conj(), h) + np.eye(l)
+        got = np.asarray(_inv_small(jnp.asarray(b.astype(np.complex64))))
+        want = np.linalg.inv(b)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)

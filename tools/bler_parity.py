@@ -96,13 +96,21 @@ def decode_ref(buf_i8, seg, iters, impl):
     return hards
 
 
-def decode_ours(buf_i8, seg, iters, schedule):
+def decode_ours(buf_i8, seg, iters, schedule, chunk=512):
+    """Chunked decode: one multi-thousand-CB batch makes XLA-CPU's LLVM JIT
+    run out of code-section mappings at the MCS-24 shapes (observed
+    'Unable to allocate section memory'); <=512-CB calls compile once and
+    reuse."""
     import jax.numpy as jnp
     from srsran_edgeric_5g_tpu.ops.ldpc import decoder
 
-    hard, _ = decoder.decode(jnp.asarray(buf_i8.astype(np.float32)), seg.bg,
-                             seg.zc, num_iters=iters, schedule=schedule)
-    return np.asarray(hard).astype(np.uint8)
+    outs = []
+    for i in range(0, buf_i8.shape[0], chunk):
+        hard, _ = decoder.decode(
+            jnp.asarray(buf_i8[i:i + chunk].astype(np.float32)), seg.bg,
+            seg.zc, num_iters=iters, schedule=schedule)
+        outs.append(np.asarray(hard).astype(np.uint8))
+    return np.concatenate(outs, axis=0)
 
 
 def tb_bler(hards, tx_cbs, c):

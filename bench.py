@@ -41,6 +41,7 @@ Flags: --sbatch=N (slots per dispatch, default 256), --data-only (the
 round-1 data-plane-only pipeline for A/B), --fft=impl, --clean (no AWGN).
 """
 
+import functools
 import json
 import os
 import sys
@@ -108,7 +109,10 @@ def bench_full_cell(s_batch: int, snr_db: float | None):
     no_carry = os.environ.get("BENCH_NO_CARRY") == "1"
     no_es = os.environ.get("BENCH_NO_EARLYSTOP") == "1"
 
-    @jax.jit
+    # Donate the HARQ soft state: it is ~121 MB at S=256 and feeds straight
+    # back into the next dispatch — donation lets XLA update it in place
+    # instead of allocating + copying a fresh output buffer every step.
+    @functools.partial(jax.jit, donate_argnums=(4,))
     def step(pn, ps, eps, flip, soft):
         """One full-cell DL TX + UL RX slot batch, chained."""
         pn = jnp.bitwise_xor(pn, eps)
@@ -215,7 +219,7 @@ def bench_streaming(s_batch: int, snr_db: float | None, depth: int = 2,
                                      jax.random.key(42, impl="rbg"))
     nd_ones = jnp.ones((s, u), jnp.float32)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(3,))  # donate HARQ soft state
     def step(pn, eps, flip, soft):
         pn = jnp.bitwise_xor(pn, eps)
         td = fcell.gnb_dl_slot_batch(pn, pay_s, dci, pbch, fc, s)

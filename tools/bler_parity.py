@@ -109,7 +109,9 @@ def decode_ours(buf_i8, seg, iters, schedule, chunk=512):
         hard, _ = decoder.decode(
             jnp.asarray(buf_i8[i:i + chunk].astype(np.float32)), seg.bg,
             seg.zc, num_iters=iters, schedule=schedule)
-        outs.append(np.asarray(hard).astype(np.uint8))
+        # int8/int32 device->host transfers are UNIMPLEMENTED through the
+        # axon relay; pull as f32.
+        outs.append(np.asarray(hard.astype(jnp.float32)).astype(np.uint8))
     return np.concatenate(outs, axis=0)
 
 
@@ -136,6 +138,13 @@ def main():
             schedules = a.split("=")[1].split(",")
 
     import jax
+    # Under the axon TPU relay, int8 and complex64 device->host transfers
+    # are unimplemented and eager complex ops fail — run the TX-chain
+    # synthesis (segment/encode/modulate/demap/dematch) on the CPU backend
+    # and reserve the TPU for the decode calls.
+    if os.environ.get("JAX_PLATFORMS", "") == "axon":
+        jax.config.update("jax_platforms", "axon,cpu")
+    cpu0 = jax.devices("cpu")[0]
     backend = jax.default_backend()
     lines = [
         "# BLER decoder parity vs the reference LDPC decoder (round 2)",
@@ -150,7 +159,9 @@ def main():
 
     for mcs_idx, label, grid in CASES:
         rng = np.random.default_rng(1000 + mcs_idx)
-        mcs, a, seg, rm, tx_cbs, syms = build_point(mcs_idx, n_blocks, rng)
+        with jax.default_device(cpu0):
+            mcs, a, seg, rm, tx_cbs, syms = build_point(mcs_idx, n_blocks,
+                                                        rng)
         c = seg.c
         hdr = (f"## MCS {mcs_idx} ({label}) — TBS {a}, C={c}, Zc={seg.zc}, "
                f"BG{seg.bg}, E={rm.e}")
@@ -159,7 +170,8 @@ def main():
                   "| SNR (dB) | reference | " + " | ".join(schedules) + " |",
                   "|---|---|" + "---|" * len(schedules)]
         for snr in grid:
-            buf = llr_buffer(seg, rm, syms, float(snr), rng)
+            with jax.default_device(cpu0):
+                buf = llr_buffer(seg, rm, syms, float(snr), rng)
             row = [f"| {snr:+.2f} "]
             ref_b = tb_bler(decode_ref(buf, seg, iters, impl), tx_cbs, c)
             row.append(f"| {ref_b:.4f} ")

@@ -60,7 +60,11 @@ def main():
     report("ldpc_enc_bg1_zc384_b64", 64 * g.k, dt, "bit")
 
     # --- LDPC decode (XLA layered_rolls w/ early stop), realistic SNR ---
-    cw = np.asarray(jax.jit(lambda m: encoder.encode(m, 1, 384))(msgs))
+    # int8/int32 device->host transfers are UNIMPLEMENTED through the axon
+    # relay (like complex64); pull as f32.
+    cw = np.asarray(jax.jit(
+        lambda m: encoder.encode(m, 1, 384).astype(jnp.float32))(msgs)
+        ).astype(np.int8)
     sym = 1 - 2 * cw.astype(np.float32)
     sigma = 10 ** (-6.5 / 20)
     y = sym + rng.normal(size=sym.shape) * sigma

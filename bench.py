@@ -335,6 +335,106 @@ def bench_mimo(s_batch: int, n_layers: int, snr_db: float | None):
                        f"{n_layers} layers, LxP MMSE)")
 
 
+def bench_full_cell_mimo(s_batch: int, n_layers: int, snr_db: float | None):
+    """FULL gNB slot with the MIMO data plane: the bench_full_cell workload
+    (PDCCH/SSB DL control, PUCCH F1+F2/SRS/PRACH UL control, HARQ soft
+    carry) with PDSCH/PUSCH at L layers per UE through an LxL spatial
+    channel (full_cell.gnb_*_slot_batch_mimo)."""
+    import jax
+    import jax.numpy as jnp
+
+    from srsran_edgeric_5g_tpu.parallel import full_cell as fcell
+    from srsran_edgeric_5g_tpu.parallel import slot_pipeline as sp
+
+    fc = fcell.FullCellConfig(n_layers=n_layers, **FC_KW)
+    t = fc.timing
+    u = fc.nof_ue
+    s = s_batch
+    rng = np.random.default_rng(0)
+
+    cell_n, cell_s = fc.dl_cell_mimo(), fc.dl_cell_ssb_mimo()
+    cell_u = fc.ul_cell()
+    tbs_n, tbs_s, tbs_u = (cell_n.derived_tbs(), cell_s.derived_tbs(),
+                           cell_u.derived_tbs())
+    norm_idx, ssb_idx = fc.norm_slots(s), fc.ssb_slots(s)
+    seg_u, _ = sp._plans(cell_u, 0)
+
+    pay_n = jnp.asarray(rng.integers(0, 2, (len(norm_idx), u, tbs_n),
+                                     dtype=np.int8))
+    pay_s = jnp.asarray(rng.integers(0, 2, (len(ssb_idx), u, tbs_s),
+                                     dtype=np.int8))
+    dci = jnp.asarray(rng.integers(0, 2, (s, 2 * u, fc.dci_bits),
+                                   dtype=np.int8))
+    pbch = jnp.asarray(rng.integers(0, 2, (len(ssb_idx), 24), dtype=np.int8))
+    pay_u = jnp.asarray(rng.integers(0, 2, (s, u, tbs_u), dtype=np.int8))
+    ack = jnp.asarray(rng.integers(0, 2, (s, u, 2), dtype=np.int8))
+    csi = jnp.asarray(rng.integers(0, 2, (len(fc.csi_slots(s)), u,
+                                          fc.csi_bits), dtype=np.int8))
+
+    # Well-conditioned static LxL spatial channel (blend of random + DFT).
+    a_np = ((rng.normal(size=(n_layers, n_layers))
+             + 1j * rng.normal(size=(n_layers, n_layers))) / np.sqrt(2))
+    f = np.exp(-2j * np.pi * np.outer(np.arange(n_layers),
+                                      np.arange(n_layers)) / n_layers)
+    a_re = (0.35 * a_np + f / np.sqrt(n_layers)).astype(np.complex64)
+    a_r, a_i = jnp.asarray(a_re.real), jnp.asarray(a_re.imag)
+
+    @jax.jit
+    def make_ul(p, a, c, key):
+        td = fcell.ue_ul_slot_batch_mimo(p, a, c, fc, s)    # (S, L, total)
+        mix = jax.lax.complex(a_r, a_i)
+        rx = jnp.einsum("pl,slt->spt", mix, td)
+        re, im = jnp.real(rx), jnp.imag(rx)
+        if snr_db is None:
+            z = jnp.zeros((), jnp.float32)
+            return re, im, z, z
+        sig_pow = jnp.mean(re * re + im * im)
+        sigma = jnp.sqrt(sig_pow * 10.0 ** (-snr_db / 10.0) / 2.0)
+        n = jax.random.normal(key, rx.shape + (2,), jnp.float32) * sigma
+        return re, im, n[..., 0], n[..., 1]
+
+    ul_re, ul_im, nre, nim = make_ul(pay_u, ack, csi,
+                                     jax.random.key(42, impl="rbg"))
+    nd_ones = jnp.ones((s, u), jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(4,))
+    def step(pn, ps, eps, flip, soft):
+        pn = jnp.bitwise_xor(pn, eps)
+        td = fcell.gnb_dl_slot_batch_mimo(pn, ps, dci, pbch, fc, s)
+        dl_pow = jnp.mean(jnp.real(td) ** 2 + jnp.imag(td) ** 2)
+        rx = jax.lax.complex(ul_re + nre * flip, ul_im + nim * flip)
+        res = fcell.gnb_ul_slot_batch_mimo(rx, fc, s, soft_in=soft,
+                                           new_data=nd_ones, soft_flat=True)
+        eps_next = (res["payload"][0, 0, 0] & jnp.int8(0)) | \
+            (dl_pow > jnp.float32(1e30)).astype(jnp.int8)
+        return res, eps_next, -flip
+
+    eps = jnp.int8(0)
+    flip = jnp.float32(1.0)
+    soft = jnp.zeros((s * u * seg_u.c, sp._plans(cell_u, 0)[1].n_cb),
+                     jnp.float32)
+    res, eps, flip = step(pay_n, pay_s, eps, flip, soft)
+    ok = np.asarray(res["tb_ok"])
+    assert ok.all(), f"MIMO PUSCH CRC failed: {ok.sum()}/{ok.size}"
+    assert (np.asarray(res["payload"]) == np.asarray(pay_u)).all()
+    assert (np.asarray(res["ack_bits"]) == np.asarray(ack)).all()
+    assert np.asarray(res["csi_ok"]).all()
+    det = np.asarray(res["prach_detected"])
+    assert det[:, 7].all() and not det[:, np.arange(64) != 7].any()
+
+    iters = ITERS
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res, eps, flip = step(pay_n, pay_s, eps, flip, res["soft"])
+    _ = int(eps)
+    res["tb_ok"].block_until_ready()
+    slot_s = (time.perf_counter() - t0) / (iters * s)
+    return slot_s, t, (f"FULL gNB slot, {n_layers}x{n_layers} MIMO data "
+                       f"plane, S={s}: TBS dl {tbs_n}/{tbs_s} ul {tbs_u} "
+                       f"x {u} UE ({n_layers} layers); 8 DCI/slot, SSB/10, "
+                       f"F1/slot, F2/5, SRS/10, PRACH/10; HARQ carry")
+
+
 def bench_data_plane(s_batch: int, n_cells: int, snr_db: float | None):
     """Round-1 data-plane-only pipeline (PDSCH+PUSCH, no control) for A/B."""
     import jax
@@ -412,6 +512,7 @@ def main():
     s_batch = 256
     n_cells = 1
     mimo = 0
+    mimo_full = 0
     streaming = 0
     data_only = "--data-only" in sys.argv
     global ITERS
@@ -424,6 +525,8 @@ def main():
             n_cells = int(a.split("=")[1])
         if a.startswith("--mimo="):
             mimo = int(a.split("=")[1])
+        if a.startswith("--mimo-full="):
+            mimo_full = int(a.split("=")[1])
         if a.startswith("--streaming="):
             streaming = int(a.split("=")[1])
         if a.startswith("--fft="):
@@ -445,6 +548,9 @@ def main():
     if streaming:
         slot_s, t, desc = bench_streaming(streaming, snr_db)
         metric = "streaming_full_gnb_slot_samples_per_sec"
+    elif mimo_full:
+        slot_s, t, desc = bench_full_cell_mimo(s_batch, mimo_full, snr_db)
+        metric = f"full_gnb_slot_mimo{mimo_full}x{mimo_full}_samples_per_sec"
     elif mimo:
         slot_s, t, desc = bench_mimo(s_batch, mimo, snr_db)
         metric = f"mimo{mimo}x{mimo}_slot_samples_per_sec"

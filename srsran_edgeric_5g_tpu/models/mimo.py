@@ -208,14 +208,15 @@ def receive_mimo(rx_grids: jnp.ndarray, cfg: PdschConfig, srate: float,
                             np.float32)
         ph = np.float32(-2.0 * np.pi) * cfo * jnp.asarray(t_data)
         y = y * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))[None, :, None]
-    hh = jnp.broadcast_to(h[:, :, None, :], h.shape[:2] + y.shape[1:])
-    eq = (equalizer.equalize_mmse_2xn if n_layers == 2
-          else equalizer.equalize_mmse_lxn)
-    x_hat, nv_out = eq(y, hh, nv[:, None, None])  # (L, ndata, width) each
+    # Weights once per subcarrier (channel constant across data symbols),
+    # applied to every data-symbol RE — see equalizer.mmse_weights_lxn.
+    nv_p = jnp.maximum(nv[:, None], 1e-30)
+    wts, nv_out = equalizer.mmse_weights_lxn(h, nv_p)   # (w,L,P), (w,L)
+    x_hat = jnp.einsum("wlp,pnw->nwl", wts, y)          # (ndata, w, L)
 
-    m = x_hat.reshape(n_layers, -1)
     llr = modulation.demodulate_soft(
-        layer_demap(m), layer_demap(nv_out.reshape(n_layers, -1)).real,
+        x_hat.reshape(1, -1),
+        jnp.broadcast_to(nv_out[None], x_hat.shape).reshape(1, -1),
         cfg.modulation, quantize=False)
     ci = jnp.asarray([scrambling_c_init(cfg.rnti, cfg.n_id)], dtype=jnp.uint32)
     llr = sequences.scramble_llrs(llr, ci)

@@ -185,6 +185,145 @@ def equalize_mmse_lxn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
     return x_hat, nv_out
 
 
+def mmse_weights_lxn(h: jnp.ndarray, noise_var: jnp.ndarray
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Precompute the LxN MMSE combining weights for a time-invariant
+    channel estimate.
+
+    The slot receiver estimates ONE channel per subcarrier and applies it to
+    every data symbol (the reference interpolates per-symbol but the
+    estimate is constant between DM-RS hops) — so the per-RE Gram matrix,
+    its inverse and the unbiasing gains are identical across the symbol
+    axis.  `equalize_mmse_lxn` recomputes them per RE; at the 4x4 slot
+    shapes that Gram/inverse work was ~90% of the whole MIMO step's device
+    time (ndata-fold redundant).  This computes, per (batch, subcarrier):
+
+        W = G^-1 (A + I)^-1 H^H diag(1/nvar_p)      (L, P)
+        nv_out_l = (1 - g_l) / g_l,  g_l = 1 - [(A+I)^-1]_ll
+
+    so that x_hat = W y per data-symbol RE is exactly the
+    `equalize_mmse_lxn` output (same whitened-Gram formulation as the
+    reference's channel_equalizer_generic_impl).
+
+    Args:
+      h: (P, L, ..., w) channel estimate (no symbol axis).
+      noise_var: per-port noise variance broadcastable to (P, ..., w).
+
+    Returns:
+      weights: (..., w, L, P) combining matrix (unbias folded in).
+      nv_out: (..., w, L) post-equalization noise variance per layer.
+    """
+    nof_layers = h.shape[1]
+    nv = jnp.broadcast_to(noise_var, h.shape[:1] + h.shape[2:])
+    w = (1.0 / jnp.maximum(nv, 1e-30)).astype(jnp.float32)
+    hw = h * w[:, None]
+
+    if nof_layers in (1, 2, 4):
+        # Scalar-component formulation: every quantity is a (...,) array and
+        # every op elementwise, so XLA fuses the whole Gram+inverse+weights
+        # chain into a handful of large kernels.  The einsum/slice route
+        # materializes (..., L, L) tensors whose trailing 2x2/4x4 dims tile
+        # terribly on TPU (T(2,128)/T(4,128) layouts + copies were ~30% of
+        # the 4x4 step's device time).
+        binv, g = _binv_scalars(h, hw, nof_layers)
+        wts = jnp.stack(
+            [jnp.stack(
+                [sum(binv[(l, m)] * jnp.conj(hw[:, m])[p] for m in
+                     range(nof_layers)) / g[l]
+                 for p in range(h.shape[0])], axis=-1)
+             for l in range(nof_layers)], axis=-2).astype(jnp.complex64)
+        # nv_out = (1-g)/g with 1-g taken DIRECTLY as [(A+I)^-1]_ll: the
+        # (1.0 - g) form cancels to exactly 0 in f32 at high SNR (binv_ll ~
+        # 1e-9 rounds away against 1.0), and a zero noise variance trips
+        # the demapper's abnormal-input rule into all-zero LLRs.
+        nv_out = jnp.stack(
+            [jnp.maximum(binv[(l, l)].real, 1e-30) / g[l]
+             for l in range(nof_layers)], axis=-1).astype(jnp.float32)
+        return wts, nv_out
+
+    a = jnp.einsum("pl...,pm...->...lm", jnp.conj(h), hw)
+    b = a + jnp.eye(nof_layers, dtype=a.dtype)
+    binv = _inv_small(b)
+    diag = jnp.real(jnp.diagonal(binv, axis1=-2, axis2=-1))
+    g = jnp.maximum(1.0 - diag, 1e-6)
+    wts = jnp.einsum("...lm,pm...->...lp", binv, jnp.conj(hw))
+    wts = (wts / g[..., None]).astype(jnp.complex64)
+    # Direct (no 1-g cancellation) post-equalization noise variance — see
+    # the scalar path's note.
+    nv_out = (jnp.maximum(diag, 1e-30) / g).astype(jnp.float32)
+    return wts, nv_out
+
+
+def _binv_scalars(h: jnp.ndarray, hw: jnp.ndarray, nof_layers: int):
+    """(A + I)^-1 of the whitened Gram as a dict of (...,) scalar arrays.
+
+    Returns (binv, g): binv[(l, m)] = [(A+I)^-1]_lm for all l, m and
+    g[l] = max(1 - Re binv[(l,l)], 1e-6).  A = H^H W H is Hermitian PD + I,
+    inverted in closed form — directly for L=1/2, blockwise 2x2
+    Schur-complement for L=4 (the Schur complement of a Hermitian PD matrix
+    stays Hermitian PD, so each 2x2 inverse is safe).
+    """
+    def gram(l, m):                     # a_lm = sum_p conj(h_pl) hw_pm
+        return jnp.sum(jnp.conj(h[:, l]) * hw[:, m], axis=0)
+
+    def inv2h(b00, b01, b11):
+        """Hermitian 2x2 [[b00, b01], [conj(b01), b11]] inverse scalars
+        (b00/b11 real) -> (i00, i01, i11)."""
+        det = b00 * b11 - (b01.real ** 2 + b01.imag ** 2)
+        d = 1.0 / det
+        return b11 * d, -b01 * d, b00 * d
+
+    if nof_layers == 1:
+        b00 = gram(0, 0).real + 1.0
+        i00 = 1.0 / b00
+        binv = {(0, 0): i00}
+    elif nof_layers == 2:
+        i00, i01, i11 = inv2h(gram(0, 0).real + 1.0, gram(0, 1),
+                              gram(1, 1).real + 1.0)
+        binv = {(0, 0): i00, (0, 1): i01, (1, 0): jnp.conj(i01), (1, 1): i11}
+    else:
+        # B = [[A, C], [C^H, D]] in 2x2 blocks; E = A^-1 C, S = D - C^H E.
+        a00 = gram(0, 0).real + 1.0
+        a01 = gram(0, 1)
+        a11 = gram(1, 1).real + 1.0
+        c00, c01 = gram(0, 2), gram(0, 3)
+        c10, c11 = gram(1, 2), gram(1, 3)
+        d00 = gram(2, 2).real + 1.0
+        d01 = gram(2, 3)
+        d11 = gram(3, 3).real + 1.0
+        ai00, ai01, ai11 = inv2h(a00, a01, a11)
+        ai10 = jnp.conj(ai01)
+        e00 = ai00 * c00 + ai01 * c10
+        e01 = ai00 * c01 + ai01 * c11
+        e10 = ai10 * c00 + ai11 * c10
+        e11 = ai10 * c01 + ai11 * c11
+        # S = D - C^H E (Hermitian: s00/s11 real).
+        s00 = d00 - (jnp.conj(c00) * e00 + jnp.conj(c10) * e10).real
+        s01 = d01 - (jnp.conj(c00) * e01 + jnp.conj(c10) * e11)
+        s11 = d11 - (jnp.conj(c01) * e01 + jnp.conj(c11) * e11).real
+        si00, si01, si11 = inv2h(s00, s01, s11)
+        si10 = jnp.conj(si01)
+        # Top-right block: -E Si; bottom-left is its conjugate transpose.
+        tr00 = -(e00 * si00 + e01 * si10)
+        tr01 = -(e00 * si01 + e01 * si11)
+        tr10 = -(e10 * si00 + e11 * si10)
+        tr11 = -(e10 * si01 + e11 * si11)
+        # Top-left: A^-1 + E Si E^H = A^-1 + (-TR) E^H.
+        tl00 = ai00 - (tr00 * jnp.conj(e00) + tr01 * jnp.conj(e01))
+        tl01 = ai01 - (tr00 * jnp.conj(e10) + tr01 * jnp.conj(e11))
+        tl11 = ai11 - (tr10 * jnp.conj(e10) + tr11 * jnp.conj(e11))
+        binv = {(0, 0): tl00, (0, 1): tl01, (1, 1): tl11,
+                (0, 2): tr00, (0, 3): tr01, (1, 2): tr10, (1, 3): tr11,
+                (2, 2): si00, (2, 3): si01, (3, 3): si11}
+        for (l, m) in list(binv):
+            if m > l:
+                binv[(m, l)] = jnp.conj(binv[(l, m)])
+        binv[(1, 0)] = jnp.conj(binv[(0, 1)])
+    g = [jnp.maximum(1.0 - binv[(l, l)].real, 1e-6)
+         for l in range(nof_layers)]
+    return binv, g
+
+
 def equalize_zf_1xn(y: jnp.ndarray, h: jnp.ndarray, noise_var: jnp.ndarray,
                     tx_scaling: float = 1.0) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Zero-forcing variant: x_hat = sum conj(h) y / sum |h|^2."""

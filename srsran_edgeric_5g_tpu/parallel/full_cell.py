@@ -120,6 +120,10 @@ class FullCellConfig:
     # amplitude_controller_{scaling,clipping}_impl): ceiling 0 = scale mode.
     tx_gain: float = 1.0
     tx_ceiling: float = 0.0
+    # Spatial layers per UE (1 = SISO programs; 2/4 route the data plane
+    # through the *_mimo slot programs — control channels stay single-port
+    # on port/antenna 0).
+    n_layers: int = 1
 
     # ------------------------------------------------------- derived cells
 
@@ -142,7 +146,14 @@ class FullCellConfig:
             prb_per_ue=self.ul_prb_per_ue, modulation=self.ul_modulation,
             target_rate=self.ul_target_rate, first_symbol=0, nof_symbols=13,
             dmrs_symbols=(2, 11), n_id=self.n_id, mu=self.mu,
-            first_prb=self.ul_first_prb)
+            first_prb=self.ul_first_prb, n_layers=self.n_layers)
+
+    def dl_cell_mimo(self) -> sp.CellConfig:
+        return dataclasses.replace(self.dl_cell(), n_layers=self.n_layers)
+
+    def dl_cell_ssb_mimo(self) -> sp.CellConfig:
+        return dataclasses.replace(self.dl_cell_ssb(),
+                                   n_layers=self.n_layers)
 
     @property
     def timing(self):
@@ -723,6 +734,148 @@ def gnb_ul_slot_batch(rx: jnp.ndarray, fc: FullCellConfig, s_total: int,
     prach_idx = fc.prach_slots(s_total)
     info = fc.prach_info()
     win = rx[jnp.asarray(prach_idx), :info.cp_samples + info.dft_size]
+    rx_freq = prach_mod.ofdm_demodulate_prach(win, info)
+    pr_metric, pr_delay, pr_det = _prach_detect_batch(rx_freq, fc)
+
+    return {
+        "payload": payload.reshape(s, u, -1),
+        "tb_ok": tb_ok.reshape(s, u),
+        "noise_var": nv, "cfo": cfo,
+        "soft": soft if soft_flat else soft.reshape(s, u * seg.c, -1),
+        "ack_bits": ack_bits, "ack_metric": ack_metric,
+        "csi_bits": csi_bits, "csi_ok": csi_ok,
+        "srs_h": srs_h, "srs_snr_db": srs_snr,
+        "prach_metric": pr_metric, "prach_delay": pr_delay,
+        "prach_detected": pr_det,
+    }
+
+
+# ============================================================ MIMO variants
+#
+# The multi-layer full gNB slot: the DATA plane (PDSCH/PUSCH) runs through
+# the *_mimo slot programs (layer-mapped single codeword, type-1 CDM DM-RS,
+# LxP whitened-Gram MMSE — slot_pipeline.dl_slot_batch_mimo /
+# _ul_front_mimo); control channels (PDCCH/SSB down, PUCCH/SRS/PRACH up)
+# stay single-port on port/antenna 0, like the reference transmits
+# broadcast+control on a fixed port while PDSCH uses the precoded ports
+# (resource_grid [sc x sym x port], precoding on PDSCH put only).
+
+def _dl_control_rows(dci: jnp.ndarray, pbch: jnp.ndarray,
+                     fc: FullCellConfig, s_total: int) -> jnp.ndarray:
+    """(S, nsymb, nsubc) port-0 control contribution: PDCCH row 0 every
+    slot + SSB symbols 2-5 on SSB slots."""
+    t = fc.timing
+    prows = pdcch_rows(dci, fc, s_total)                    # (S, nsubc)
+    blocks = ssb_blocks(pbch, fc, s_total)                  # (S_ssb, 4, 240)
+    ssb_idx = fc.ssb_slots(s_total)
+    extra = jnp.zeros((s_total, t.nsymb, t.nof_subc), jnp.complex64)
+    extra = extra.at[:, 0].add(prows)
+    sc0 = fc.ssb_first_subcarrier
+    extra = extra.at[jnp.asarray(ssb_idx), 2:6, sc0:sc0 + 240].add(blocks)
+    return extra
+
+
+def gnb_dl_slot_batch_mimo(pay_norm: jnp.ndarray, pay_ssb: jnp.ndarray,
+                           dci: jnp.ndarray, pbch: jnp.ndarray,
+                           fc: FullCellConfig, s_total: int,
+                           mesh=None) -> jnp.ndarray:
+    """Full MIMO DL slot batch -> (S, L, total) per-port samples.
+
+    pay_norm/pay_ssb at the L-layer TBS of dl_cell_mimo / dl_cell_ssb_mimo.
+    """
+    cell_n, cell_s = fc.dl_cell_mimo(), fc.dl_cell_ssb_mimo()
+    norm_idx, ssb_idx = fc.norm_slots(s_total), fc.ssb_slots(s_total)
+    rntis = fc.rntis()
+    extra = _dl_control_rows(dci, pbch, fc, s_total)
+
+    td_n = sp.dl_slot_batch_mimo(pay_norm, rntis, cell_n, mesh=mesh,
+                                 extra_rows=extra[jnp.asarray(norm_idx)])
+    td_s = sp.dl_slot_batch_mimo(pay_ssb, rntis, cell_s, mesh=mesh,
+                                 extra_rows=extra[jnp.asarray(ssb_idx)])
+    perm = np.empty(s_total, np.int64)
+    perm[norm_idx] = np.arange(len(norm_idx))
+    perm[ssb_idx] = len(norm_idx) + np.arange(len(ssb_idx))
+    td = jnp.concatenate([td_n, td_s], axis=0)[jnp.asarray(perm)]
+    from ..ops import amplitude
+    if fc.tx_ceiling > 0:
+        td, _ = amplitude.clip(td, fc.tx_gain, fc.tx_ceiling)
+    else:
+        td, _ = amplitude.scale(td, fc.tx_gain)
+    return td
+
+
+def ue_ul_slot_batch_mimo(payloads: jnp.ndarray, ack: jnp.ndarray,
+                          csi: jnp.ndarray, fc: FullCellConfig,
+                          s_total: int, prach_preamble: int = 7,
+                          prach_delay: int = 24,
+                          prach_amplitude: float = 0.002,
+                          mesh=None) -> jnp.ndarray:
+    """UE-side MIMO UL generator: (S, U, TBS_L) PUSCH payloads (+ ACK/CSI
+    control) -> (S, L, total) per-port samples.  PUSCH layers on all ports;
+    PUCCH F1/F2 + SRS + PRACH single-port on port 0 (see
+    `ue_ul_slot_batch` for the PRACH power-control note)."""
+    cell = fc.ul_cell()
+    t = cell.timing
+    u = fc.nof_ue
+    extra = jnp.zeros((s_total, t.nsymb, t.nof_subc), jnp.complex64)
+    extra = extra.at[:, :14, :u * 12].set(_f1_symbols(ack, fc, s_total))
+    csi_idx = fc.csi_slots(s_total)
+    extra = extra.at[jnp.asarray(csi_idx), 0:2].add(
+        _f2_symbols(csi, fc, s_total))
+    srs_idx = fc.srs_slots(s_total)
+    extra = extra.at[jnp.asarray(srs_idx), 13].add(
+        jnp.broadcast_to(_srs_rows(fc), (len(srs_idx), t.nof_subc)))
+
+    td = sp.dl_slot_batch_mimo(payloads, fc.rntis(), cell, mesh=mesh,
+                               extra_rows=extra)            # (S, L, total)
+    prach_idx = fc.prach_slots(s_total)
+    ptd = jnp.asarray(prach_occasion_td(fc, prach_preamble, prach_delay,
+                                        prach_amplitude))
+    return td.at[jnp.asarray(prach_idx), 0].add(ptd[None])
+
+
+def gnb_ul_slot_batch_mimo(rx: jnp.ndarray, fc: FullCellConfig,
+                           s_total: int,
+                           soft_in: jnp.ndarray | None = None,
+                           new_data: jnp.ndarray | None = None,
+                           num_iters: int = decoder.DEFAULT_ITERS,
+                           mesh=None, soft_flat: bool = False,
+                           early_stop: bool = True) -> dict:
+    """Full MIMO UL slot batch: (S, P, total) antenna samples -> the same
+    result dict as `gnb_ul_slot_batch` (payload at the L-layer TBS).
+
+    PUSCH runs the LxP whitened-Gram MMSE front over every antenna; the
+    single-port control channels (PUCCH F1/F2, SRS, PRACH) are taken from
+    antenna 0 — they ride REs disjoint from the PDSCH band, so antenna 0
+    sees them through the channel's column 0 only.
+    """
+    cell = fc.ul_cell()
+    t = cell.timing
+    s, p_rx = rx.shape[:2]
+    u = fc.nof_ue
+    rx_grid = ofdm.demodulate_slot(rx.reshape(s * p_rx, -1), t, scale=1.0)
+    rx_grid = rx_grid.reshape(s, p_rx, t.nsymb, t.nof_subc)
+
+    llr, nv, cfo = sp._ul_front_mimo(None, fc.rntis(), cell, mesh=mesh,
+                                     rx_grid=rx_grid)
+    seg, _ = sp._plans(cell, 0)
+    sb_flat = soft_in if soft_in is None or soft_flat else \
+        soft_in.reshape(s * u * seg.c, -1)
+    nd_flat = None if new_data is None else new_data.reshape(s * u)
+    payload, tb_ok, soft = sp._ul_back(llr, cell, 0, num_iters, mesh,
+                                       sb_flat, new_data=nd_flat,
+                                       early_stop=early_stop)
+
+    rx_grid0 = rx_grid[:, 0]
+    ack_bits, ack_metric = _f1_detect(rx_grid0, fc, s_total)
+    csi_idx = fc.csi_slots(s_total)
+    csi_bits, csi_ok = _f2_decode(rx_grid0[jnp.asarray(csi_idx)], fc,
+                                  s_total)
+    srs_idx = fc.srs_slots(s_total)
+    srs_h, srs_snr = _srs_estimate(rx_grid0[jnp.asarray(srs_idx)], fc)
+    prach_idx = fc.prach_slots(s_total)
+    info = fc.prach_info()
+    win = rx[jnp.asarray(prach_idx), 0, :info.cp_samples + info.dft_size]
     rx_freq = prach_mod.ofdm_demodulate_prach(win, info)
     pr_metric, pr_delay, pr_det = _prach_detect_batch(rx_freq, fc)
 

@@ -488,9 +488,15 @@ def _span_dmrs(cell: CellConfig, port: int):
 
 def dl_slot_batch_mimo(payloads: jnp.ndarray, rntis: jnp.ndarray,
                        cell: CellConfig, rv: int = 0,
-                       mesh=None) -> jnp.ndarray:
+                       mesh=None,
+                       extra_rows: jnp.ndarray | None = None) -> jnp.ndarray:
     """Multi-layer DL/UE-TX: (S, U, TBS_L) payloads -> (S, L, total)
     per-port baseband samples.
+
+    ``extra_rows``: optional (S, nsymb, nsubc) grid contribution ADDED to
+    port 0 before OFDM (control channels transmitted single-port: PDCCH/
+    SSB on the gNB side, PUCCH/SRS on the UE side — disjoint REs from the
+    PDSCH/PUSCH band).
 
     One codeword per UE at L-layer TBS, layer mapping d(Li+l) -> layer l
     (TS 38.211 §7.3.1.3), identity precoding (port p = layer p), type-1
@@ -543,35 +549,63 @@ def dl_slot_batch_mimo(payloads: jnp.ndarray, rntis: jnp.ndarray,
                 rows.append(zero_row)
         return jnp.stack(rows)
 
-    def one_slot(sy):                                # sy: (U, ndata*w, L)
+    def one_slot(sy, ex):                            # sy: (U, ndata*w, L)
         tds = []
         for p in range(L):
             grid = one_port_grid(sy[:, :, p], p)
+            if p == 0 and ex is not None:
+                grid = grid + ex.astype(jnp.complex64)
             tds.append(ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft))
         return jnp.stack(tds)
 
-    return jax.vmap(one_slot)(m)                     # (S, L, total)
+    if extra_rows is None:
+        return jax.vmap(lambda sy: one_slot(sy, None))(m)   # (S, L, total)
+    return jax.vmap(one_slot)(m, extra_rows)
 
 
 def ul_slot_batch_mimo(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
                        cell: CellConfig, rv: int = 0,
-                       num_iters: int = decoder.DEFAULT_ITERS, mesh=None):
+                       num_iters: int = decoder.DEFAULT_ITERS, mesh=None,
+                       soft_buffer: jnp.ndarray | None = None,
+                       new_data: jnp.ndarray | None = None,
+                       early_stop: bool = True):
     """Multi-port UL RX: (S, P, total) antenna samples -> per-slot decode
     results (payload (S,U,TBS_L), tb_ok (S,U), noise_var (S,U),
-    cfo (S,U), soft).
+    cfo (S,U), soft (S, U*C, n_cb)).
+
+    ``soft_buffer``/``new_data``: HARQ soft-combining state, same contract
+    as `ul_slot_batch`.
+    """
+    s = rx_samples.shape[0]
+    u = cell.nof_ue
+    seg, _ = _plans(cell, rv)
+    llr, nv, cfo = _ul_front_mimo(rx_samples, rntis, cell, rv, mesh)
+    sb_flat = None if soft_buffer is None else \
+        soft_buffer.reshape(s * u * seg.c, -1)
+    nd_flat = None if new_data is None else new_data.reshape(s * u)
+    payload, tb_ok, soft = _ul_back(llr, cell, rv, num_iters, mesh, sb_flat,
+                                    new_data=nd_flat, early_stop=early_stop)
+    return (payload.reshape(s, u, -1), tb_ok.reshape(s, u), nv, cfo,
+            soft.reshape(s, u * seg.c, -1))
+
+
+def _ul_front_mimo(rx_samples: jnp.ndarray | None, rntis: jnp.ndarray,
+                   cell: CellConfig, rv: int = 0, mesh=None,
+                   rx_grid: jnp.ndarray | None = None):
+    """Multi-port UL front-end: (S, P, total) samples (or a pre-demodulated
+    (S, P, nsymb, nsubc) ``rx_grid``) -> ((S*U, L*G) LLRs, (S, U) nv,
+    (S, U) cfo).
 
     Port axis through the whole front-end: per-antenna OFDM demod, per
     (antenna, CDM group) OCC-despread channel estimation (frequency OCC
     over pilot pairs -> half-rate virtual pilots into the standard
-    estimator), LxP whitened-Gram MMSE per RE (equalize_mmse_lxn,
-    trailing-dim batched over all S*U), layer demap, then the standard
-    flat-batch descramble/dematch/decode.  Counterpart of the reference's
-    per-port estimator loop + channel_equalizer_generic_impl
+    estimator), LxP whitened-Gram MMSE weights per subcarrier applied to
+    all data symbols, layer demap, descramble.  Counterpart of the
+    reference's per-port estimator loop + channel_equalizer_generic_impl
     (pusch_processor_impl.cpp:167-181, equalize_mmse_1xn.h generalised).
     """
     L = cell.n_layers
     t = cell.timing
-    s, p_rx, total = rx_samples.shape
     u = cell.nof_ue
     w = cell.ue_width_sc
     span = u * w
@@ -579,11 +613,14 @@ def ul_slot_batch_mimo(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
     ndata = len(cell.data_symbols)
     ndmrs = len(cell.dmrs_symbols)
     n_groups = (L + 1) // 2
-    seg, rm = _plans(cell, rv)
 
-    rx_grid = ofdm.demodulate_slot(rx_samples.reshape(s * p_rx, total), t,
-                                   scale=1.0)
-    rx_grid = rx_grid.reshape(s, p_rx, t.nsymb, t.nof_subc)
+    if rx_grid is None:
+        s, p_rx, total = rx_samples.shape
+        rx_grid = ofdm.demodulate_slot(rx_samples.reshape(s * p_rx, total),
+                                       t, scale=1.0)
+        rx_grid = rx_grid.reshape(s, p_rx, t.nsymb, t.nof_subc)
+    else:
+        s, p_rx = rx_grid.shape[:2]
     band = rx_grid[..., band0:band0 + span]          # (S, P, nsymb, span)
 
     pilots = _dmrs_full_band(cell)
@@ -638,24 +675,23 @@ def ul_slot_batch_mimo(rx_samples: jnp.ndarray, rntis: jnp.ndarray,
         ph = np.float32(-2.0 * np.pi) * cfo.reshape(s * u)[:, None] \
             * jnp.asarray(t_data)
         y = y * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))[None, :, :, None]
-    hh = h.transpose(1, 2, 0, 3, 4).reshape(p_rx, L, s * u, 1, w)
-    hh = jnp.broadcast_to(hh, (p_rx, L, s * u, ndata, w))
+    hh = h.transpose(1, 2, 0, 3, 4).reshape(p_rx, L, s * u, w)
     # Noise floor: a zero noise estimate (noiseless loopback) would blow
     # up the whitening weights into degenerate all-zero equalizer outputs
     # (whose all-zero codeword PASSES parity) — same role as the 1xN
     # path's abnormal-input semantics.
-    nv_p = jnp.maximum(nv.transpose(1, 0, 2).reshape(p_rx, s * u, 1, 1),
-                       1e-9)
-    x_hat, nv_out = equalizer.equalize_mmse_lxn(y, hh, nv_p)
+    nv_p = jnp.maximum(nv.transpose(1, 0, 2).reshape(p_rx, s * u, 1), 1e-9)
+    # The channel estimate is per-subcarrier, constant across data symbols:
+    # compute the MMSE combining weights ONCE per (slot-UE, subcarrier) and
+    # apply them to all ndata symbols (the Gram/inverse per data-symbol RE
+    # was ~90% of the 4x4 step's device time).
+    wts, nv_out = equalizer.mmse_weights_lxn(hh, nv_p)   # (B,w,L,P),(B,w,L)
+    x_hat = jnp.einsum("bwlp,pbnw->bnwl", wts, y)        # (B, ndata, w, L)
     # Layer demap d(Li+l) <- layer l: RE-major, layer-minor.
-    x = x_hat.transpose(1, 2, 3, 0).reshape(s * u, -1)
-    nv_x = nv_out.transpose(1, 2, 3, 0).reshape(s * u, -1)
+    x = x_hat.reshape(s * u, -1)
+    nv_x = jnp.broadcast_to(nv_out[:, None], x_hat.shape).reshape(s * u, -1)
     llr = modulation.demodulate_soft(x, nv_x, cell.modulation,
                                      quantize=False)
     ci_row = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
     llr = sequences.scramble_llrs(llr, jnp.tile(ci_row, s))
-
-    payload, tb_ok, soft = _ul_back(llr, cell, rv, num_iters, mesh)
-    return (payload.reshape(s, u, -1), tb_ok.reshape(s, u),
-            jnp.mean(nv, axis=1), cfo,
-            soft.reshape(s, u * seg.c, -1))
+    return llr, jnp.mean(nv, axis=1), cfo

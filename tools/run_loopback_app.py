@@ -35,12 +35,48 @@ def _radio_roundtrip(tx, rx, samples, snr_db, rng, total):
     return got if len(got) >= total else None
 
 
+class _AttachingUe:
+    """UE-side RA state machine for the --rach overlay (the srsue role:
+    idle -> preamble -> RAR monitored -> Msg3 -> contention resolved)."""
+
+    def __init__(self, preamble: int, ue_id48: int):
+        self.state = "idle"
+        self.preamble = preamble
+        self.ue_id48 = ue_id48
+        self.tc_rnti = None
+        self.msg3_slot = None
+        self.msg3_grant = None          # (start_prb, nof_prb, mcs)
+
+
+def _rach_overlay_setup(cfg, cell, rng, n_ues: int):
+    """PRACH occasion geometry + UE FSMs + the gNB RA procedure."""
+    from srsran_edgeric_5g_tpu.mac import rach as rach_mod
+    from srsran_edgeric_5g_tpu.ops import prach as prach_mod
+
+    t = cell.timing
+    pcfg = prach_mod.PrachConfig(root_sequence_index=1,
+                                 zero_correlation_zone=13)
+    info = prach_mod.prach_ofdm_info(int(t.srate))
+    rcfg = rach_mod.RachConfig(bwp_prbs=cfg.nof_prb)
+    proc = rach_mod.RachProcedure(rcfg)
+    ues = [_AttachingUe(preamble=7 + 11 * u,
+                        ue_id48=int(rng.integers(0, 1 << 48)))
+           for u in range(n_ues)]
+    return pcfg, info, rcfg, proc, ues
+
+
 def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
                   rng):
     """The scheduled cell: MAC grants (policy + EdgeRIC overrides) drive a
     cached heterogeneous-allocation PHY slot-by-slot — the cell_scheduler
     run_slot -> FAPI -> PDSCH sequence of the reference, with the jitted
-    hetero program cached per RBG-quantized grant layout."""
+    hetero program cached per RBG-quantized grant layout.
+
+    With --rach N the cell starts EMPTY: N UEs attach through the full
+    random-access procedure over the radio loop (PRACH occasion -> detect ->
+    RAR PDSCH at RA-RNTI -> Msg3 PUSCH -> contention resolution -> the UE
+    enters the scheduler), the reference's prach_sch/ra_sch slot sequence
+    (cell_scheduler.cpp:117-138) + mac_ctrl UE creation."""
     import jax.numpy as jnp
 
     from srsran_edgeric_5g_tpu.mac import scheduler as mac
@@ -49,7 +85,9 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
         to_device_complex
 
     t = cell.timing
-    rntis = [0x4601 + u for u in range(cell.nof_ue)]
+    rach_n = getattr(args, "rach", 0)
+    rntis = ([] if rach_n
+             else [0x4601 + u for u in range(cell.nof_ue)])
     scfg = mac.SchedulerConfig(
         nof_prb=cfg.nof_prb,
         policy="time_rr" if args.sched == "rr" else "time_pf",
@@ -59,20 +97,165 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
     for r in rntis:
         sched.handle_csi(r, cqi_from_sinr_db(args.snr), args.snr)
     # Uneven traffic so policies visibly differ: UE u gets ~(u+1) shares.
-    mean_arrival = [2000 * (u + 1) for u in range(cell.nof_ue)]
+    mean_arrival = {r: 2000 * (u + 1) for u, r in enumerate(rntis)}
     procs: dict[tuple, HeteroCellProcessor] = {}
     agent = er_sink.agent if er_sink is not None else None
     ok_count = tb_count = 0
     bytes_served = dict.fromkeys(rntis, 0)
+
+    if rach_n:
+        from srsran_edgeric_5g_tpu.mac import rach as rach_mod
+        from srsran_edgeric_5g_tpu.models.pdsch import PdschConfig
+        from srsran_edgeric_5g_tpu.ops import prach as prach_mod
+        from srsran_edgeric_5g_tpu.ran import tbs as tbs_mod
+        pcfg, pinfo, rcfg, ra_proc, att_ues = _rach_overlay_setup(
+            cfg, cell, rng, rach_n)
+        prach_cache: dict[int, np.ndarray] = {}
+        msg4_queue: list = []
+        attached = []
+
+        def _hetero(key, cfgs):
+            if key not in procs:
+                procs[key] = HeteroCellProcessor(t, cfgs)
+            return procs[key]
+
+        def _msg3_cfg(start, length, mcs_idx, rnti):
+            m = tbs_mod.mcs_config(mcs_idx, "qam64")
+            return PdschConfig(rnti=rnti, nof_prb=length, start_prb=start,
+                               modulation=m.modulation,
+                               target_rate=m.target_rate)
+
     t0 = time.time()
     for slot in range(args.slots):
         if slot_clock.advance(slot) is None:
             continue
-        for r, lam in zip(rntis, mean_arrival):
+
+        ctrl_dl = None                # (kind, payload) control-plane PDSCH
+        if rach_n:
+            # ---- UL leg: PRACH occasion + Msg3 PUSCH over the radio ----
+            total = t.cp.total
+            occasion = (slot % 10 == 5)
+            ul_td = np.zeros(total, np.complex64)
+            ul_active = False
+            for ue in att_ues:
+                if ue.state == "idle" and occasion:
+                    if ue.preamble not in prach_cache:
+                        w = prach_mod.ofdm_modulate_prach(
+                            prach_mod.generate(pcfg, ue.preamble), pinfo)
+                        prach_cache[ue.preamble] = np.asarray(w)
+                    w = prach_cache[ue.preamble]
+                    ul_td[:len(w)] += w
+                    ue.state = "wait_rar"
+                    ul_active = True
+                elif ue.state == "wait_msg3" and slot == ue.msg3_slot:
+                    m3p = _hetero(("msg3", ue.tc_rnti, ue.msg3_grant),
+                                  [_msg3_cfg(*ue.msg3_grant, ue.tc_rnti)])
+                    bits = rach_mod.encode_msg3_ccch(ue.ue_id48)
+                    pl = np.zeros((1, m3p.tbs[0]), np.int8)
+                    pl[0, :len(bits)] = bits
+                    m3_td = m3p.process_ul_tx_slot([jnp.asarray(pl)])
+                    ul_td = ul_td + from_device_complex(m3_td)
+                    ue.state = "wait_conres"
+                    ul_active = True
+            got_ul = (_radio_roundtrip(tx, rx, ul_td, args.snr, rng, total)
+                      if ul_active else None)
+            # ---- gNB: PRACH detection (uplink_processor -> MAC rach
+            # indication) ----
+            if occasion and got_ul is not None:
+                win = got_ul[:pinfo.cp_samples
+                             + pinfo.n_reps * pinfo.dft_size]
+                freq = prach_mod.ofdm_demodulate_prach(
+                    to_device_complex(win), pinfo)
+                det = prach_mod.detect(freq, pcfg)
+                for p in np.nonzero(np.asarray(det.detected))[0]:
+                    delay_s = (float(np.asarray(det.delays)[p])
+                               / (pcfg.l_ra * 1250.0))
+                    ra_proc.handle_prach_detection(slot, int(p), delay_s)
+                    print(f"slot {slot}: PRACH preamble {int(p)} detected",
+                          flush=True)
+            # ---- gNB: ra_scheduler::run_slot (RAR + Msg3 grants) ----
+            rar, msg3_due = ra_proc.run_slot(slot)
+            for m in msg3_due:
+                if got_ul is None:
+                    ra_proc.handle_msg3_crc(m.tc_rnti, False, None)
+                    continue
+                grant = (m.start_prb, m.nof_prb, m.mcs)
+                m3p = _hetero(("msg3", m.tc_rnti, grant),
+                              [_msg3_cfg(*grant, m.tc_rnti)])
+                hat, okb, _, _ = m3p.process_ul_slot(
+                    to_device_complex(got_ul))[0]
+                conn = ra_proc.handle_msg3_crc(
+                    m.tc_rnti, bool(np.asarray(okb).all()), np.asarray(hat))
+                if conn is not None:
+                    # mac_ctrl UE creation: the UE joins the scheduler.
+                    sched.ues[conn.c_rnti] = mac.SchedUe(rnti=conn.c_rnti)
+                    sched.handle_csi(conn.c_rnti, cqi_from_sinr_db(args.snr),
+                                     args.snr)
+                    bytes_served[conn.c_rnti] = 0
+                    mean_arrival[conn.c_rnti] = 2000 * len(bytes_served)
+                    msg4_queue.append((conn.c_rnti, conn.msg4_bits))
+                    attached.append(conn.c_rnti)
+                    print(f"slot {slot}: Msg3 ok, UE rnti={conn.c_rnti:#x} "
+                          f"connected", flush=True)
+            if rar is not None:
+                ctrl_dl = ("rar", rar)
+            elif msg4_queue:
+                ctrl_dl = ("msg4", msg4_queue.pop(0))
+
+        if ctrl_dl is not None:
+            # Control-plane PDSCH (RAR at RA-RNTI / Msg4 conres at C-RNTI)
+            # takes this slot's DL; UE side decodes and advances its FSM.
+            kind, item = ctrl_dl
+            if kind == "rar":
+                rnti, bits = item.ra_rnti, item.payload_bits
+            else:
+                rnti, bits = item
+            # ~30 payload bits/PRB at QPSK r0.12: size the control PDSCH to
+            # the PDU (a multi-subPDU RAR grows with the occasion's load).
+            n_prb = max(4, -(-len(bits) // 30) + 1)
+            c_cfg = PdschConfig(rnti=rnti, nof_prb=n_prb, start_prb=0,
+                                modulation="qpsk", target_rate=0.12)
+            cp_ = _hetero(("ctrl", rnti, n_prb), [c_cfg])
+            pl = np.zeros((1, cp_.tbs[0]), np.int8)
+            pl[0, :len(bits)] = bits
+            td = cp_.process_dl_slot([jnp.asarray(pl)])
+            got = _radio_roundtrip(tx, rx, from_device_complex(td),
+                                   args.snr, rng, t.cp.total)
+            if got is None:
+                notifier.on_underflow(slot)
+                continue
+            hat, okb, _, _ = cp_.process_dl_rx_slot(
+                to_device_complex(got))[0]
+            if not bool(np.asarray(okb).all()):
+                continue
+            hat = np.asarray(hat).reshape(-1)
+            if kind == "rar":
+                for sub in rach_mod.decode_rar_pdu(hat):
+                    for ue in att_ues:
+                        if ue.state == "wait_rar" and \
+                                ue.preamble == sub.rapid:
+                            ue.tc_rnti = sub.tc_rnti
+                            start, length = rach_mod.riv_type1_decode(
+                                sub.ul_grant.riv, rcfg.bwp_prbs)
+                            ue.msg3_grant = (start, length, sub.ul_grant.mcs)
+                            ue.msg3_slot = slot + rcfg.msg3_delay_slots
+                            ue.state = "wait_msg3"
+            else:
+                ue_id = rach_mod.decode_msg4_conres(hat)
+                for ue in att_ues:
+                    if ue.state == "wait_conres" and ue.ue_id48 == ue_id:
+                        ue.state = "connected"
+                        print(f"slot {slot}: contention resolved for "
+                              f"rnti={ue.tc_rnti:#x}", flush=True)
+            continue
+
+        active = list(sched.ues)
+        for r in active:
             sched.update_buffer(
-                r, dl_bytes=sched.ues[r].dl_buffer + int(rng.poisson(lam)))
-        weights = agent.get_weights(rntis) if agent else None
-        mcs_ovr = agent.get_mcs(rntis) if agent else None
+                r, dl_bytes=sched.ues[r].dl_buffer
+                + int(rng.poisson(mean_arrival[r])))
+        weights = agent.get_weights(active) if agent else None
+        mcs_ovr = agent.get_mcs(active) if agent else None
         grants = sched.run_slot(weights=weights, mcs_overrides=mcs_ovr)
         if agent:
             agent.send_metrics(sched.ue_reports())
@@ -112,7 +295,15 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
     if agent is not None:
         print(f"edgeric: {agent.tti} TTIs; last weights age "
               f"{agent.weights_age}", flush=True)
-    return 0 if ok_count == tb_count else 1
+    ok = ok_count == tb_count
+    if rach_n:
+        states = {ue.state for ue in att_ues}
+        print(f"rach: {len(attached)}/{rach_n} UEs attached "
+              f"(rntis {[hex(r) for r in attached]}), UE states {states}",
+              flush=True)
+        ok = ok and len(attached) == rach_n and states == {"connected"} \
+            and tb_count > 0
+    return 0 if ok else 1
 
 
 def main(argv=None):
@@ -125,6 +316,11 @@ def main(argv=None):
     ap.add_argument("--edgeric", action="store_true",
                     help="publish per-TTI metrics to an EdgeRIC muApp "
                          "(ipc:///tmp/metrics) and poll policy channels")
+    ap.add_argument("--rach", type=int, default=0,
+                    help="start the cell EMPTY and attach N UEs via the "
+                         "full random-access procedure (PRACH occasion -> "
+                         "RAR -> Msg3 -> contention resolution) before "
+                         "they carry scheduled traffic; implies --sched")
     ap.add_argument("--sched", choices=("off", "rr", "pf"), default="off",
                     help="run the MAC scheduler per slot: grants (RBG-"
                          "quantized, EdgeRIC-weight steerable) drive a "
@@ -183,6 +379,8 @@ def main(argv=None):
           f"{cell.nof_ue} UEs x {cell.prb_per_ue} PRB, TBS {tbs}, "
           f"srate {t.srate/1e6:.2f} Msps", flush=True)
 
+    if args.rach and args.sched == "off":
+        args.sched = "pf"
     if args.sched != "off":
         code = run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier,
                              slot_clock, rng)

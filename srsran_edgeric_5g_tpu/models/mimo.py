@@ -209,14 +209,15 @@ def receive_mimo(rx_grids: jnp.ndarray, cfg: PdschConfig, srate: float,
         ph = np.float32(-2.0 * np.pi) * cfo * jnp.asarray(t_data)
         y = y * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))[None, :, None]
     # Weights once per subcarrier (channel constant across data symbols),
-    # applied to every data-symbol RE — see equalizer.mmse_weights_lxn.
-    nv_p = jnp.maximum(nv[:, None], 1e-30)
-    wts, nv_out = equalizer.mmse_weights_lxn(h, nv_p)   # (w,L,P), (w,L)
-    x_hat = jnp.einsum("wlp,pnw->nwl", wts, y)          # (ndata, w, L)
+    # applied as fused per-layer multiply-adds — equalizer.mmse_equalize_
+    # timeinv (add a singleton batch dim B=1).
+    nv_p = jnp.maximum(nv[:, None, None], 1e-30)        # (P, 1, 1)
+    x_hat, nv_out = equalizer.mmse_equalize_timeinv(
+        y[:, None], h[:, :, None], nv_p)                # (1,ndata,w,L)
 
     llr = modulation.demodulate_soft(
         x_hat.reshape(1, -1),
-        jnp.broadcast_to(nv_out[None], x_hat.shape).reshape(1, -1),
+        jnp.broadcast_to(nv_out[:, None], x_hat.shape).reshape(1, -1),
         cfg.modulation, quantize=False)
     ci = jnp.asarray([scrambling_c_init(cfg.rnti, cfg.n_id)], dtype=jnp.uint32)
     llr = sequences.scramble_llrs(llr, ci)

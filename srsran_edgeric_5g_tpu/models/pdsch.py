@@ -50,6 +50,12 @@ class PdschConfig:
     # DM-RS switches to the low-PAPR ZC sequence (§6.4.1.1.3, u = n_id mod
     # 30, no hopping) via pilot_values().
     transform_precoding: bool = False
+    # Grid subcarrier index of the radio's DC position (None = no DC inside
+    # the band / ZMQ loopback).  The receive chain zeroes the channel
+    # estimate there so the equalizer's abnormal-input rule erases that
+    # RE's LLRs — real radios put a distorted carrier at DC
+    # (pusch_processor_impl.cpp:184-199).
+    dc_position: int | None = None
 
     @property
     def data_symbols(self) -> tuple[int, ...]:

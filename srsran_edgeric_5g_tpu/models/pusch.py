@@ -175,6 +175,12 @@ def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
 
     h, nv, cfo = channel_estimate(rx_grid, cfg, srate, symbol_times,
                                   scs_hz, delay_spread_s, dmrs_beta)
+    # DC-position zeroing (pusch_processor_impl.cpp:184-199): a zero
+    # channel estimate makes equalize_mmse_1xn treat the DC RE as an
+    # invalid port -> x_hat 0, nvar inf -> the demapper erases its LLRs.
+    if cfg.dc_position is not None and \
+            sc0 <= cfg.dc_position < sc0 + width:
+        h = h.at[cfg.dc_position - sc0].set(0.0 + 0.0j)
 
     sym_idx = jnp.asarray(np.asarray(cfg.data_symbols, dtype=np.int32))
     y = rx_grid[sym_idx, sc0:sc0 + width]             # (ndata_sym, width)

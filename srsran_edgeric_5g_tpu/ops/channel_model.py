@@ -109,3 +109,55 @@ def fade_awgn(key, samples: jnp.ndarray, profile: str, srate: float,
     h = tdl_coefficients(k1, ch)
     faded = apply_tdl(samples, ch, h)
     return awgn(k2, faded, snr_db), h
+
+
+# ------------------------------------------------- HST / RLF trajectories
+
+def hst_doppler_hz(t_s: jnp.ndarray, fd_hz: float, period_s: float,
+                   ds_m: float = 300.0, dmin_m: float = 2.0) -> jnp.ndarray:
+    """Instantaneous Doppler of the TS 36.141 high-speed-train scenario.
+
+    Counterpart of srs-4G-UE/lib/src/phy/channel/hst.c:70-81: the train
+    passes the base station once per ``period_s``; cos(theta(t)) follows
+    the two-branch trajectory geometry (ds_m = BS distance along track,
+    dmin_m = BS distance from track), giving the characteristic +fd -> -fd
+    Doppler sweep through the pass.  Vectorised over ``t_s``.
+    """
+    t = jnp.mod(jnp.asarray(t_s, jnp.float32), np.float32(period_s))
+    num = jnp.where(t <= period_s / 2.0,
+                    np.float32(period_s / 4.0) - t,
+                    t - np.float32(0.75 * period_s))
+    den = jnp.sqrt(np.float32((dmin_m * period_s / (ds_m * 2.0)) ** 2)
+                   + num * num)
+    return np.float32(fd_hz) * num / den
+
+
+def apply_hst(samples: jnp.ndarray, fd_hz: float, period_s: float,
+              srate: float, slot_s: float = 1e-3,
+              init_time_s: float = 0.0) -> jnp.ndarray:
+    """Apply the HST Doppler trajectory to a (S, total) slot batch.
+
+    Like the reference, the Doppler is held constant within each slot
+    (hst.c:84 "assume the doppler does not vary in a sub-frame") and the
+    shift is applied as a phase ramp exp(-j 2 pi fs t).
+    """
+    s, total = samples.shape
+    t_slots = init_time_s + np.arange(s, dtype=np.float32) * slot_s
+    fs = hst_doppler_hz(jnp.asarray(t_slots), fd_hz, period_s)  # (S,)
+    n = jnp.arange(total, dtype=jnp.float32) / np.float32(srate)
+    ph = np.float32(-2.0 * np.pi) * fs[:, None] * n[None, :]
+    return samples * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+
+def apply_rlf(samples: jnp.ndarray, t_on_ms: int, t_off_ms: int,
+              slot_ms: float = 1.0, init_time_ms: float = 0.0
+              ) -> jnp.ndarray:
+    """Radio-link-failure emulation: periodic full-blank of the channel
+    (srs-4G-UE/lib/src/phy/channel/rlf.c:36-55 — unity gain for t_on_ms,
+    zero for t_off_ms).  Slot-granular over a (S, total) batch."""
+    s = samples.shape[0]
+    period = float(t_on_ms + t_off_ms)
+    t = np.mod(init_time_ms + np.arange(s, dtype=np.float64) * slot_ms,
+               period)
+    gain = (t < t_on_ms).astype(np.float32)
+    return samples * jnp.asarray(gain)[:, None]

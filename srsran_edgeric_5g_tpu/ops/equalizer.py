@@ -254,6 +254,46 @@ def mmse_weights_lxn(h: jnp.ndarray, noise_var: jnp.ndarray
     return wts, nv_out
 
 
+def mmse_equalize_timeinv(y: jnp.ndarray, h: jnp.ndarray,
+                          noise_var: jnp.ndarray
+                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Weights-once MMSE equalization of a time-invariant channel, fused.
+
+    Args:
+      y: (P, B, n, w) received data REs (n = data symbols).
+      h: (P, L, B, w) channel estimate (constant over n).
+      noise_var: per-port noise variance broadcastable to (P, B, w).
+
+    Returns (x_hat (B, n, w, L) RE-major layer-minor, nv_out (B, w, L)).
+
+    Same math as `mmse_weights_lxn` + application, but entirely in scalar
+    components INCLUDING the application: each layer's output is a fused
+    sum of P elementwise multiply-adds over (B, n, w) with a natural
+    row-major layout, so the downstream `.reshape(B, -1)` into the
+    demapper is free.  (The einsum application's XLA-chosen layout forced
+    a materialized transpose copy of the whole x_hat tensor — ~10% of the
+    2x2 step.)
+    """
+    nof_layers = h.shape[1]
+    nv = jnp.broadcast_to(noise_var, h.shape[:1] + h.shape[2:])
+    w_n = (1.0 / jnp.maximum(nv, 1e-30)).astype(jnp.float32)
+    hw = h * w_n[:, None]
+    binv, g = _binv_scalars(h, hw, nof_layers)
+    xs, nvs = [], []
+    for l in range(nof_layers):
+        acc = None
+        for p in range(h.shape[0]):
+            w_lp = sum(binv[(l, m)] * jnp.conj(hw[p, m])
+                       for m in range(nof_layers)) / g[l]     # (B, w)
+            term = w_lp[:, None, :] * y[p]                    # (B, n, w)
+            acc = term if acc is None else acc + term
+        xs.append(acc)
+        nvs.append(jnp.maximum(binv[(l, l)].real, 1e-30) / g[l])
+    x_hat = jnp.stack(xs, axis=-1).astype(jnp.complex64)      # (B, n, w, L)
+    nv_out = jnp.stack(nvs, axis=-1).astype(jnp.float32)      # (B, w, L)
+    return x_hat, nv_out
+
+
 def _binv_scalars(h: jnp.ndarray, hw: jnp.ndarray, nof_layers: int):
     """(A + I)^-1 of the whitened Gram as a dict of (...,) scalar arrays.
 

@@ -124,6 +124,12 @@ class FullCellConfig:
     # through the *_mimo slot programs — control channels stay single-port
     # on port/antenna 0).
     n_layers: int = 1
+    # PUSCH channel-estimator chain: 0 = plain LS+interp; > 0 enables the
+    # reference's TA + frequency-smoothing estimator with this expected
+    # delay spread (us) — ~3-4 dB less estimator noise, which at the
+    # 256QAM r0.92 point buys back the decode sweeps the noisy estimate
+    # costs (port_channel_estimator_average_impl.h:41-45 counterpart).
+    ul_delay_spread_us: float = 0.0
 
     # ------------------------------------------------------- derived cells
 
@@ -146,7 +152,8 @@ class FullCellConfig:
             prb_per_ue=self.ul_prb_per_ue, modulation=self.ul_modulation,
             target_rate=self.ul_target_rate, first_symbol=0, nof_symbols=13,
             dmrs_symbols=(2, 11), n_id=self.n_id, mu=self.mu,
-            first_prb=self.ul_first_prb, n_layers=self.n_layers)
+            first_prb=self.ul_first_prb, n_layers=self.n_layers,
+            delay_spread_us=self.ul_delay_spread_us)
 
     def dl_cell_mimo(self) -> sp.CellConfig:
         return dataclasses.replace(self.dl_cell(), n_layers=self.n_layers)

@@ -64,6 +64,11 @@ class CellConfig:
     # *_mimo slot programs: layer-mapped single codeword, type-1 CDM DM-RS
     # groups, LxN whitened-Gram MMSE).
     n_layers: int = 1
+    # Grid subcarrier of the radio DC position (None = no zeroing — the ZMQ
+    # loopback has no DC distortion).  Against a real radio set it to
+    # nof_subc // 2: the UL front zeroes the channel estimate there
+    # (pusch_processor_impl.cpp:184-199) so that RE's LLRs are erased.
+    dc_position: int | None = None
 
     @property
     def timing(self) -> SlotTiming:
@@ -347,7 +352,14 @@ def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
             dmrs_symbol_times_s=times_opt)
     # h: (S*U, w), nv: (S*U,)
 
-    # CFO compensation of the data symbols: estimate_port anchors h at t=0
+    # DC-position zeroing (pusch_processor_impl.cpp:184-199): rows are
+    # slot-major (index = slot*U + ue), so the UE band containing DC is the
+    # strided row slice [ue_dc::U]; a zero estimate makes the equalizer
+    # erase that RE (abnormal-input rule).
+    if cell.dc_position is not None and \
+            band0 <= cell.dc_position < band0 + span:
+        ue_dc, off_dc = divmod(cell.dc_position - band0, w)
+        h = h.at[ue_dc::u, off_dc].set(0.0 + 0.0j)
     # (it derotates the pilots by their symbol times), so each data symbol
     # still carries e^{j2pi*cfo*t_l}.  The reference equivalently re-applies
     # the CFO ramp onto every symbol's channel estimate
@@ -683,10 +695,10 @@ def _ul_front_mimo(rx_samples: jnp.ndarray | None, rntis: jnp.ndarray,
     nv_p = jnp.maximum(nv.transpose(1, 0, 2).reshape(p_rx, s * u, 1), 1e-9)
     # The channel estimate is per-subcarrier, constant across data symbols:
     # compute the MMSE combining weights ONCE per (slot-UE, subcarrier) and
-    # apply them to all ndata symbols (the Gram/inverse per data-symbol RE
-    # was ~90% of the 4x4 step's device time).
-    wts, nv_out = equalizer.mmse_weights_lxn(hh, nv_p)   # (B,w,L,P),(B,w,L)
-    x_hat = jnp.einsum("bwlp,pbnw->bnwl", wts, y)        # (B, ndata, w, L)
+    # apply them to all ndata symbols as fused per-layer multiply-adds (the
+    # Gram/inverse per data-symbol RE was ~90% of the 4x4 step's device
+    # time; the einsum application's layout copy another ~10%).
+    x_hat, nv_out = equalizer.mmse_equalize_timeinv(y, hh, nv_p)
     # Layer demap d(Li+l) <- layer l: RE-major, layer-minor.
     x = x_hat.reshape(s * u, -1)
     nv_x = jnp.broadcast_to(nv_out[:, None], x_hat.shape).reshape(s * u, -1)

@@ -210,15 +210,21 @@ def receive_mimo(rx_grids: jnp.ndarray, cfg: PdschConfig, srate: float,
         y = y * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))[None, :, None]
     # Weights once per subcarrier (channel constant across data symbols),
     # applied as fused per-layer multiply-adds — equalizer.mmse_equalize_
-    # timeinv (add a singleton batch dim B=1).
+    # timeinv (add a singleton batch dim B=1).  Demap layer-major, then
+    # interleave the LLRs into codeword order (see _ul_front_mimo).
     nv_p = jnp.maximum(nv[:, None, None], 1e-30)        # (P, 1, 1)
     x_hat, nv_out = equalizer.mmse_equalize_timeinv(
-        y[:, None], h[:, :, None], nv_p)                # (1,ndata,w,L)
-
-    llr = modulation.demodulate_soft(
-        x_hat.reshape(1, -1),
-        jnp.broadcast_to(nv_out[:, None], x_hat.shape).reshape(1, -1),
-        cfg.modulation, quantize=False)
+        y[:, None], h[:, :, None], nv_p)                # (1, L, ndata, w)
+    ndata_n, w_n = y.shape[1], y.shape[2]
+    qm = cfg.qm
+    x = x_hat.reshape(n_layers, ndata_n * w_n)
+    nv_x = jnp.broadcast_to(nv_out[0, :, None, :],
+                            (n_layers, ndata_n, w_n)
+                            ).reshape(n_layers, ndata_n * w_n)
+    llr = modulation.demodulate_soft(x, nv_x, cfg.modulation,
+                                     quantize=False)    # (L, nw*Qm)
+    llr = llr.reshape(n_layers, ndata_n * w_n, qm).transpose(1, 0, 2)
+    llr = llr.reshape(1, -1)
     ci = jnp.asarray([scrambling_c_init(cfg.rnti, cfg.n_id)], dtype=jnp.uint32)
     llr = sequences.scramble_llrs(llr, ci)
 

@@ -264,15 +264,17 @@ def mmse_equalize_timeinv(y: jnp.ndarray, h: jnp.ndarray,
       h: (P, L, B, w) channel estimate (constant over n).
       noise_var: per-port noise variance broadcastable to (P, B, w).
 
-    Returns (x_hat (B, n, w, L) RE-major layer-minor, nv_out (B, w, L)).
+    Returns (x_hat (B, L, n, w) LAYER-MAJOR, nv_out (B, L, w)).
 
     Same math as `mmse_weights_lxn` + application, but entirely in scalar
     components INCLUDING the application: each layer's output is a fused
-    sum of P elementwise multiply-adds over (B, n, w) with a natural
-    row-major layout, so the downstream `.reshape(B, -1)` into the
-    demapper is free.  (The einsum application's XLA-chosen layout forced
-    a materialized transpose copy of the whole x_hat tensor — ~10% of the
-    2x2 step.)
+    sum of P elementwise multiply-adds over (B, n, w).  The output keeps
+    the layer axis MAJOR: with the spec's RE-major/layer-minor codeword
+    order as the array's minor axis, every downstream elementwise tensor
+    tiles (8, 128) against a 2/4-wide minor dim — the demap ops ran at a
+    fraction of VPU lane utilization (~18% of the 2x2 step).  The caller
+    demaps per layer in this wide layout and performs the spec interleave
+    ONCE on the LLR tensor.
     """
     nof_layers = h.shape[1]
     nv = jnp.broadcast_to(noise_var, h.shape[:1] + h.shape[2:])
@@ -289,8 +291,8 @@ def mmse_equalize_timeinv(y: jnp.ndarray, h: jnp.ndarray,
             acc = term if acc is None else acc + term
         xs.append(acc)
         nvs.append(jnp.maximum(binv[(l, l)].real, 1e-30) / g[l])
-    x_hat = jnp.stack(xs, axis=-1).astype(jnp.complex64)      # (B, n, w, L)
-    nv_out = jnp.stack(nvs, axis=-1).astype(jnp.float32)      # (B, w, L)
+    x_hat = jnp.stack(xs, axis=1).astype(jnp.complex64)       # (B, L, n, w)
+    nv_out = jnp.stack(nvs, axis=1).astype(jnp.float32)       # (B, L, w)
     return x_hat, nv_out
 
 

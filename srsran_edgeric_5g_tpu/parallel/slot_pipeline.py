@@ -699,11 +699,17 @@ def _ul_front_mimo(rx_samples: jnp.ndarray | None, rntis: jnp.ndarray,
     # Gram/inverse per data-symbol RE was ~90% of the 4x4 step's device
     # time; the einsum application's layout copy another ~10%).
     x_hat, nv_out = equalizer.mmse_equalize_timeinv(y, hh, nv_p)
-    # Layer demap d(Li+l) <- layer l: RE-major, layer-minor.
-    x = x_hat.reshape(s * u, -1)
-    nv_x = jnp.broadcast_to(nv_out[:, None], x_hat.shape).reshape(s * u, -1)
+    # Demap in the wide LAYER-MAJOR layout (B, L, n*w), then perform the
+    # TS 38.211 layer interleave d(Li+l) <- layer l ONCE on the LLR tensor
+    # (RE-major, layer-minor, Qm bits per symbol).
+    qm = cell.qm
+    x = x_hat.reshape(s * u, L, ndata * w)
+    nv_x = jnp.broadcast_to(nv_out[:, :, None, :], x_hat.shape
+                            ).reshape(s * u, L, ndata * w)
     llr = modulation.demodulate_soft(x, nv_x, cell.modulation,
-                                     quantize=False)
+                                     quantize=False)       # (B, L, nw*Qm)
+    llr = llr.reshape(s * u, L, ndata * w, qm).transpose(0, 2, 1, 3)
+    llr = llr.reshape(s * u, -1)
     ci_row = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
     llr = sequences.scramble_llrs(llr, jnp.tile(ci_row, s))
     return llr, jnp.mean(nv, axis=1), cfo

@@ -97,6 +97,11 @@ class FullCellConfig:
     # SSB (slots ≡ 0 mod ssb_period; 10 slots/frame at mu=0 -> 10 ms)
     ssb_period: int = 10
     ssb_first_subcarrier: int = 516    # band centre (1272 - 240) / 2
+    # NZP-CSI-RS occasions (csi_rs_scheduler.cpp run_slot counterpart):
+    # full-BWP density-1 row on symbol 1 (PDCCH owns 0, PDSCH starts at 2).
+    csi_rs_period: int = 10
+    csi_rs_offset: int = 2
+    csi_rs_symbol: int = 1
     # PUCCH F2 CSI occasions
     csi_period: int = 5
     csi_offset: int = 1
@@ -188,6 +193,15 @@ class FullCellConfig:
     def prach_slots(self, s: int) -> np.ndarray:
         return np.asarray([i for i in range(s)
                            if i % self.prach_period == self.prach_offset])
+
+    def csi_rs_slots(self, s: int) -> np.ndarray:
+        return np.asarray([i for i in range(s)
+                           if i % self.csi_rs_period == self.csi_rs_offset])
+
+    def csi_rs_cfg(self, slot: int) -> csi_rs.CsiRsConfig:
+        return csi_rs.CsiRsConfig(scrambling_id=self.pci, slot=slot,
+                                  symbol=self.csi_rs_symbol, start_prb=0,
+                                  nof_prb=self.nof_prb)
 
     # ------------------------------------------------------- sub-configs
 
@@ -334,6 +348,18 @@ def ssb_blocks(pbch: jnp.ndarray, fc: FullCellConfig,
         syms.astype(jnp.complex64))
 
 
+@functools.lru_cache(maxsize=None)
+def _csi_rs_rows_np(fc: FullCellConfig, s_total: int) -> np.ndarray:
+    """(S, nsubc) NZP-CSI-RS contribution of each slot's csi_rs_symbol
+    (zeros off-occasion); per-slot Gold pilots (§7.4.1.5.2 c_init)."""
+    t = fc.timing
+    rows = np.zeros((s_total, t.nof_subc), np.complex64)
+    for sl in fc.csi_rs_slots(s_total):
+        c = fc.csi_rs_cfg(int(sl))
+        rows[sl, csi_rs.csi_rs_subcarriers(c)] = csi_rs.csi_rs_pilots(c)
+    return rows
+
+
 def gnb_dl_slot_batch(pay_norm: jnp.ndarray, pay_ssb: jnp.ndarray,
                       dci: jnp.ndarray, pbch: jnp.ndarray,
                       fc: FullCellConfig, s_total: int,
@@ -361,18 +387,24 @@ def gnb_dl_slot_batch(pay_norm: jnp.ndarray, pay_ssb: jnp.ndarray,
     left = jnp.zeros((sc0,), jnp.complex64)
     right = jnp.zeros((t.nof_subc - sc0 - 240,), jnp.complex64)
 
-    def mod_norm(sy, prow):
-        return sp._dl_grid_ofdm(sy, cell_n, dmrs_scale=1.0,
-                                add_rows={0: prow})
+    crows = jnp.asarray(_csi_rs_rows_np(fc, s_total))       # (S, nsubc)
 
-    def mod_ssb(sy, prow, blk):
-        rows = {0: prow}
+    def mod_norm(sy, prow, crow):
+        return sp._dl_grid_ofdm(sy, cell_n, dmrs_scale=1.0,
+                                add_rows={0: prow,
+                                          fc.csi_rs_symbol: crow})
+
+    def mod_ssb(sy, prow, crow, blk):
+        rows = {0: prow, fc.csi_rs_symbol: crow}
         for j in range(4):
-            rows[2 + j] = jnp.concatenate([left, blk[j], right])
+            rows[2 + j] = rows.get(2 + j, 0) + jnp.concatenate(
+                [left, blk[j], right])
         return sp._dl_grid_ofdm(sy, cell_s, dmrs_scale=1.0, add_rows=rows)
 
-    td_n = jax.vmap(mod_norm)(syms_n, prows[jnp.asarray(norm_idx)])
-    td_s = jax.vmap(mod_ssb)(syms_s, prows[jnp.asarray(ssb_idx)], blocks)
+    td_n = jax.vmap(mod_norm)(syms_n, prows[jnp.asarray(norm_idx)],
+                              crows[jnp.asarray(norm_idx)])
+    td_s = jax.vmap(mod_ssb)(syms_s, prows[jnp.asarray(ssb_idx)],
+                             crows[jnp.asarray(ssb_idx)], blocks)
     # Static re-interleave to slot order: one gather over the concat.
     perm = np.empty(s_total, np.int64)
     perm[norm_idx] = np.arange(len(norm_idx))
@@ -770,13 +802,15 @@ def gnb_ul_slot_batch(rx: jnp.ndarray, fc: FullCellConfig, s_total: int,
 def _dl_control_rows(dci: jnp.ndarray, pbch: jnp.ndarray,
                      fc: FullCellConfig, s_total: int) -> jnp.ndarray:
     """(S, nsymb, nsubc) port-0 control contribution: PDCCH row 0 every
-    slot + SSB symbols 2-5 on SSB slots."""
+    slot + NZP-CSI-RS occasions + SSB symbols 2-5 on SSB slots."""
     t = fc.timing
     prows = pdcch_rows(dci, fc, s_total)                    # (S, nsubc)
     blocks = ssb_blocks(pbch, fc, s_total)                  # (S_ssb, 4, 240)
     ssb_idx = fc.ssb_slots(s_total)
     extra = jnp.zeros((s_total, t.nsymb, t.nof_subc), jnp.complex64)
     extra = extra.at[:, 0].add(prows)
+    extra = extra.at[:, fc.csi_rs_symbol].add(
+        jnp.asarray(_csi_rs_rows_np(fc, s_total)))
     sc0 = fc.ssb_first_subcarrier
     extra = extra.at[jnp.asarray(ssb_idx), 2:6, sc0:sc0 + 240].add(blocks)
     return extra

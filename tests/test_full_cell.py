@@ -203,3 +203,39 @@ def test_default_20mhz_config_geometry():
     info = fc.prach_info()
     assert info.freq_offset_bins * 1250 + 839 * 1250 \
         <= (fc.timing.nof_subc - fc.timing.nof_subc // 2) * 15e3
+
+
+def test_dl_csi_rs_occasions():
+    """NZP-CSI-RS rides symbol 1 of every csi_rs occasion slot
+    (csi_rs_scheduler.cpp counterpart): the UE-side LS snapshot at the
+    CSI-RS REs recovers the identity channel; off-occasion symbol 1 is
+    empty."""
+    from srsran_edgeric_5g_tpu.ops import csi_rs as csi_mod
+
+    fc = small_fc()
+    rng = np.random.default_rng(9)
+    u = fc.nof_ue
+    norm_idx, ssb_idx = fc.norm_slots(S), fc.ssb_slots(S)
+    pay_n = jnp.asarray(rng.integers(0, 2, (len(norm_idx), u,
+                                            fc.dl_cell().derived_tbs()),
+                                     np.int8))
+    pay_s = jnp.asarray(rng.integers(0, 2, (len(ssb_idx), u,
+                                            fc.dl_cell_ssb().derived_tbs()),
+                                     np.int8))
+    dci = jnp.asarray(rng.integers(0, 2, (S, 2 * u, fc.dci_bits), np.int8))
+    pbch = jnp.asarray(rng.integers(0, 2, (len(ssb_idx), 24), np.int8))
+    td = jax.jit(lambda a, b, d, p: fcell.gnb_dl_slot_batch(
+        a, b, d, p, fc, S))(pay_n, pay_s, dci, pbch)
+
+    t = fc.timing
+    grids = jax.jit(lambda x: ofdm.demodulate_slot(x, t, scale=1.0))(td)
+    occ = set(int(x) for x in fc.csi_rs_slots(S))
+    assert occ, "no CSI-RS occasions in the window"
+    for sl in range(S):
+        row = np.asarray(grids[sl, fc.csi_rs_symbol])
+        if sl in occ:
+            est = np.asarray(csi_mod.csi_rs_estimate(
+                grids[sl], fc.csi_rs_cfg(sl)))
+            np.testing.assert_allclose(est, np.ones_like(est), atol=0.02)
+        else:
+            assert np.abs(row).max() < 1e-3, sl

@@ -208,3 +208,44 @@ def test_loopback_app_rach_attach(tmp_path):
     assert "Msg3 ok" in out.stdout
     assert "contention resolved" in out.stdout
     assert "rach: 2/2 UEs attached" in out.stdout
+
+
+def test_bcch_unit():
+    """SIB1 periodicity, SI staggering, paging occasion math + PDU codec."""
+    from srsran_edgeric_5g_tpu.mac import bcch
+
+    si = bcch.SiScheduler(bcch.SiConfig(si_messages=((b"\x01\x02", 40),)))
+    kinds = {s: g.kind for s in range(41)
+             if (g := si.run_slot(s)) is not None}
+    assert kinds[0] == "sib1" and kinds[20] == "sib1" and kinds[40] == "sib1"
+    assert kinds[1] == "si"                     # staggered SI window
+    assert si.run_slot(2) is None
+
+    pg = bcch.PagingScheduler(bcch.PagingConfig(drx_cycle_frames=2))
+    pg.page_ue(7, b"abc")
+    # UE 7: PF = 7 % 2 = 1, i_s = 0 -> sfn odd, slot 0 -> slot 10.
+    assert pg.run_slot(0) is None
+    g = pg.run_slot(10)
+    assert g is not None and g.rnti == bcch.P_RNTI
+    assert bcch.decode_paging(g.payload_bits) == [(7, b"abc")]
+    assert pg.run_slot(30) is None              # queue drained
+
+
+def test_loopback_app_bcch(tmp_path):
+    """SIB1 + paging broadcast through the real PHY in the app loop."""
+    import os
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(repo)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    out = subprocess.run(
+        [_sys.executable, str(repo / "tools" / "run_loopback_app.py"),
+         "--slots", "25", "--bcch", "--port", "47923"],
+        capture_output=True, text=True, timeout=500, env=env)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "bcch: 2 SIB1 decoded, 1 paging records" in out.stdout, out.stdout

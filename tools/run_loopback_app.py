@@ -81,8 +81,14 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
 
     from srsran_edgeric_5g_tpu.mac import scheduler as mac
     from srsran_edgeric_5g_tpu.models.hetero_cell import HeteroCellProcessor
+    from srsran_edgeric_5g_tpu.models.pdsch import PdschConfig
     from srsran_edgeric_5g_tpu.utils.bits import from_device_complex, \
         to_device_complex
+
+    def _hetero(key, cfgs):
+        if key not in procs:
+            procs[key] = HeteroCellProcessor(t, cfgs)
+        return procs[key]
 
     t = cell.timing
     rach_n = getattr(args, "rach", 0)
@@ -105,7 +111,6 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
 
     if rach_n:
         from srsran_edgeric_5g_tpu.mac import rach as rach_mod
-        from srsran_edgeric_5g_tpu.models.pdsch import PdschConfig
         from srsran_edgeric_5g_tpu.ops import prach as prach_mod
         from srsran_edgeric_5g_tpu.ran import tbs as tbs_mod
         pcfg, pinfo, rcfg, ra_proc, att_ues = _rach_overlay_setup(
@@ -114,21 +119,32 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
         msg4_queue: list = []
         attached = []
 
-        def _hetero(key, cfgs):
-            if key not in procs:
-                procs[key] = HeteroCellProcessor(t, cfgs)
-            return procs[key]
-
         def _msg3_cfg(start, length, mcs_idx, rnti):
             m = tbs_mod.mcs_config(mcs_idx, "qam64")
             return PdschConfig(rnti=rnti, nof_prb=length, start_prb=start,
                                modulation=m.modulation,
                                target_rate=m.target_rate)
 
+    bcch_on = getattr(args, "bcch", False)
+    if bcch_on:
+        from srsran_edgeric_5g_tpu.mac import bcch as bcch_mod
+        si_sched = bcch_mod.SiScheduler(bcch_mod.SiConfig())
+        # Short DRX cycle so paging occasions land within the run.
+        pg_sched = bcch_mod.PagingScheduler(
+            bcch_mod.PagingConfig(drx_cycle_frames=2))
+        sib1_rx = paging_rx = 0
+        paged_ids: list[int] = []
+
     t0 = time.time()
     for slot in range(args.slots):
         if slot_clock.advance(slot) is None:
             continue
+
+        if bcch_on and slot == 3:
+            # A page arrives from the core (CU-CP Paging over NG): enqueue
+            # it; the scheduler serves it at the UE's TS 38.304 occasion.
+            pg_sched.page_ue(7, b"page7")
+            paged_ids.append(7)
 
         ctrl_dl = None                # (kind, payload) control-plane PDSCH
         if rach_n:
@@ -202,12 +218,20 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
             elif msg4_queue:
                 ctrl_dl = ("msg4", msg4_queue.pop(0))
 
+        if bcch_on and ctrl_dl is None:
+            # SIB1/SI + paging occasions (cell_scheduler.cpp:123-126,:137).
+            g = si_sched.run_slot(slot) or pg_sched.run_slot(slot)
+            if g is not None:
+                ctrl_dl = ("bcch", g)
+
         if ctrl_dl is not None:
             # Control-plane PDSCH (RAR at RA-RNTI / Msg4 conres at C-RNTI)
             # takes this slot's DL; UE side decodes and advances its FSM.
             kind, item = ctrl_dl
             if kind == "rar":
                 rnti, bits = item.ra_rnti, item.payload_bits
+            elif kind == "bcch":
+                rnti, bits = item.rnti, item.payload_bits
             else:
                 rnti, bits = item
             # ~30 payload bits/PRB at QPSK r0.12: size the control PDSCH to
@@ -229,6 +253,20 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
             if not bool(np.asarray(okb).all()):
                 continue
             hat = np.asarray(hat).reshape(-1)
+            if kind == "bcch":
+                # UE side: verify the broadcast payload round-trips.
+                from srsran_edgeric_5g_tpu.mac import bcch as bcch_mod
+                nb = len(item.payload_bits)
+                assert (hat[:nb] == item.payload_bits).all(), item.kind
+                if item.kind == "sib1":
+                    sib1_rx += 1
+                elif item.kind == "paging":
+                    recs = bcch_mod.decode_paging(hat)
+                    got_ids = [i for i, _ in recs]
+                    print(f"slot {slot}: paging occasion, UE ids "
+                          f"{got_ids}", flush=True)
+                    paging_rx += len(recs)
+                continue
             if kind == "rar":
                 for sub in rach_mod.decode_rar_pdu(hat):
                     for ue in att_ues:
@@ -296,6 +334,11 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
         print(f"edgeric: {agent.tti} TTIs; last weights age "
               f"{agent.weights_age}", flush=True)
     ok = ok_count == tb_count
+    if bcch_on:
+        print(f"bcch: {sib1_rx} SIB1 decoded, {paging_rx} paging records "
+              f"received (paged {paged_ids})", flush=True)
+        ok = ok and sib1_rx >= 1 + (args.slots - 1) // 20 \
+            and paging_rx == len(paged_ids)
     if rach_n:
         states = {ue.state for ue in att_ues}
         print(f"rach: {len(attached)}/{rach_n} UEs attached "
@@ -316,6 +359,10 @@ def main(argv=None):
     ap.add_argument("--edgeric", action="store_true",
                     help="publish per-TTI metrics to an EdgeRIC muApp "
                          "(ipc:///tmp/metrics) and poll policy channels")
+    ap.add_argument("--bcch", action="store_true",
+                    help="schedule SIB1/SI broadcast + TS 38.304 paging "
+                         "occasions in the slot loop (SI-RNTI/P-RNTI "
+                         "PDSCH, UE-side decode); implies --sched")
     ap.add_argument("--rach", type=int, default=0,
                     help="start the cell EMPTY and attach N UEs via the "
                          "full random-access procedure (PRACH occasion -> "
@@ -379,7 +426,7 @@ def main(argv=None):
           f"{cell.nof_ue} UEs x {cell.prb_per_ue} PRB, TBS {tbs}, "
           f"srate {t.srate/1e6:.2f} Msps", flush=True)
 
-    if args.rach and args.sched == "off":
+    if (args.rach or args.bcch) and args.sched == "off":
         args.sched = "pf"
     if args.sched != "off":
         code = run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier,

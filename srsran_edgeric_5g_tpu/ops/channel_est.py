@@ -218,9 +218,14 @@ def estimate_port_ta(rx_pilots: jnp.ndarray, ref_pilots: jnp.ndarray,
         noise_var = jnp.mean(jnp.abs(d) ** 2, axis=-1) / 2.0
 
     # TA from the pilot-spaced channel: pilot spacing = gap * scs.
+    # An attached UE's PUSCH arrives within ~+-CP/2 of the slot boundary
+    # (RACH TA command + closed-loop TA keep it there), so the delay-domain
+    # peak search runs only the +-2.5 us window of the 4096-point IDFT —
+    # as one (npil -> nbins) MXU matmul instead of a zero-padded FFT whose
+    # other ~90% of bins are discarded.
     gap = int(pilot_subcarriers[1] - pilot_subcarriers[0])
     pilot_scs = gap * scs_hz
-    ta = estimate_ta(h_p, pilot_scs)
+    ta = estimate_ta(h_p, pilot_scs, max_ta_s=2.5e-6)
     # When smoothing, derotate to the CENTER of the expected delay window
     # [ta, ta + spread] so residual delays span +-spread/2: the smoother's
     # cutoff (and so its noise bandwidth) halves, and edge distortion of

@@ -30,6 +30,23 @@ def test_ta_with_noise():
     assert ta == pytest.approx(delay_s, abs=5e-8)
 
 
+@pytest.mark.parametrize("delay_s", [0.0, 1e-6, -0.5e-6, 2.3e-6])
+def test_ta_windowed_matmul_matches_fft(delay_s):
+    """The max_ta_s matmul path evaluates the SAME 4096-point IDFT bins as
+    the zero-padded FFT path — identical estimates inside the window."""
+    rng = np.random.default_rng(3)
+    scs = 30e3                      # pilot-spaced channel (gap=2)
+    nsubc = 156
+    k = np.arange(nsubc)
+    h = np.exp(-2j * np.pi * k * scs * delay_s)
+    h = h + (rng.normal(size=nsubc) + 1j * rng.normal(size=nsubc)) * 0.05
+    h = jnp.asarray(h[None].astype(np.complex64))
+    ta_fft = float(ta_estimator.estimate_ta(h, scs)[0])
+    ta_win = float(ta_estimator.estimate_ta(h, scs, max_ta_s=2.5e-6)[0])
+    assert ta_win == pytest.approx(ta_fft, abs=2e-9)
+    assert ta_win == pytest.approx(delay_s, abs=5e-8)
+
+
 # ----------------------------------------------------------------- CSI-RS
 
 def test_csi_rs_map_and_estimate():

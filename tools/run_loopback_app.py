@@ -135,6 +135,16 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
         sib1_rx = paging_rx = 0
         paged_ids: list[int] = []
 
+    ul_mean = getattr(args, "ul_traffic", 0)
+    if ul_mean:
+        from srsran_edgeric_5g_tpu.mac import ul_procedures as ulp
+        from srsran_edgeric_5g_tpu.ops import ofdm as ofdm_mod
+        from srsran_edgeric_5g_tpu.ops import pucch as pucch_mod
+        sr_cfg = ulp.SrConfig()
+        ue_q: dict = {}                  # UE-side queues (bytes)
+        ul_served: dict = {}
+        sr_sent = sr_det = bsr_rx = ul_tb = ul_ok = 0
+
     t0 = time.time()
     for slot in range(args.slots):
         if slot_clock.advance(slot) is None:
@@ -145,6 +155,93 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
             # it; the scheduler serves it at the UE's TS 38.304 occasion.
             pg_sched.page_ue(7, b"page7")
             paged_ids.append(7)
+
+        if ul_mean:
+            # ---- UL data leg: SR -> UL grant -> PUSCH w/ BSR MAC CE ----
+            # (ue_scheduling ul_sched + mac_ul counterpart; see
+            # mac/ul_procedures.py)
+            ue_list = list(sched.ues)
+            for r in ue_list:
+                ue_q[r] = ue_q.get(r, 0) + int(rng.poisson(ul_mean))
+                ul_served.setdefault(r, 0)
+            ul_grants = sched.run_slot_ul()
+            ul_td = np.zeros(t.cp.total, np.complex64)
+            ul_active = False
+            proc_u = None
+            if ul_grants:
+                ukey = ("ul",) + tuple(
+                    (g.rnti, g.start_prb, g.nof_prb, g.qm, g.target_rate)
+                    for g in ul_grants)
+                proc_u = _hetero(ukey, sched.to_pdsch_configs(ul_grants))
+                pls = []
+                for g, cap in zip(ul_grants, proc_u.tbs):
+                    take = min(ue_q[g.rnti], ulp.sdu_capacity(cap))
+                    sdu = rng.integers(0, 256, take,
+                                       dtype=np.uint8).tobytes()
+                    ue_q[g.rnti] -= take
+                    pls.append(jnp.asarray(ulp.build_ul_mac_pdu(
+                        ue_q[g.rnti], sdu, cap)[None]))
+                ul_td += from_device_complex(
+                    proc_u.process_ul_tx_slot(pls))
+                ul_active = True
+            sr_ues = []
+            if sr_cfg.is_occasion(slot):
+                granted = {g.rnti for g in ul_grants}
+                for i, r in enumerate(ue_list):
+                    if ue_q[r] > 0 and r not in granted:
+                        f0c = pucch_mod.Pucch01Config(
+                            n_id=cell.n_id, slot=slot % 10,
+                            start_symbol=sr_cfg.start_symbol,
+                            nof_symbols=sr_cfg.nof_symbols, initial_cs=0,
+                            prb=sr_cfg.prb)
+                        grid = np.zeros((t.nsymb, t.nof_subc), np.complex64)
+                        grid[sr_cfg.start_symbol,
+                             12 * sr_cfg.prb:12 * (sr_cfg.prb + 1)] += \
+                            np.asarray(pucch_mod.format0_generate(
+                                f0c, sr_cfg.m0_of_ue(i)))[0]
+                        ul_td += from_device_complex(ofdm_mod.modulate_slot(
+                            jnp.asarray(grid), t))
+                        sr_ues.append(i)
+                        sr_sent += 1
+                ul_active = ul_active or bool(sr_ues)
+            got_u = (_radio_roundtrip(tx, rx, ul_td, args.snr, rng,
+                                      t.cp.total) if ul_active else None)
+            if got_u is not None:
+                if sr_cfg.is_occasion(slot) and sr_ues:
+                    rx_grid = np.asarray(ofdm_mod.demodulate_slot(
+                        to_device_complex(got_u), t))
+                    res = rx_grid[sr_cfg.start_symbol,
+                                  12 * sr_cfg.prb:12 * (sr_cfg.prb + 1)]
+                    f0c = pucch_mod.Pucch01Config(
+                        n_id=cell.n_id, slot=slot % 10,
+                        start_symbol=sr_cfg.start_symbol,
+                        nof_symbols=sr_cfg.nof_symbols, initial_cs=0,
+                        prb=sr_cfg.prb)
+                    cands = tuple(sr_cfg.m0_of_ue(i)
+                                  for i in range(len(ue_list)))
+                    metrics, _ = pucch_mod.format0_detect(
+                        to_device_complex(res[None]), f0c, cands)
+                    for i, m in enumerate(np.asarray(metrics)):
+                        if float(m) > 0.4:
+                            r = ue_list[i]
+                            sr_det += 1
+                            sched.update_buffer(r, ul_bytes=max(
+                                sched.ues[r].ul_buffer,
+                                sr_cfg.sr_grant_bytes))
+                if proc_u is not None:
+                    outs = proc_u.process_ul_slot(to_device_complex(got_u))
+                    for g, (hat, okb, _, _) in zip(ul_grants, outs):
+                        ul_tb += 1
+                        if not bool(np.asarray(okb).all()):
+                            continue
+                        ul_ok += 1
+                        reported, sdu = ulp.parse_ul_mac_pdu(
+                            np.asarray(hat).reshape(-1))
+                        bsr_rx += 1
+                        ul_served[g.rnti] += len(sdu)
+                        # The BSR overrides the scheduler's decayed view
+                        # with the UE's true remaining queue.
+                        sched.update_buffer(g.rnti, ul_bytes=reported)
 
         ctrl_dl = None                # (kind, payload) control-plane PDSCH
         if rach_n:
@@ -334,6 +431,13 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
         print(f"edgeric: {agent.tti} TTIs; last weights age "
               f"{agent.weights_age}", flush=True)
     ok = ok_count == tb_count
+    if ul_mean:
+        print(f"ul: {ul_ok}/{ul_tb} PUSCH ok, {bsr_rx} BSRs, SR "
+              f"{sr_det}/{sr_sent} detected, served "
+              f"{ {hex(r): b for r, b in ul_served.items()} }, residual "
+              f"queues { {hex(r): q for r, q in ue_q.items()} }", flush=True)
+        ok = ok and ul_ok == ul_tb and bsr_rx > 0 and sr_det == sr_sent \
+            and sum(ul_served.values()) > 0
     if bcch_on:
         print(f"bcch: {sib1_rx} SIB1 decoded, {paging_rx} paging records "
               f"received (paged {paged_ids})", flush=True)
@@ -363,6 +467,11 @@ def main(argv=None):
                     help="schedule SIB1/SI broadcast + TS 38.304 paging "
                          "occasions in the slot loop (SI-RNTI/P-RNTI "
                          "PDSCH, UE-side decode); implies --sched")
+    ap.add_argument("--ul-traffic", type=int, default=0,
+                    help="mean UL bytes/slot/UE: drives the SR -> UL grant "
+                         "-> PUSCH+BSR loop (PUCCH F0 SR occasions, TS "
+                         "38.321 short-BSR MAC CE, scheduler run_slot_ul); "
+                         "implies --sched")
     ap.add_argument("--rach", type=int, default=0,
                     help="start the cell EMPTY and attach N UEs via the "
                          "full random-access procedure (PRACH occasion -> "
@@ -426,7 +535,7 @@ def main(argv=None):
           f"{cell.nof_ue} UEs x {cell.prb_per_ue} PRB, TBS {tbs}, "
           f"srate {t.srate/1e6:.2f} Msps", flush=True)
 
-    if (args.rach or args.bcch) and args.sched == "off":
+    if (args.rach or args.bcch or args.ul_traffic) and args.sched == "off":
         args.sched = "pf"
     if args.sched != "off":
         code = run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier,

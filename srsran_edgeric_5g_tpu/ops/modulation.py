@@ -75,11 +75,22 @@ def modulate(bits: jnp.ndarray, modulation: str) -> jnp.ndarray:
         s = (1 - 2 * b[..., 0]).astype(jnp.float32) * np.float32(1 / np.sqrt(2))
         return (s + 1j * s).astype(jnp.complex64)
     m = qm // 2
-    levels = jnp.asarray(pam_levels(m), dtype=jnp.float32)
-    w = jnp.asarray(1 << np.arange(m - 1, -1, -1), dtype=jnp.int32)
-    idx_i = jnp.sum(b[..., 0::2] * w, axis=-1)
-    idx_q = jnp.sum(b[..., 1::2] * w, axis=-1)
-    return (levels[idx_i] + 1j * levels[idx_q]).astype(jnp.complex64)
+    # Closed-form Gray nesting (TS 38.211 §5.1.4-6 structure): per axis with
+    # MSB-first bits, d/a = s_0*(2^{m-1} - s_1*(2^{m-2} - ... s_{m-1})) with
+    # s_j = 1-2b_j — pure elementwise arithmetic.  The LUT-gather form
+    # (levels[idx]) lowers to a sequential kCustom gather on TPU that was
+    # ~10% of the MIMO full-slot step's device time.
+    a = np.float32(1.0 / np.sqrt(2.0 * (4 ** m - 1) / 3.0))
+    s = (1 - 2 * b).astype(jnp.float32)                    # (..., qm) signs
+
+    def _axis(sg):                                          # (..., m)
+        v = sg[..., m - 1]
+        for j in range(m - 2, -1, -1):
+            v = sg[..., j] * (np.float32(1 << (m - 1 - j)) - v)
+        return v * a
+
+    return (_axis(s[..., 0::2]) + 1j * _axis(s[..., 1::2])
+            ).astype(jnp.complex64)
 
 
 def _axis_maxlog(y: jnp.ndarray, noise_var_rcp: jnp.ndarray, qm: int) -> jnp.ndarray:

@@ -69,6 +69,59 @@ from . import slot_pipeline as sp
 SQRT2 = float(np.sqrt(2.0))
 
 
+def _slot_take(x: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
+    """Static slot-axis selection x[idx] without a gather.
+
+    Every occasion set here is an arithmetic progression (offset::period),
+    which lowers to ONE strided lax.slice.  jnp.take over the slot axis
+    instead lowers to a sequential dynamic-slice while loop on TPU that
+    carries the whole source tensor through every iteration — the F2
+    occasion gather alone was ~16% of the MIMO full-cell step's device
+    time at S=64.
+    """
+    idx = np.asarray(idx)
+    if idx.size == 0:
+        return x[:0]
+    if idx.size == 1:
+        i = int(idx[0])
+        return jax.lax.slice_in_dim(x, i, i + 1)
+    d = np.diff(idx)
+    if (d == d[0]).all():
+        start, step = int(idx[0]), int(d[0])
+        return jax.lax.slice_in_dim(x, start,
+                                    start + (idx.size - 1) * step + 1,
+                                    stride=step)
+    return jnp.take(x, jnp.asarray(idx), axis=0)
+
+
+def _slot_drop_period(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """x[i] for i % k != 0 (the norm-slot complement of the period-k
+    occasions at offset 0) via reshape + slice — no gather."""
+    n = x.shape[0]
+    rest = x.shape[1:]
+    nb = n // k
+    head = x[:nb * k].reshape(nb, k, *rest)[:, 1:].reshape(nb * (k - 1),
+                                                           *rest)
+    if n == nb * k:
+        return head
+    return jnp.concatenate([head, x[nb * k + 1:]], axis=0)
+
+
+def _slot_merge_period(x_occ: jnp.ndarray, x_norm: jnp.ndarray,
+                       k: int, s_total: int) -> jnp.ndarray:
+    """Re-interleave per-occasion (i % k == 0) and complement slot batches
+    back to slot order via reshape + concat (no permutation gather)."""
+    rest = x_norm.shape[1:]
+    nb = s_total // k
+    head = jnp.concatenate(
+        [x_occ[:nb][:, None], x_norm[:nb * (k - 1)].reshape(nb, k - 1,
+                                                            *rest)], axis=1)
+    head = head.reshape(nb * k, *rest)
+    if s_total == nb * k:
+        return head
+    return jnp.concatenate([head, x_occ[nb:], x_norm[nb * (k - 1):]], axis=0)
+
+
 @dataclasses.dataclass(frozen=True)
 class FullCellConfig:
     """Static full-cell geometry + control-channel periodicities."""
@@ -401,15 +454,13 @@ def gnb_dl_slot_batch(pay_norm: jnp.ndarray, pay_ssb: jnp.ndarray,
                 [left, blk[j], right])
         return sp._dl_grid_ofdm(sy, cell_s, dmrs_scale=1.0, add_rows=rows)
 
-    td_n = jax.vmap(mod_norm)(syms_n, prows[jnp.asarray(norm_idx)],
-                              crows[jnp.asarray(norm_idx)])
-    td_s = jax.vmap(mod_ssb)(syms_s, prows[jnp.asarray(ssb_idx)],
-                             crows[jnp.asarray(ssb_idx)], blocks)
-    # Static re-interleave to slot order: one gather over the concat.
-    perm = np.empty(s_total, np.int64)
-    perm[norm_idx] = np.arange(len(norm_idx))
-    perm[ssb_idx] = len(norm_idx) + np.arange(len(ssb_idx))
-    td = jnp.concatenate([td_n, td_s], axis=0)[jnp.asarray(perm)]
+    k = fc.ssb_period
+    td_n = jax.vmap(mod_norm)(syms_n, _slot_drop_period(prows, k),
+                              _slot_drop_period(crows, k))
+    td_s = jax.vmap(mod_ssb)(syms_s, _slot_take(prows, ssb_idx),
+                             _slot_take(crows, ssb_idx), blocks)
+    # Static re-interleave to slot order: reshape + concat, no gather.
+    td = _slot_merge_period(td_s, td_n, k, s_total)
     # TX amplitude controller tail (every transmit passes through it, like
     # the reference's per-symbol lower-PHY scale/clip).
     from ..ops import amplitude
@@ -767,12 +818,12 @@ def gnb_ul_slot_batch(rx: jnp.ndarray, fc: FullCellConfig, s_total: int,
 
     ack_bits, ack_metric = _f1_detect(rx_grid, fc, s_total)
     csi_idx = fc.csi_slots(s_total)
-    csi_bits, csi_ok = _f2_decode(rx_grid[jnp.asarray(csi_idx)], fc, s_total)
+    csi_bits, csi_ok = _f2_decode(_slot_take(rx_grid, csi_idx), fc, s_total)
     srs_idx = fc.srs_slots(s_total)
-    srs_h, srs_snr = _srs_estimate(rx_grid[jnp.asarray(srs_idx)], fc)
+    srs_h, srs_snr = _srs_estimate(_slot_take(rx_grid, srs_idx), fc)
     prach_idx = fc.prach_slots(s_total)
     info = fc.prach_info()
-    win = rx[jnp.asarray(prach_idx), :info.cp_samples + info.dft_size]
+    win = _slot_take(rx, prach_idx)[:, :info.cp_samples + info.dft_size]
     rx_freq = prach_mod.ofdm_demodulate_prach(win, info)
     pr_metric, pr_delay, pr_det = _prach_detect_batch(rx_freq, fc)
 
@@ -799,20 +850,18 @@ def gnb_ul_slot_batch(rx: jnp.ndarray, fc: FullCellConfig, s_total: int,
 # broadcast+control on a fixed port while PDSCH uses the precoded ports
 # (resource_grid [sc x sym x port], precoding on PDSCH put only).
 
-def _dl_control_rows(dci: jnp.ndarray, pbch: jnp.ndarray,
-                     fc: FullCellConfig, s_total: int) -> jnp.ndarray:
+def _dl_control_rows(dci: jnp.ndarray, fc: FullCellConfig,
+                     s_total: int) -> jnp.ndarray:
     """(S, nsymb, nsubc) port-0 control contribution: PDCCH row 0 every
-    slot + NZP-CSI-RS occasions + SSB symbols 2-5 on SSB slots."""
+    slot + NZP-CSI-RS occasions.  SSB blocks are added onto the SSB
+    sub-batch by the caller (a static slice add — scattering them into the
+    full batch here would lower to a per-occasion update loop)."""
     t = fc.timing
     prows = pdcch_rows(dci, fc, s_total)                    # (S, nsubc)
-    blocks = ssb_blocks(pbch, fc, s_total)                  # (S_ssb, 4, 240)
-    ssb_idx = fc.ssb_slots(s_total)
     extra = jnp.zeros((s_total, t.nsymb, t.nof_subc), jnp.complex64)
     extra = extra.at[:, 0].add(prows)
     extra = extra.at[:, fc.csi_rs_symbol].add(
         jnp.asarray(_csi_rs_rows_np(fc, s_total)))
-    sc0 = fc.ssb_first_subcarrier
-    extra = extra.at[jnp.asarray(ssb_idx), 2:6, sc0:sc0 + 240].add(blocks)
     return extra
 
 
@@ -825,18 +874,20 @@ def gnb_dl_slot_batch_mimo(pay_norm: jnp.ndarray, pay_ssb: jnp.ndarray,
     pay_norm/pay_ssb at the L-layer TBS of dl_cell_mimo / dl_cell_ssb_mimo.
     """
     cell_n, cell_s = fc.dl_cell_mimo(), fc.dl_cell_ssb_mimo()
-    norm_idx, ssb_idx = fc.norm_slots(s_total), fc.ssb_slots(s_total)
+    ssb_idx = fc.ssb_slots(s_total)
+    k = fc.ssb_period
     rntis = fc.rntis()
-    extra = _dl_control_rows(dci, pbch, fc, s_total)
+    extra = _dl_control_rows(dci, fc, s_total)
+    blocks = ssb_blocks(pbch, fc, s_total)                  # (S_ssb, 4, 240)
+    sc0 = fc.ssb_first_subcarrier
+    ex_s = _slot_take(extra, ssb_idx)
+    ex_s = ex_s.at[:, 2:6, sc0:sc0 + 240].add(blocks)
 
     td_n = sp.dl_slot_batch_mimo(pay_norm, rntis, cell_n, mesh=mesh,
-                                 extra_rows=extra[jnp.asarray(norm_idx)])
+                                 extra_rows=_slot_drop_period(extra, k))
     td_s = sp.dl_slot_batch_mimo(pay_ssb, rntis, cell_s, mesh=mesh,
-                                 extra_rows=extra[jnp.asarray(ssb_idx)])
-    perm = np.empty(s_total, np.int64)
-    perm[norm_idx] = np.arange(len(norm_idx))
-    perm[ssb_idx] = len(norm_idx) + np.arange(len(ssb_idx))
-    td = jnp.concatenate([td_n, td_s], axis=0)[jnp.asarray(perm)]
+                                 extra_rows=ex_s)
+    td = _slot_merge_period(td_s, td_n, k, s_total)
     from ..ops import amplitude
     if fc.tx_ceiling > 0:
         td, _ = amplitude.clip(td, fc.tx_gain, fc.tx_ceiling)
@@ -910,13 +961,13 @@ def gnb_ul_slot_batch_mimo(rx: jnp.ndarray, fc: FullCellConfig,
     rx_grid0 = rx_grid[:, 0]
     ack_bits, ack_metric = _f1_detect(rx_grid0, fc, s_total)
     csi_idx = fc.csi_slots(s_total)
-    csi_bits, csi_ok = _f2_decode(rx_grid0[jnp.asarray(csi_idx)], fc,
+    csi_bits, csi_ok = _f2_decode(_slot_take(rx_grid0, csi_idx), fc,
                                   s_total)
     srs_idx = fc.srs_slots(s_total)
-    srs_h, srs_snr = _srs_estimate(rx_grid0[jnp.asarray(srs_idx)], fc)
+    srs_h, srs_snr = _srs_estimate(_slot_take(rx_grid0, srs_idx), fc)
     prach_idx = fc.prach_slots(s_total)
     info = fc.prach_info()
-    win = rx[jnp.asarray(prach_idx), 0, :info.cp_samples + info.dft_size]
+    win = _slot_take(rx, prach_idx)[:, 0, :info.cp_samples + info.dft_size]
     rx_freq = prach_mod.ofdm_demodulate_prach(win, info)
     pr_metric, pr_delay, pr_det = _prach_detect_batch(rx_freq, fc)
 

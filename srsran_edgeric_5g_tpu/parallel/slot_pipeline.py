@@ -528,51 +528,52 @@ def dl_slot_batch_mimo(payloads: jnp.ndarray, rntis: jnp.ndarray,
     ndata = len(cell.data_symbols)
 
     syms = _dl_code(payloads.reshape(s * u, tbs), rntis, cell, rv, mesh)
-    m = syms.reshape(s, u, ndata * w, L)            # d(Li+l) -> layer l
+    # d(Li+l) -> layer l with ONE explicit 5D transpose straight into the
+    # (S, L, ndata, span) band layout (UE bands adjacent along subcarriers).
+    # The earlier per-slot/per-port formulation sliced layer p out of a
+    # layer-MINOR (S, U, nw, L) tensor, which made XLA lay the whole DL
+    # chain out with (S, U) on the (8,128) tile — 4 live lanes of 128
+    # (~3% utilization) through the modulate/grid ops, plus a planar
+    # re/im split fusion at the same starved layout.
+    m5 = syms.reshape(s, u, ndata, w, L).astype(jnp.complex64)
+    band = jnp.transpose(m5, (0, 4, 2, 1, 3)).reshape(s, L, ndata, span)
 
     pilots = _dmrs_full_band(cell)                  # (ndmrs, 6*nof_prb)
     p0 = 6 * cell.first_prb
 
-    left = jnp.zeros((band0,), jnp.complex64)
-    right = jnp.zeros((t.nof_subc - band0 - span,), jnp.complex64)
-    zero_row = jnp.zeros((t.nof_subc,), jnp.complex64)
+    # Static per-(port, dmrs-symbol) full rows (L, ndmrs, nsubc): type-1 CDM
+    # pilots with the port's frequency OCC, zero elsewhere.
+    ndmrs = len(cell.dmrs_symbols)
+    dmrs_rows = jnp.zeros((L, ndmrs, t.nof_subc), jnp.complex64)
+    for p in range(L):
+        sc_off, wf, _ = _span_dmrs(cell, p)
+        vals = pilots[:, p0:p0 + len(sc_off)] * jnp.asarray(wf)
+        dmrs_rows = dmrs_rows.at[p, :, jnp.asarray(sc_off) + band0].set(
+            vals.astype(jnp.complex64).T)
 
-    def one_port_grid(sy_l, port):
-        # sy_l: (U, ndata*w) one layer's symbols for all UEs.
-        band = sy_l.reshape(u, ndata, w).transpose(1, 0, 2).reshape(ndata,
-                                                                    span)
-        sc_off, wf, _ = _span_dmrs(cell, port)
-        npil = len(sc_off)
-        rows = []
-        data_iter = iter(range(ndata))
-        for l in range(t.nsymb):
-            if l in cell.data_symbols:
-                rows.append(jnp.concatenate(
-                    [left, band[next(data_iter)].astype(jnp.complex64),
-                     right]))
-            elif l in cell.dmrs_symbols:
-                i = cell.dmrs_symbols.index(l)
-                vals = pilots[i, p0:p0 + npil] * jnp.asarray(wf)
-                row_span = jnp.zeros((span,), jnp.complex64)
-                row_span = row_span.at[jnp.asarray(sc_off)].set(
-                    vals.astype(jnp.complex64))
-                rows.append(jnp.concatenate([left, row_span, right]))
-            else:
-                rows.append(zero_row)
-        return jnp.stack(rows)
-
-    def one_slot(sy, ex):                            # sy: (U, ndata*w, L)
-        tds = []
-        for p in range(L):
-            grid = one_port_grid(sy[:, :, p], p)
-            if p == 0 and ex is not None:
-                grid = grid + ex.astype(jnp.complex64)
-            tds.append(ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft))
-        return jnp.stack(tds)
-
-    if extra_rows is None:
-        return jax.vmap(lambda sy: one_slot(sy, None))(m)   # (S, L, total)
-    return jax.vmap(one_slot)(m, extra_rows)
+    # Assemble (S, L, nsymb, nsubc) grids with wide batched rows: data rows
+    # are one zero-pad of the whole (S, L, ndata, span) band; DM-RS rows
+    # broadcast the static tables; everything keeps nsubc minor.
+    zero_row = jnp.zeros((s, L, t.nof_subc), jnp.complex64)
+    band_full = jnp.pad(band, ((0, 0), (0, 0), (0, 0),
+                               (band0, t.nof_subc - band0 - span)))
+    rows = []
+    data_iter = iter(range(ndata))
+    for l in range(t.nsymb):
+        if l in cell.data_symbols:
+            row = band_full[:, :, next(data_iter)]
+        elif l in cell.dmrs_symbols:
+            i = cell.dmrs_symbols.index(l)
+            row = jnp.broadcast_to(dmrs_rows[None, :, i],
+                                   (s, L, t.nof_subc))
+        else:
+            row = zero_row
+        if extra_rows is not None:
+            ex = extra_rows[:, None, l].astype(jnp.complex64)
+            row = jnp.concatenate([row[:, :1] + ex, row[:, 1:]], axis=1)
+        rows.append(row)
+    grid = jnp.stack(rows, axis=2)                  # (S, L, nsymb, nsubc)
+    return ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)  # (S, L, total)
 
 
 def ul_slot_batch_mimo(rx_samples: jnp.ndarray, rntis: jnp.ndarray,

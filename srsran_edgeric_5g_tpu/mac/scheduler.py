@@ -107,6 +107,16 @@ class SchedUe:
     rx_bytes: float = 0.0
     # Last applied MCS (link-adaptation hysteresis state; None = none yet).
     applied_mcs: int | None = None
+    # HARQ entities (harq_entity per UE, ue.h): retransmission state for
+    # the CRC-NACK -> retx-grant -> soft-combined-decode control loop.
+    ul_harq: "HarqEntity" = None    # type: ignore[assignment]
+    dl_harq: "HarqEntity" = None    # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.ul_harq is None:
+            self.ul_harq = HarqEntity()
+        if self.dl_harq is None:
+            self.dl_harq = HarqEntity()
 
     def save_dl_alloc(self, alloc_bytes: int, alpha: float) -> None:
         if self.dl_nof_samples < 1.0 / alpha:
@@ -161,7 +171,13 @@ class SchedulerConfig:
 @dataclasses.dataclass(frozen=True)
 class DlGrant:
     """One UE's PDSCH allocation for this slot — maps 1:1 onto
-    models.pdsch.PdschConfig(start_prb, nof_prb, modulation, target_rate)."""
+    models.pdsch.PdschConfig(start_prb, nof_prb, modulation, target_rate).
+
+    ``pid``/``rv``/``is_retx`` carry the HARQ context: a retransmission
+    grant reuses the original process's PRB count and MCS (the TBS must not
+    change across retransmissions — ue_cell_grid_allocator.cpp retx
+    allocation keeps h_dl.last_alloc_params) at the next redundancy
+    version of the 0,2,3,1 sequence."""
 
     rnti: int
     start_prb: int
@@ -170,10 +186,94 @@ class DlGrant:
     qm: int
     target_rate: float
     tbs: int
+    pid: int = 0
+    rv: int = 0
+    is_retx: bool = False
 
     @property
     def modulation(self) -> str:
         return tbs_mod.McsConfig(self.qm, self.target_rate).modulation
+
+
+HARQ_RV_SEQUENCE = (0, 2, 3, 1)   # rv_sequence, harq_process.h
+NOF_HARQ_PROCESSES = 8
+MAX_HARQ_RETX = 4                 # expert cfg max_nof_harq_retxs default
+
+
+@dataclasses.dataclass
+class HarqProcess:
+    """One MAC HARQ process (harq_process<...> in harq_process.h): holds
+    the allocation parameters of the in-flight transport block so a
+    retransmission grant can be built with the identical TBS."""
+
+    pid: int
+    grant: DlGrant | None = None
+    tx_count: int = 0             # transmissions already granted
+    pending_retx: bool = False    # NACKed, awaiting a retx grant
+    awaiting_crc: bool = False    # granted, awaiting the CRC indication
+    grant_slot: int = -1          # slot of the last grant (timeout base)
+
+    @property
+    def busy(self) -> bool:
+        return self.grant is not None
+
+    def next_rv(self) -> int:
+        return HARQ_RV_SEQUENCE[min(self.tx_count,
+                                    len(HARQ_RV_SEQUENCE) - 1)]
+
+    def free(self) -> None:
+        self.grant = None
+        self.tx_count = 0
+        self.pending_retx = False
+        self.awaiting_crc = False
+
+
+class HarqEntity:
+    """Per-UE pool of NOF_HARQ_PROCESSES (harq_entity in the reference).
+
+    The scheduler allocates a free process for every new transmission,
+    marks NACKed ones pending, and drops a TB after MAX_HARQ_RETX failed
+    retransmissions (the reference discards and reports a DL/UL HARQ
+    failure to RLC)."""
+
+    #: Slots to wait for a CRC indication before a process self-frees
+    #: (the reference's ack_wait_timeout: a lost indication must not leak
+    #: the process forever — callers that never report CRC, e.g. plain
+    #: policy simulations, keep working).
+    CRC_TIMEOUT_SLOTS = 8
+
+    def __init__(self):
+        self.procs = [HarqProcess(pid=i) for i in range(NOF_HARQ_PROCESSES)]
+        self.nof_dropped = 0      # TBs abandoned at max retx
+
+    def find_free(self) -> HarqProcess | None:
+        for p in self.procs:
+            if not p.busy:
+                return p
+        return None
+
+    def pending_retx(self) -> list[HarqProcess]:
+        return [p for p in self.procs if p.pending_retx]
+
+    def expire(self, slot: int) -> None:
+        """Timeout processes whose CRC indication never arrived."""
+        for p in self.procs:
+            if (p.awaiting_crc and not p.pending_retx
+                    and slot - p.grant_slot > self.CRC_TIMEOUT_SLOTS):
+                p.free()
+
+    def on_crc(self, pid: int, ok: bool) -> None:
+        p = self.procs[pid % NOF_HARQ_PROCESSES]
+        if not p.busy:
+            return
+        p.awaiting_crc = False
+        if ok:
+            p.free()
+        elif p.tx_count > MAX_HARQ_RETX:
+            p.free()
+            self.nof_dropped += 1
+        else:
+            p.pending_retx = True
 
 
 class CellScheduler:
@@ -191,6 +291,36 @@ class CellScheduler:
         self.ues = {r: SchedUe(rnti=r) for r in rntis}
         self._rr_next = 0
         self.slot = 0
+        self._ul_slot = 0
+        # Auto-ACK until the caller proves it plumbs CRC/ACK indications
+        # (the reference's mac_test_mode_adapter auto-acks HARQ for
+        # test-mode UEs): policy-only users never strand processes.
+        self._crc_seen = {"ul": False, "dl": False}
+
+    # ---- HARQ indications (cell_scheduler.cpp:60 handle_crc_indication /
+    # handle_uci_indication -> harq ack) ----
+
+    def enable_harq(self) -> None:
+        """Declare that CRC/ACK indications WILL be plumbed: disables the
+        test-mode auto-ACK so processes are held from the first grant on
+        (callers that report CRCs arm this implicitly, but only after
+        their first indication — call this up front to track the very
+        first TBs too)."""
+        self._crc_seen["ul"] = self._crc_seen["dl"] = True
+
+    def handle_crc_indication(self, rnti: int, pid: int, ok: bool) -> None:
+        """UL CRC result for (rnti, pid): ACK frees the process, NACK marks
+        it pending — the next ``run_slot_ul`` emits a retransmission grant
+        with identical TBS at the next rv of the 0,2,3,1 sequence."""
+        self._crc_seen["ul"] = True
+        if rnti in self.ues:
+            self.ues[rnti].ul_harq.on_crc(pid, ok)
+
+    def handle_dl_ack(self, rnti: int, pid: int, ack: bool) -> None:
+        """DL HARQ-ACK (PUCCH UCI path): same contract for the DL entity."""
+        self._crc_seen["dl"] = True
+        if rnti in self.ues:
+            self.ues[rnti].dl_harq.on_crc(pid, ack)
 
     # ---- feedback handlers (the MAC indication plumbing) ----
 
@@ -227,20 +357,58 @@ class CellScheduler:
         """The UL scheduling pass (scheduler_time_pf.cpp ul_sched /
         scheduler_time_rr ul counterpart): same policies over ul_buffer with
         the UL average-rate history.  The EdgeRIC overrides are DL-side
-        hooks in the reference, so none apply here."""
-        return self._run_pass("ul", None, None)
+        hooks in the reference, so none apply here.
+
+        Pending HARQ retransmissions are allocated FIRST, before any new
+        transmission (ue_cell_grid_allocator retx-before-newtx ordering):
+        a retx grant keeps the original PRB count / MCS / TBS and advances
+        the redundancy version."""
+        grants = self._run_pass("ul", None, None)
+        self._ul_slot += 1
+        return grants
+
+    def _alloc_retx(self, d: str, order, next_prb: int,
+                    grants: list[DlGrant]) -> int:
+        """Allocate pending retransmissions front-of-queue; returns the
+        advanced PRB cursor."""
+        cfg = self.cfg
+        slot = self._ul_slot if d == "ul" else self.slot
+        for rnti in order:
+            ent = (self.ues[rnti].ul_harq if d == "ul"
+                   else self.ues[rnti].dl_harq)
+            ent.expire(slot)
+            for p in ent.pending_retx():
+                g0 = p.grant
+                if cfg.nof_prb - next_prb < g0.nof_prb:
+                    continue      # does not fit this slot; stays pending
+                g = dataclasses.replace(g0, start_prb=next_prb,
+                                        rv=p.next_rv(), is_retx=True)
+                grants.append(g)
+                p.grant = g
+                p.tx_count += 1
+                p.pending_retx = False
+                p.awaiting_crc = True
+                p.grant_slot = slot
+                next_prb += g.nof_prb
+        return next_prb
 
     def _run_pass(self, d: str, weights, mcs_overrides) -> list[DlGrant]:
         cfg = self.cfg
         buf = (lambda u: u.dl_buffer) if d == "dl" else (lambda u: u.ul_buffer)
         order = self._ue_order(d)
         grants: list[DlGrant] = []
-        next_prb = 0
+        next_prb = self._alloc_retx(d, order, 0, grants)
         unused_crbs = cfg.nof_prb  # this_tti_unused_crbs at policy start
+        retx_rntis = {g.rnti for g in grants}
         for rnti in order:
             u = self.ues[rnti]
             remaining = cfg.nof_prb - next_prb
-            if remaining <= 0 or buf(u) <= 0:
+            # One PUSCH/PDSCH per UE per slot: a retx consumed this UE's
+            # occasion.  New tx also needs a free HARQ process.
+            if remaining <= 0 or buf(u) <= 0 or rnti in retx_rntis:
+                continue
+            harq = (u.ul_harq if d == "ul" else u.dl_harq).find_free()
+            if harq is None:
                 continue
             # --- MCS: link adaptation, unless EdgeRIC overrides
             # (ue_cell_grid_allocator.cpp:426-432). ---
@@ -290,9 +458,17 @@ class CellScheduler:
                              remaining)
             tb = tbs_mod.tbs_for_alloc(n_prbs, cfg.nof_symbols,
                                        cfg.nof_dmrs_re_per_prb, mcs)
-            grants.append(DlGrant(rnti=rnti, start_prb=next_prb,
-                                  nof_prb=n_prbs, mcs=mcs_idx, qm=mcs.qm,
-                                  target_rate=mcs.target_rate, tbs=tb))
+            g = DlGrant(rnti=rnti, start_prb=next_prb, nof_prb=n_prbs,
+                        mcs=mcs_idx, qm=mcs.qm,
+                        target_rate=mcs.target_rate, tbs=tb,
+                        pid=harq.pid, rv=0)
+            grants.append(g)
+            harq.grant = g
+            harq.tx_count = 1
+            harq.awaiting_crc = True
+            harq.grant_slot = self._ul_slot if d == "ul" else self.slot
+            if not self._crc_seen[d]:
+                harq.free()     # test-mode auto-ACK (no indications wired)
             next_prb += n_prbs
             alloc_bytes = tb // 8
             if d == "dl":

@@ -82,10 +82,34 @@ class HeteroCellProcessor:
                 outs.append((r.payload, r.tb_crc_ok, r.noise_var, r.cfo_hz))
             return outs
 
+        def ul_tx_rv(payloads, rvs):
+            grid = None
+            for p, cfg, rv in zip(payloads, self.ue_cfgs, rvs):
+                g = pusch.transmit(p, cfg, t.nsymb, t.nof_subc, rv=rv)
+                grid = g if grid is None else grid + g
+            return ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
+
+        def ul_harq(rx_samples, soft_buffers, rvs):
+            # HARQ receive path: per-UE rv + accumulated soft buffer
+            # (zeros = no prior information), the rx_buffer_pool +
+            # pusch_decoder_impl soft-combining contract.  Returns the
+            # updated soft state so a further retransmission can combine.
+            rx_grid = ofdm.demodulate_slot(rx_samples, t, scale=1.0)
+            outs = []
+            for cfg, sb, rv in zip(self.ue_cfgs, soft_buffers, rvs):
+                r = pusch.process(rx_grid, cfg, t.srate, times, rv=rv,
+                                  soft_buffer=sb,
+                                  delay_spread_s=delay_spread_s)
+                outs.append((r.payload, r.tb_crc_ok, r.noise_var, r.cfo_hz,
+                             r.soft_buffer))
+            return outs
+
         self._dl = jax.jit(dl)
         self._dl_rx = jax.jit(dl_rx)
         self._ul_tx = jax.jit(ul_tx)
         self._ul = jax.jit(ul)
+        self._ul_tx_rv = jax.jit(ul_tx_rv, static_argnums=1)
+        self._ul_harq = jax.jit(ul_harq, static_argnums=2)
 
     def process_dl_slot(self, payloads: list[jnp.ndarray]) -> jnp.ndarray:
         """gNB DL TX: [(1, TBS_i)] per-UE payloads -> (total,) samples."""
@@ -104,3 +128,30 @@ class HeteroCellProcessor:
     def process_ul_slot(self, rx_samples: jnp.ndarray):
         """gNB UL RX: (total,) samples -> [(payload, tb_ok, nv, cfo)]."""
         return self._ul(rx_samples)
+
+    # ------------------------------------------------- HARQ retransmission
+
+    def soft_buffer_shape(self, ue: int) -> tuple[int, int]:
+        """(C, N_cb) circular-buffer shape of UE ``ue``'s soft state."""
+        seg, rms = pdsch._plans(self.ue_cfgs[ue], 0)
+        return (seg.c, rms[0].n_cb)
+
+    def process_ul_tx_rv_slot(self, payloads: list[jnp.ndarray],
+                              rvs: tuple[int, ...]) -> jnp.ndarray:
+        """UE PUSCH TX at per-UE redundancy versions (retransmissions)."""
+        assert len(payloads) == len(self.ue_cfgs) == len(rvs)
+        return self._ul_tx_rv(payloads, tuple(rvs))
+
+    def process_ul_harq_slot(self, rx_samples: jnp.ndarray,
+                             soft_buffers: list, rvs: tuple[int, ...]):
+        """gNB UL RX with HARQ soft combining.
+
+        ``soft_buffers``: per-UE (C, N_cb) accumulated-LLR arrays (pass
+        zeros — ``soft_buffer_shape`` — for a fresh transmission);
+        ``rvs``: per-UE redundancy version of THIS transmission.  Returns
+        [(payload, tb_ok, nv, cfo, new_soft)] — feed ``new_soft`` back on
+        the next retransmission (reference: rate dematcher accumulating
+        into the persistent rx_buffer, pusch_decoder_impl.cpp).
+        """
+        assert len(soft_buffers) == len(self.ue_cfgs) == len(rvs)
+        return self._ul_harq(rx_samples, soft_buffers, tuple(rvs))

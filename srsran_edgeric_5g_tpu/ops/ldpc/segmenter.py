@@ -118,4 +118,11 @@ def desegment_tb(cb_bits: jnp.ndarray, plan: SegmentPlan) -> tuple[jnp.ndarray, 
     parts = cb_bits[:, :cb_payload_len]
     tb = parts.reshape(b_tb, plan.c * cb_payload_len)
     ok = crc_check(tb, plan.tb_crc)
+    # Reject the all-zero decode: the zero word is a valid codeword of any
+    # linear code and CRC(0) = 0, so a decoder that collapsed to zeros
+    # (e.g. an rv>=1-only reception whose punctured systematic head never
+    # got any LLRs) would otherwise false-ACK garbage.  A genuinely
+    # all-zero TB is indistinguishable from that collapse at the receiver;
+    # declaring it failed costs one spurious HARQ retransmission.
+    ok = ok & jnp.any(tb != 0, axis=1)
     return tb[:, :plan.a], ok

@@ -86,7 +86,7 @@ def _slot_take(x: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
         i = int(idx[0])
         return jax.lax.slice_in_dim(x, i, i + 1)
     d = np.diff(idx)
-    if (d == d[0]).all():
+    if d[0] > 0 and (d == d[0]).all():
         start, step = int(idx[0]), int(d[0])
         return jax.lax.slice_in_dim(x, start,
                                     start + (idx.size - 1) * step + 1,
@@ -426,6 +426,10 @@ def gnb_dl_slot_batch(pay_norm: jnp.ndarray, pay_ssb: jnp.ndarray,
     cell_n, cell_s = fc.dl_cell(), fc.dl_cell_ssb()
     t = cell_n.timing
     norm_idx, ssb_idx = fc.norm_slots(s_total), fc.ssb_slots(s_total)
+    # _slot_drop_period/_slot_merge_period assume the SSB occasions sit
+    # at offset 0 with period fc.ssb_period; a future slot offset must
+    # fail loudly, not silently corrupt the DL slot ordering.
+    assert ssb_idx[0] == 0, "SSB slot offset != 0 unsupported here"
     rntis = fc.rntis()
     u = fc.nof_ue
 
@@ -875,6 +879,7 @@ def gnb_dl_slot_batch_mimo(pay_norm: jnp.ndarray, pay_ssb: jnp.ndarray,
     """
     cell_n, cell_s = fc.dl_cell_mimo(), fc.dl_cell_ssb_mimo()
     ssb_idx = fc.ssb_slots(s_total)
+    assert ssb_idx[0] == 0, "SSB slot offset != 0 unsupported here"
     k = fc.ssb_period
     rntis = fc.rntis()
     extra = _dl_control_rows(dci, fc, s_total)

@@ -119,3 +119,21 @@ def test_loopback_app_scheduled_mode(tmp_path):
     assert m.group(1) == m.group(2) and int(m.group(2)) >= 6
     assert int(m.group(3)) <= 4          # RBG snap bounds the layouts
     assert "bytes served" in out.stdout
+
+
+def test_loopback_app_harq_retx(tmp_path):
+    """--ul-fade: a deep-fade slot forces UL CRC NACKs; the scheduler's
+    HARQ loop (CRC indication -> rv-sequence retx grant -> soft-combined
+    decode) recovers every TB over the radio bridge (VERDICT r3 item 5)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "run_loopback_app.py"),
+         "--slots", "14", "--snr", "25", "--port", "47827",
+         "--ul-traffic", "400", "--ul-fade", "4", "--ul-fade-snr", "5"],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "HARQ retx rv=2 decoded (soft-combined)" in out.stdout, out.stdout
+    assert "0 dropped, 0 in flight" in out.stdout, out.stdout

@@ -144,6 +144,15 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
         ue_q: dict = {}                  # UE-side queues (bytes)
         ul_served: dict = {}
         sr_sent = sr_det = bsr_rx = ul_tb = ul_ok = 0
+        # HARQ stores (keyed (rnti, pid)): the UE keeps the MAC PDU it must
+        # retransmit; the gNB keeps the accumulated soft buffer
+        # (rx_buffer_pool reservation).  CRC results feed
+        # sched.handle_crc_indication -> retx grants at the next rv.
+        harq_ue_tb: dict = {}            # UE side: in-flight payload
+        harq_gnb_soft: dict = {}         # gNB side: (C, N_cb) soft state
+        ul_retx = ul_retx_ok = ul_dropped = 0
+        ul_faded = False
+        sched.enable_harq()              # this loop plumbs CRC indications
 
     t0 = time.time()
     for slot in range(args.slots):
@@ -175,14 +184,22 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
                 proc_u = _hetero(ukey, sched.to_pdsch_configs(ul_grants))
                 pls = []
                 for g, cap in zip(ul_grants, proc_u.tbs):
+                    if g.is_retx:
+                        # The UE retransmits the stored MAC PDU at the
+                        # granted rv (same TBS by construction).
+                        pls.append(harq_ue_tb[(g.rnti, g.pid)])
+                        ul_retx += 1
+                        continue
                     take = min(ue_q[g.rnti], ulp.sdu_capacity(cap))
                     sdu = rng.integers(0, 256, take,
                                        dtype=np.uint8).tobytes()
                     ue_q[g.rnti] -= take
-                    pls.append(jnp.asarray(ulp.build_ul_mac_pdu(
-                        ue_q[g.rnti], sdu, cap)[None]))
-                ul_td += from_device_complex(
-                    proc_u.process_ul_tx_slot(pls))
+                    pl = jnp.asarray(ulp.build_ul_mac_pdu(
+                        ue_q[g.rnti], sdu, cap)[None])
+                    harq_ue_tb[(g.rnti, g.pid)] = pl
+                    pls.append(pl)
+                ul_td += from_device_complex(proc_u.process_ul_tx_rv_slot(
+                    pls, tuple(g.rv for g in ul_grants)))
                 ul_active = True
             sr_ues = []
             if sr_cfg.is_occasion(slot):
@@ -204,7 +221,17 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
                         sr_ues.append(i)
                         sr_sent += 1
                 ul_active = ul_active or bool(sr_ues)
-            got_u = (_radio_roundtrip(tx, rx, ul_td, args.snr, rng,
+            # --ul-fade: one deep-fade slot (low SNR) forcing CRC NACKs so
+            # the HARQ retx loop is exercised over the radio bridge.  The
+            # fade hits the first slot at/after the given index that
+            # actually carries a new-tx PUSCH.
+            fade_now = (args.ul_fade >= 0 and not ul_faded
+                        and slot >= args.ul_fade
+                        and any(not g.is_retx for g in ul_grants))
+            if fade_now:
+                ul_faded = True
+            ul_snr = args.ul_fade_snr if fade_now else args.snr
+            got_u = (_radio_roundtrip(tx, rx, ul_td, ul_snr, rng,
                                       t.cp.total) if ul_active else None)
             if got_u is not None:
                 if sr_cfg.is_occasion(slot) and sr_ues:
@@ -229,12 +256,37 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
                                 sched.ues[r].ul_buffer,
                                 sr_cfg.sr_grant_bytes))
                 if proc_u is not None:
-                    outs = proc_u.process_ul_slot(to_device_complex(got_u))
-                    for g, (hat, okb, _, _) in zip(ul_grants, outs):
+                    softs = [harq_gnb_soft.get((g.rnti, g.pid)) if g.is_retx
+                             else None for g in ul_grants]
+                    softs = [s if s is not None
+                             else jnp.zeros(proc_u.soft_buffer_shape(i),
+                                            jnp.float32)
+                             for i, s in enumerate(softs)]
+                    outs = proc_u.process_ul_harq_slot(
+                        to_device_complex(got_u), softs,
+                        tuple(g.rv for g in ul_grants))
+                    for g, (hat, okb, _, _, soft_new) in zip(ul_grants,
+                                                             outs):
                         ul_tb += 1
-                        if not bool(np.asarray(okb).all()):
+                        good = bool(np.asarray(okb).all())
+                        sched.handle_crc_indication(g.rnti, g.pid, good)
+                        if not good:
+                            # rx_buffer carry for the soft-combined retx.
+                            harq_gnb_soft[(g.rnti, g.pid)] = soft_new
+                            p = sched.ues[g.rnti].ul_harq.procs[g.pid]
+                            if not p.busy:       # dropped at max retx
+                                ul_dropped += 1
+                                harq_ue_tb.pop((g.rnti, g.pid), None)
+                                harq_gnb_soft.pop((g.rnti, g.pid), None)
                             continue
                         ul_ok += 1
+                        if g.is_retx:
+                            ul_retx_ok += 1
+                            print(f"slot {slot}: HARQ retx rv={g.rv} "
+                                  f"decoded (soft-combined) for "
+                                  f"rnti={g.rnti:#x}", flush=True)
+                        harq_ue_tb.pop((g.rnti, g.pid), None)
+                        harq_gnb_soft.pop((g.rnti, g.pid), None)
                         reported, sdu = ulp.parse_ul_mac_pdu(
                             np.asarray(hat).reshape(-1))
                         bsr_rx += 1
@@ -433,11 +485,17 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
     ok = ok_count == tb_count
     if ul_mean:
         print(f"ul: {ul_ok}/{ul_tb} PUSCH ok, {bsr_rx} BSRs, SR "
-              f"{sr_det}/{sr_sent} detected, served "
+              f"{sr_det}/{sr_sent} detected, HARQ retx "
+              f"{ul_retx_ok}/{ul_retx} recovered ({ul_dropped} dropped, "
+              f"{len(harq_ue_tb)} in flight), served "
               f"{ {hex(r): b for r, b in ul_served.items()} }, residual "
               f"queues { {hex(r): q for r, q in ue_q.items()} }", flush=True)
-        ok = ok and ul_ok == ul_tb and bsr_rx > 0 and sr_det == sr_sent \
-            and sum(ul_served.values()) > 0
+        # Every transmitted TB must be delivered — first try or via the
+        # HARQ retx loop (nothing dropped, nothing stranded in flight).
+        ok = ok and ul_dropped == 0 and not harq_ue_tb and bsr_rx > 0 \
+            and sr_det == sr_sent and sum(ul_served.values()) > 0
+        if args.ul_fade >= 0:
+            ok = ok and ul_retx_ok >= 1     # the fade forced a real retx
     if bcch_on:
         print(f"bcch: {sib1_rx} SIB1 decoded, {paging_rx} paging records "
               f"received (paged {paged_ids})", flush=True)
@@ -472,6 +530,14 @@ def main(argv=None):
                          "-> PUSCH+BSR loop (PUCCH F0 SR occasions, TS "
                          "38.321 short-BSR MAC CE, scheduler run_slot_ul); "
                          "implies --sched")
+    ap.add_argument("--ul-fade", type=int, default=-1, dest="ul_fade",
+                    help="slot index hit by a deep fade (--ul-fade-snr): "
+                         "forces UL CRC NACKs so the scheduler's HARQ "
+                         "retx loop (CRC indication -> rv-sequence retx "
+                         "grant -> soft-combined decode) runs over the "
+                         "radio bridge; -1 = off")
+    ap.add_argument("--ul-fade-snr", type=float, default=3.0,
+                    dest="ul_fade_snr")
     ap.add_argument("--rach", type=int, default=0,
                     help="start the cell EMPTY and attach N UEs via the "
                          "full random-access procedure (PRACH occasion -> "

@@ -548,6 +548,10 @@ def main():
             from srsran_edgeric_5g_tpu.ops import ofdm as _ofdm
             spec = a.split("=")[1].split(":")
             _ofdm.set_fft_impl(spec[0], spec[1] if len(spec) > 1 else "default")
+    if "--no-csirs" in sys.argv:
+        # A/B: drop the NZP-CSI-RS occasion rows from the DL slot program
+        # (the round-2 workload, before e21279e added CSI-RS).
+        FC_KW.update(csi_rs_period=0)
     if "--qam256" in sys.argv:
         # MCS-table-2 operating point (TS 38.214 Table 5.1.3.1-2, MCS 20:
         # Qm 8, R 682.5/1024) on both directions at 33 dB: the post-eq SINR

@@ -50,28 +50,61 @@ class SiConfig:
     sib1_period_ms: int = 20    # max(ssb 10/20 ms, sib1_retx 20 ms) default
     sib1_start_prb: int = 0
     sib1_nof_prb: int = 6
-    # Additional SI messages: list of (payload bytes, periodicity ms).
+    # Additional SI messages: list of (payload bytes, si-Periodicity in
+    # RADIO FRAMES — TS 38.331 rf8..rf512; message order = position in
+    # schedulingInfoList, which fixes its SI window).
     si_messages: tuple = ()
-    slots_per_frame: int = 10   # mu=0
+    # si-WindowLength in slots (TS 38.331 s5..s1280, shared by all SI
+    # messages).
+    si_window_slots: int = 5
+    mu: int = 0                 # numerology: 10 * 2^mu slots per frame
+
+    @property
+    def slots_per_frame(self) -> int:
+        return 10 * (1 << self.mu)
+
+    @property
+    def slots_per_ms(self) -> int:
+        return 1 << self.mu
 
 
 class SiScheduler:
-    """SIB1 + SI-message periodic broadcast (sib_scheduler.cpp:84-106)."""
+    """SIB1 + SI-message broadcast (sib_scheduler.cpp:84-106 +
+    si_message_scheduler.cpp), with the TS 38.331 §5.2.2.3.2 SI-window
+    association: message n (1-based) owns the window starting at
+    x = (n-1)*w slots into the frame SFN with SFN mod T = floor(x/N)
+    (w = si-WindowLength, T = si-Periodicity in frames, N = slots/frame);
+    the message transmits at the first window slot not taken by SIB1."""
 
     def __init__(self, cfg: SiConfig):
         self.cfg = cfg
 
+    def _sib1_due(self, slot: int) -> bool:
+        # Time-true period at any numerology: 20 ms = 20 * 2^mu slots.
+        return slot % (self.cfg.sib1_period_ms * self.cfg.slots_per_ms) == 0
+
     def run_slot(self, slot: int) -> BcchGrant | None:
         c = self.cfg
-        if slot % c.sib1_period_ms == 0:
+        if self._sib1_due(slot):
             return BcchGrant(rnti=SI_RNTI, kind="sib1",
                              payload_bits=_bytes_to_bits(c.sib1_payload),
                              start_prb=c.sib1_start_prb,
                              nof_prb=c.sib1_nof_prb)
-        for i, (payload, period_ms) in enumerate(c.si_messages):
-            # SI window offset staggers messages after SIB1 (si_message_
-            # scheduler: each message owns a window within its period).
-            if slot % period_ms == (i + 1):
+        n_sl = c.slots_per_frame
+        sfn = slot // n_sl
+        slot_in_frame = slot % n_sl
+        w = c.si_window_slots
+        for n, (payload, period_rf) in enumerate(c.si_messages, start=1):
+            x = (n - 1) * w
+            if sfn % period_rf != (x // n_sl) % period_rf:
+                continue
+            start = x % n_sl
+            # First in-window slot not claimed by SIB1 (one tx per window,
+            # si_message_scheduler repetition count 1).
+            for a in range(start, min(start + w, n_sl)):
+                if not self._sib1_due(sfn * n_sl + a):
+                    break
+            if slot_in_frame == a:
                 return BcchGrant(rnti=SI_RNTI, kind="si",
                                  payload_bits=_bytes_to_bits(payload),
                                  start_prb=c.sib1_start_prb,
@@ -87,7 +120,11 @@ class PagingConfig:
     nof_pf_per_drx: int = 1              # pcch nof_pf 'oneT' -> N = T/1
     paging_frame_offset: int = 0
     ns: int = 1                          # paging occasions per PF
-    slots_per_frame: int = 10
+    mu: int = 0                          # numerology
+
+    @property
+    def slots_per_frame(self) -> int:
+        return 10 * (1 << self.mu)
 
 
 class PagingScheduler:
@@ -120,7 +157,11 @@ class PagingScheduler:
         due = []
         for ue_id in list(self.pending):
             pf, i_s = self._occasion(ue_id)
-            if sfn % c.drx_cycle_frames == pf and slot_in_frame == i_s:
+            # i_s spreads the Ns occasions evenly over the PF (the default
+            # SearchSpaceId-0 association: Ns=2 puts PO 1 at the half-frame
+            # boundary — 5 * 2^mu — not at slot 1).
+            if sfn % c.drx_cycle_frames == pf and \
+                    slot_in_frame == i_s * (c.slots_per_frame // c.ns):
                 due.append(ue_id)
         if not due:
             return None

@@ -18,6 +18,7 @@ formulation that reproduces the reference's piecewise-linear interval functions
 from __future__ import annotations
 
 import functools
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -75,6 +76,13 @@ def modulate(bits: jnp.ndarray, modulation: str) -> jnp.ndarray:
         s = (1 - 2 * b[..., 0]).astype(jnp.float32) * np.float32(1 / np.sqrt(2))
         return (s + 1j * s).astype(jnp.complex64)
     m = qm // 2
+    if os.environ.get("SRSRAN_TPU_MOD_LUT") == "1":
+        # A/B switch: the pre-r3 LUT-gather mapper (perf bisection only).
+        levels = jnp.asarray(pam_levels(m), dtype=jnp.float32)
+        w = jnp.asarray(1 << np.arange(m - 1, -1, -1), dtype=jnp.int32)
+        idx_i = jnp.sum(b[..., 0::2] * w, axis=-1)
+        idx_q = jnp.sum(b[..., 1::2] * w, axis=-1)
+        return (levels[idx_i] + 1j * levels[idx_q]).astype(jnp.complex64)
     # Closed-form Gray nesting (TS 38.211 §5.1.4-6 structure): per axis with
     # MSB-first bits, d/a = s_0*(2^{m-1} - s_1*(2^{m-2} - ... s_{m-1})) with
     # s_j = 1-2b_j — pure elementwise arithmetic.  The LUT-gather form

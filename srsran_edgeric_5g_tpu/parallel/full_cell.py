@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -82,6 +83,8 @@ def _slot_take(x: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
     idx = np.asarray(idx)
     if idx.size == 0:
         return x[:0]
+    if os.environ.get("SRSRAN_TPU_TAKE_GATHER") == "1":
+        return jnp.take(x, jnp.asarray(idx), axis=0)   # A/B: pre-r3 form
     if idx.size == 1:
         i = int(idx[0])
         return jax.lax.slice_in_dim(x, i, i + 1)
@@ -248,6 +251,8 @@ class FullCellConfig:
                            if i % self.prach_period == self.prach_offset])
 
     def csi_rs_slots(self, s: int) -> np.ndarray:
+        if self.csi_rs_period <= 0:
+            return np.asarray([], dtype=np.int64)
         return np.asarray([i for i in range(s)
                            if i % self.csi_rs_period == self.csi_rs_offset])
 
@@ -444,25 +449,37 @@ def gnb_dl_slot_batch(pay_norm: jnp.ndarray, pay_ssb: jnp.ndarray,
     left = jnp.zeros((sc0,), jnp.complex64)
     right = jnp.zeros((t.nof_subc - sc0 - 240,), jnp.complex64)
 
-    crows = jnp.asarray(_csi_rs_rows_np(fc, s_total))       # (S, nsubc)
+    # csi_rs_period <= 0 disables NZP-CSI-RS (cells without CSI-RS
+    # occasions; also the perf A/B for the occasion rows).
+    use_csirs = fc.csi_rs_period > 0
+    crows = (jnp.asarray(_csi_rs_rows_np(fc, s_total))      # (S, nsubc)
+             if use_csirs else None)
 
-    def mod_norm(sy, prow, crow):
-        return sp._dl_grid_ofdm(sy, cell_n, dmrs_scale=1.0,
-                                add_rows={0: prow,
-                                          fc.csi_rs_symbol: crow})
+    def mod_norm(sy, prow, crow=None):
+        rows = {0: prow}
+        if crow is not None:
+            rows[fc.csi_rs_symbol] = crow
+        return sp._dl_grid_ofdm(sy, cell_n, dmrs_scale=1.0, add_rows=rows)
 
-    def mod_ssb(sy, prow, crow, blk):
-        rows = {0: prow, fc.csi_rs_symbol: crow}
+    def mod_ssb(sy, prow, blk, crow=None):
+        rows = {0: prow}
+        if crow is not None:
+            rows[fc.csi_rs_symbol] = crow
         for j in range(4):
             rows[2 + j] = rows.get(2 + j, 0) + jnp.concatenate(
                 [left, blk[j], right])
         return sp._dl_grid_ofdm(sy, cell_s, dmrs_scale=1.0, add_rows=rows)
 
     k = fc.ssb_period
-    td_n = jax.vmap(mod_norm)(syms_n, _slot_drop_period(prows, k),
-                              _slot_drop_period(crows, k))
-    td_s = jax.vmap(mod_ssb)(syms_s, _slot_take(prows, ssb_idx),
-                             _slot_take(crows, ssb_idx), blocks)
+    if use_csirs:
+        td_n = jax.vmap(mod_norm)(syms_n, _slot_drop_period(prows, k),
+                                  _slot_drop_period(crows, k))
+        td_s = jax.vmap(mod_ssb)(syms_s, _slot_take(prows, ssb_idx),
+                                 blocks, _slot_take(crows, ssb_idx))
+    else:
+        td_n = jax.vmap(mod_norm)(syms_n, _slot_drop_period(prows, k))
+        td_s = jax.vmap(mod_ssb)(syms_s, _slot_take(prows, ssb_idx),
+                                 blocks)
     # Static re-interleave to slot order: reshape + concat, no gather.
     td = _slot_merge_period(td_s, td_n, k, s_total)
     # TX amplitude controller tail (every transmit passes through it, like

@@ -249,3 +249,37 @@ def test_loopback_app_bcch(tmp_path):
         capture_output=True, text=True, timeout=500, env=env)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "bcch: 2 SIB1 decoded, 1 paging records" in out.stdout, out.stdout
+
+
+def test_bcch_spec_windows_and_mu():
+    """TS 38.331 SI windows (periodicity in frames, window = (n-1)*w) and
+    TS 38.304 paging at mu=1 (period math in time, occasions spread over
+    the PF) — the spec-true forms of the round-3 simplifications."""
+    from srsran_edgeric_5g_tpu.mac import bcch
+
+    # Two SI messages, rf8 / rf16, window 5 slots, mu=0: message 1's window
+    # starts at slot 0 of SFN mod 8 == 0 (shifted off the SIB1 slot),
+    # message 2's at slot 5.
+    si = bcch.SiScheduler(bcch.SiConfig(
+        si_messages=((b"\x01", 8), (b"\x02", 16)), si_window_slots=5))
+    got = {s: g.kind for s in range(2 * 16 * 10)
+           if (g := si.run_slot(s)) is not None}
+    assert got[1] == "si" and got[81] == "si"      # rf8: SFN 0, 8
+    assert got[5] == "si" and got[165] == "si"     # rf16: slot 5, SFN 0, 16
+    assert 85 not in got                           # rf16 not due at SFN 8
+
+    # mu=1: 20 slots/frame, SIB1 every 20 ms = 40 slots.
+    si1 = bcch.SiScheduler(bcch.SiConfig(mu=1))
+    sib1 = [s for s in range(81) if (g := si1.run_slot(s)) is not None
+            and g.kind == "sib1"]
+    assert sib1 == [0, 40, 80]
+
+    # Paging at mu=1, Ns=2: UE with i_s=1 pages at the half-frame boundary
+    # (slot 10 of its PF), not at slot 1.
+    pg = bcch.PagingScheduler(bcch.PagingConfig(drx_cycle_frames=2, ns=2,
+                                                nof_pf_per_drx=2, mu=1))
+    # N = T/nof_pf = 1 -> every UE has PF 0; i_s = ue_id % 2.
+    pg.page_ue(3, b"x")                            # i_s = 1
+    assert pg.run_slot(1) is None
+    g = pg.run_slot(10)
+    assert g is not None and bcch.decode_paging(g.payload_bits) == [(3, b"x")]

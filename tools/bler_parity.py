@@ -126,6 +126,7 @@ def main():
     impl = "avx2"
     out_path = "BLER_R2.md"
     iters = 6
+    case_idx = None
     schedules = ["layered_rolls_bf16", "layered_rolls_i8"]
     for a in sys.argv:
         if a.startswith("--blocks="):
@@ -136,6 +137,32 @@ def main():
             out_path = a.split("=")[1]
         if a.startswith("--schedules="):
             schedules = a.split("=")[1].split(",")
+        if a.startswith("--case="):
+            case_idx = int(a.split("=")[1])
+
+    if case_idx is None:
+        # Driver mode: one fresh process per MCS case.  XLA:CPU's LLVM JIT
+        # reserves a bounded contiguous code-section pool per process;
+        # three cases' worth of compiled decode/chain programs exhaust it
+        # ('Unable to allocate section memory') — per-case subprocesses
+        # keep each pool small and make the sweep restartable.
+        frags = []
+        for i in range(len(CASES)):
+            frag = f"{out_path}.case{i}"
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), f"--case={i}",
+                 f"--blocks={n_blocks}", f"--impl={impl}", f"--out={frag}",
+                 "--schedules=" + ",".join(schedules)])
+            if r.returncode != 0:
+                sys.exit(r.returncode)
+            frags.append(frag)
+        with open(out_path, "w") as f:
+            f.write("\n".join(open(p).read().rstrip("\n") for p in frags)
+                    + "\n")
+        for p in frags:
+            os.unlink(p)
+        print(f"wrote {out_path}", flush=True)
+        return
 
     import jax
     # Under the axon TPU relay, int8 and complex64 device->host transfers
@@ -146,8 +173,8 @@ def main():
         jax.config.update("jax_platforms", "axon,cpu")
     cpu0 = jax.devices("cpu")[0]
     backend = jax.default_backend()
-    lines = [
-        "# BLER decoder parity vs the reference LDPC decoder (round 2)",
+    lines = [] if case_idx else [
+        "# BLER decoder parity vs the reference LDPC decoder",
         "",
         f"Identical noisy int8 LLR realizations (reference demap "
         f"quantization, clip ±20 -> ±120; 52 PRB 12-symbol allocation, "
@@ -157,7 +184,7 @@ def main():
         f"all its codeblocks.  Our decoders ran on the `{backend}` backend "
         f"(tools/bler_parity.py).", ""]
 
-    for mcs_idx, label, grid in CASES:
+    for mcs_idx, label, grid in [CASES[case_idx]]:
         rng = np.random.default_rng(1000 + mcs_idx)
         with jax.default_device(cpu0):
             mcs, a, seg, rm, tx_cbs, syms = build_point(mcs_idx, n_blocks,

@@ -64,11 +64,14 @@ def main():
     n_slots = 1000
     do_compile = "--compile" in sys.argv
     phy_slots = 50
-    for a in sys.argv:
+    top_n = None      # --top=N bounds compile mode (relay compiles are
+    for a in sys.argv:  # minutes each; the tail layouts extrapolate)
         if a.startswith("--slots="):
             n_slots = int(a.split("=")[1])
         if a.startswith("--phy-slots="):
             phy_slots = int(a.split("=")[1])
+        if a.startswith("--top="):
+            top_n = int(a.split("=")[1])
 
     t0 = time.perf_counter()
     sched, layouts, first_seen = run_scheduler(n_slots)
@@ -102,7 +105,8 @@ def main():
           "(most frequent first):", flush=True)
     compile_times = []
     steady = []
-    for i, (key, count) in enumerate(layouts.most_common(len(layouts))):
+    for i, (key, count) in enumerate(
+            layouts.most_common(top_n or len(layouts))):
         grants = [mac.DlGrant(rnti=r, start_prb=sp_, nof_prb=np_, mcs=0,
                               qm=qm, target_rate=tr,
                               tbs=0)
@@ -131,9 +135,13 @@ def main():
               f"{c1 - c0:.1f} s" +
               (f", steady {steady[-1]:.2f} ms/slot" if i < 3 else ""),
               flush=True)
-    print(f"total compile wall time for all {len(layouts)} layouts: "
-          f"{sum(compile_times):.0f} s; amortized over {total} slots = "
-          f"{sum(compile_times) / total * 1e3:.1f} ms/slot", flush=True)
+    n_c = len(compile_times)
+    est_all = sum(compile_times) / n_c * len(layouts)
+    print(f"compile wall time: {sum(compile_times):.0f} s for the top "
+          f"{n_c} layouts (mean {sum(compile_times) / n_c:.1f} s/layout); "
+          f"extrapolated {est_all:.0f} s for all {len(layouts)}, amortized "
+          f"over {total} slots = {est_all / total * 1e3:.1f} ms/slot",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -82,6 +82,27 @@ class HeteroCellProcessor:
                 outs.append((r.payload, r.tb_crc_ok, r.noise_var, r.cfo_hz))
             return outs
 
+        def dl_rv(payloads, rvs):
+            grid = None
+            for p, cfg, rv in zip(payloads, self.ue_cfgs, rvs):
+                g = pdsch.process(p, cfg, t.nsymb, t.nof_subc, rv=rv)
+                grid = g if grid is None else grid + g
+            return ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
+
+        def dl_rx_harq(rx_samples, soft_buffers, rvs):
+            # UE-side HARQ receive: soft-combine the retransmission with
+            # the stored buffer (dl_harq_process soft combining on the UE,
+            # same contract as the gNB-side ul_harq below).
+            rx_grid = ofdm.demodulate_slot(rx_samples, t, scale=1.0)
+            outs = []
+            for cfg, sb, rv in zip(self.ue_cfgs, soft_buffers, rvs):
+                r = pdsch.receive(rx_grid, cfg, t.srate, times, rv=rv,
+                                  soft_buffer=sb,
+                                  delay_spread_s=delay_spread_s)
+                outs.append((r.payload, r.tb_crc_ok, r.noise_var, r.cfo_hz,
+                             r.soft_buffer))
+            return outs
+
         def ul_tx_rv(payloads, rvs):
             grid = None
             for p, cfg, rv in zip(payloads, self.ue_cfgs, rvs):
@@ -110,6 +131,8 @@ class HeteroCellProcessor:
         self._ul = jax.jit(ul)
         self._ul_tx_rv = jax.jit(ul_tx_rv, static_argnums=1)
         self._ul_harq = jax.jit(ul_harq, static_argnums=2)
+        self._dl_rv = jax.jit(dl_rv, static_argnums=1)
+        self._dl_rx_harq = jax.jit(dl_rx_harq, static_argnums=2)
 
     def process_dl_slot(self, payloads: list[jnp.ndarray]) -> jnp.ndarray:
         """gNB DL TX: [(1, TBS_i)] per-UE payloads -> (total,) samples."""
@@ -135,6 +158,19 @@ class HeteroCellProcessor:
         """(C, N_cb) circular-buffer shape of UE ``ue``'s soft state."""
         seg, rms = pdsch._plans(self.ue_cfgs[ue], 0)
         return (seg.c, rms[0].n_cb)
+
+    def process_dl_rv_slot(self, payloads: list[jnp.ndarray],
+                           rvs: tuple[int, ...]) -> jnp.ndarray:
+        """gNB DL TX at per-UE redundancy versions (retransmissions)."""
+        assert len(payloads) == len(self.ue_cfgs) == len(rvs)
+        return self._dl_rv(payloads, tuple(rvs))
+
+    def process_dl_rx_harq_slot(self, rx_samples: jnp.ndarray,
+                                soft_buffers: list, rvs: tuple[int, ...]):
+        """UE-side DL RX with HARQ soft combining; same contract as
+        ``process_ul_harq_slot`` (zeros = fresh transmission)."""
+        assert len(soft_buffers) == len(self.ue_cfgs) == len(rvs)
+        return self._dl_rx_harq(rx_samples, soft_buffers, tuple(rvs))
 
     def process_ul_tx_rv_slot(self, payloads: list[jnp.ndarray],
                               rvs: tuple[int, ...]) -> jnp.ndarray:

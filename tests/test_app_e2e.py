@@ -137,3 +137,20 @@ def test_loopback_app_harq_retx(tmp_path):
     assert out.returncode == 0, out.stdout + out.stderr
     assert "HARQ retx rv=2 decoded (soft-combined)" in out.stdout, out.stdout
     assert "0 dropped, 0 in flight" in out.stdout, out.stdout
+
+
+def test_loopback_app_dl_harq_retx(tmp_path):
+    """--dl-fade: a UE-side PDSCH NACK drives the DL HARQ loop (ACK
+    feedback -> rv-sequence retx grant -> UE soft-combined decode)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "run_loopback_app.py"),
+         "--slots", "14", "--snr", "25", "--port", "47829",
+         "--sched", "pf", "--dl-fade", "3", "--dl-fade-snr", "4"],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "DL HARQ retx rv=" in out.stdout, out.stdout
+    assert "(0 dropped, 0 in flight)" in out.stdout, out.stdout

@@ -108,6 +108,14 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
     agent = er_sink.agent if er_sink is not None else None
     ok_count = tb_count = 0
     bytes_served = dict.fromkeys(rntis, 0)
+    # DL HARQ stores: gNB keeps the in-flight TB (to re-encode at the next
+    # rv), the UE keeps its soft buffer (dl_harq_process soft combining).
+    # PUCCH-reported ACK/NACK feeds sched.handle_dl_ack.
+    dl_harq_tb: dict = {}
+    dl_ue_soft: dict = {}
+    dl_retx = dl_retx_ok = dl_dropped = 0
+    dl_faded = False
+    sched.enable_harq()              # this loop plumbs DL ACK + UL CRC
 
     if rach_n:
         from srsran_edgeric_5g_tpu.mac import rach as rach_mod
@@ -453,23 +461,63 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
         if key not in procs:
             procs[key] = HeteroCellProcessor(t, sched.to_pdsch_configs(grants))
         proc = procs[key]
-        payloads = [jnp.asarray(rng.integers(0, 2, (1, n), dtype=np.int8))
-                    for n in proc.tbs]
-        td = proc.process_dl_slot(payloads)
-        got = _radio_roundtrip(tx, rx, from_device_complex(td), args.snr,
+        payloads = []
+        for g, n in zip(grants, proc.tbs):
+            if g.is_retx:
+                # gNB re-encodes the stored TB at the granted rv.
+                payloads.append(dl_harq_tb[(g.rnti, g.pid)])
+                dl_retx += 1
+            else:
+                pl = jnp.asarray(rng.integers(0, 2, (1, n), dtype=np.int8))
+                dl_harq_tb[(g.rnti, g.pid)] = pl
+                payloads.append(pl)
+        td = proc.process_dl_rv_slot(payloads, tuple(g.rv for g in grants))
+        # --dl-fade: force a DL NACK -> PUCCH ACK feedback -> retx grant.
+        fade_dl = (args.dl_fade >= 0 and not dl_faded
+                   and slot >= args.dl_fade
+                   and any(not g.is_retx for g in grants))
+        if fade_dl:
+            dl_faded = True
+        got = _radio_roundtrip(tx, rx, from_device_complex(td),
+                               args.dl_fade_snr if fade_dl else args.snr,
                                rng, t.cp.total)
         if got is None:
             notifier.on_underflow(slot)
             continue
-        # UE-side PDSCH receivers decode the DL (srsue role): DL BLER and
-        # the CQI feedback below are now exercised as actual DL.
-        outs = proc.process_dl_rx_slot(to_device_complex(got))
-        for g, (payload, ok, nv_est, _), want in zip(grants, outs, payloads):
+        # UE-side PDSCH receivers decode the DL (srsue role) with HARQ
+        # soft combining: DL BLER, ACK/NACK feedback and the CQI feedback
+        # below are exercised as actual DL.
+        softs = [dl_ue_soft.get((g.rnti, g.pid)) if g.is_retx else None
+                 for g in grants]
+        softs = [s if s is not None
+                 else jnp.zeros(proc.soft_buffer_shape(i), jnp.float32)
+                 for i, s in enumerate(softs)]
+        outs = proc.process_dl_rx_harq_slot(
+            to_device_complex(got), softs, tuple(g.rv for g in grants))
+        for g, (payload, ok, nv_est, _, soft_new), want in zip(grants, outs,
+                                                               payloads):
             tb_count += 1
             good = bool(np.asarray(ok).all())
             ok_count += int(good)
+            # The UE's HARQ-ACK reaches the scheduler (PUCCH UCI path).
+            sched.handle_dl_ack(g.rnti, g.pid, good)
             if good:
                 bytes_served[g.rnti] += g.tbs // 8
+                if g.is_retx:
+                    dl_retx_ok += 1
+                    assert (np.asarray(payload) == np.asarray(want)).all()
+                    print(f"slot {slot}: DL HARQ retx rv={g.rv} decoded "
+                          f"(soft-combined) for rnti={g.rnti:#x}",
+                          flush=True)
+                dl_harq_tb.pop((g.rnti, g.pid), None)
+                dl_ue_soft.pop((g.rnti, g.pid), None)
+            else:
+                dl_ue_soft[(g.rnti, g.pid)] = soft_new
+                p = sched.ues[g.rnti].dl_harq.procs[g.pid]
+                if not p.busy:                   # dropped at max retx
+                    dl_dropped += 1
+                    dl_harq_tb.pop((g.rnti, g.pid), None)
+                    dl_ue_soft.pop((g.rnti, g.pid), None)
             nv_u = float(np.asarray(nv_est).reshape(-1)[0])
             sinr = -10.0 * np.log10(max(nv_u, 1e-12))
             sched.handle_csi(g.rnti, cqi_from_sinr_db(sinr), sinr)
@@ -482,7 +530,15 @@ def run_scheduled(args, cfg, cell, tx, rx, er_sink, notifier, slot_clock,
     if agent is not None:
         print(f"edgeric: {agent.tti} TTIs; last weights age "
               f"{agent.weights_age}", flush=True)
-    ok = ok_count == tb_count
+    # Delivery criterion: every DL TB either decoded first try or was
+    # recovered by the HARQ retx loop (nothing dropped or stranded).
+    ok = dl_dropped == 0 and not dl_harq_tb
+    if dl_retx or dl_dropped:
+        print(f"dl harq: retx {dl_retx_ok}/{dl_retx} recovered "
+              f"({dl_dropped} dropped, {len(dl_harq_tb)} in flight)",
+              flush=True)
+    if args.dl_fade >= 0:
+        ok = ok and dl_retx_ok >= 1
     if ul_mean:
         print(f"ul: {ul_ok}/{ul_tb} PUSCH ok, {bsr_rx} BSRs, SR "
               f"{sr_det}/{sr_sent} detected, HARQ retx "
@@ -538,6 +594,12 @@ def main(argv=None):
                          "radio bridge; -1 = off")
     ap.add_argument("--ul-fade-snr", type=float, default=3.0,
                     dest="ul_fade_snr")
+    ap.add_argument("--dl-fade", type=int, default=-1, dest="dl_fade",
+                    help="like --ul-fade for the DL: forces a UE-side "
+                         "PDSCH NACK so the DL HARQ loop (ACK feedback -> "
+                         "retx grant -> UE soft-combined decode) runs")
+    ap.add_argument("--dl-fade-snr", type=float, default=3.0,
+                    dest="dl_fade_snr")
     ap.add_argument("--rach", type=int, default=0,
                     help="start the cell EMPTY and attach N UEs via the "
                          "full random-access procedure (PRACH occasion -> "

@@ -439,10 +439,42 @@ int cmd_decode(unsigned bg, unsigned zc, unsigned nmsg, uint64_t seed,
 // real MCS operating point) and feeds the identical buffers to this
 // reference decoder and to the TPU decoder schedules, so BLER curves
 // compare decoder-vs-decoder with no other variable.
+extern "C" int dbg_decode_soft(const char* impl, unsigned bg_i, unsigned zc,
+                               unsigned iters, const int8_t* in,
+                               unsigned n_out, int8_t* soft_out,
+                               unsigned nof_nodes);
+
+// decode_soft: like decode_llrs but emits the decoder's FULL internal
+// soft-bit state (nof_nodes x zc int8) per message — trajectory-level
+// debugging of decoder parity.
+int cmd_decode_soft(unsigned bg, unsigned zc, unsigned nmsg, unsigned iters,
+                    const std::string& impl, unsigned n_out)
+{
+  unsigned n_full    = n_out + 2 * zc;
+  unsigned nof_nodes = n_full / zc;
+  std::vector<int8_t> llrs(size_t(nmsg) * n_full);
+  if (std::fread(llrs.data(), 1, llrs.size(), stdin) != llrs.size()) {
+    std::fprintf(stderr, "short stdin read\n");
+    return 2;
+  }
+  std::vector<int8_t> soft(size_t(nmsg) * nof_nodes * zc);
+  for (unsigned m = 0; m != nmsg; ++m) {
+    dbg_decode_soft(impl.c_str(), bg, zc, iters, &llrs[size_t(m) * n_full + 2 * zc],
+                    n_out, &soft[size_t(m) * nof_nodes * zc], nof_nodes);
+  }
+  write_bytes(soft.data(), soft.size());
+  return 0;
+}
+
 int cmd_decode_llrs(unsigned bg, unsigned zc, unsigned nmsg, unsigned iters,
-                    const std::string& impl)
+                    const std::string& impl, unsigned n_out_override = 0)
 {
   Dims d = dims(bg, zc);
+  if (n_out_override != 0) {
+    // Short input => fewer decode layers (codeblock_length derives from
+    // input_size, ldpc_decoder_impl.cpp:107) — the layer-bisection probe.
+    d.n_out = n_out_override;
+  }
   unsigned n_full = d.n_out + 2 * zc;
   std::vector<int8_t> llrs(size_t(nmsg) * n_full);
   if (std::fread(llrs.data(), 1, llrs.size(), stdin) != llrs.size()) {
@@ -2904,6 +2936,12 @@ int main(int argc, char** argv)
   }
   if (cmd == "decode" && argc >= 10) {
     return cmd_decode(u(2), u(3), u(4), u(5), u(6), u(7), argv[8], u(9));
+  }
+  if (cmd == "decode_soft" && argc >= 8) {
+    return cmd_decode_soft(u(2), u(3), u(4), u(5), argv[6], u(7));
+  }
+  if (cmd == "decode_llrs" && argc >= 8) {
+    return cmd_decode_llrs(u(2), u(3), u(4), u(5), argv[6], u(7));
   }
   if (cmd == "decode_llrs" && argc >= 7) {
     return cmd_decode_llrs(u(2), u(3), u(4), u(5), argv[6]);

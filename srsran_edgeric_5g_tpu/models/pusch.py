@@ -211,6 +211,9 @@ def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
     # Soft demap with per-RE noise variance, then descramble.
     llr = modulation.demodulate_soft(x_hat.reshape(1, -1), nv_out.reshape(1, -1),
                                      cfg.modulation, quantize=False)
+    # Reference int8 wire domain (float dtype) -> 'wire_auto' decode below
+    # is bit-identical to the reference's production (avx2) decoder.
+    llr = modulation.wire_quantize(llr, cfg.modulation)
     ci = jnp.asarray([scrambling_c_init(cfg.rnti, cfg.n_id)], dtype=jnp.uint32)
     llr = sequences.scramble_llrs(llr, ci)            # (1, G)
 
@@ -241,7 +244,8 @@ def process(rx_grid: jnp.ndarray, cfg: PdschConfig, srate: float,
     zc = seg.zc
     new_soft = full_llrs[:, 2 * zc:2 * zc + rms[0].n_cb]
 
-    hard, cb_ok = decoder.decode(full_llrs, seg.bg, seg.zc, num_iters=num_iters)
+    hard, cb_ok = decoder.decode(full_llrs, seg.bg, seg.zc,
+                                 num_iters=num_iters, schedule="wire_auto")
     payload, tb_ok = segmenter.desegment_tb(hard, seg)
 
     sinr = 10.0 * jnp.log10(jnp.maximum(

@@ -120,6 +120,11 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
             schedule = "layered_rolls_bf16"
         else:
             schedule = "layered"
+    if schedule == "wire_auto":
+        # Reference-production semantics for int8-wire-domain inputs, on
+        # the backend-appropriate formulation.
+        schedule = ("layered_rolls_wire" if jax.default_backend() == "tpu"
+                    else "layered_wire")
     if schedule == "pallas":
         from .decoder_pallas import decode_pallas
         return decode_pallas(llrs, bg, zc, num_iters, scaling)
@@ -131,6 +136,19 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
     if schedule == "layered_rolls_bf16":
         return _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
                                      early_stop, msg_dtype=jnp.bfloat16)
+    if schedule == "layered_rolls_wire":
+        # Reference-PRODUCTION (avx2) semantics in bf16 storage: expects
+        # inputs in the int8 wire domain (demap clip ±20 -> ±120 ints —
+        # modulation.demodulate_soft(quantize=True) or wire_quantize).
+        # Integers ≤ 255 are exact in bf16, the ±64 load clamp and ±120
+        # v2c saturation bound every intermediate, and the truncating
+        # scale matches scale_epi8 — decode is then BIT-IDENTICAL to the
+        # reference ldpc_decoder_avx2 (tests/test_reference_parity.py),
+        # inheriting its ~0.3-0.5 dB waterfall advantage over plain
+        # normalized min-sum (see _minsum scale_floor).
+        return _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
+                                     early_stop, msg_dtype=jnp.bfloat16,
+                                     sat_limits=(64, 120), scale_floor=True)
     if schedule == "layered_rolls_mixed":
         # bf16 R storage (the bandwidth win) + f32 posterior (the accuracy).
         return _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
@@ -151,6 +169,10 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
     if schedule == "layered_rolls_i8":
         return _decode_layered_rolls_i8(llrs, bg, zc, num_iters, scaling,
                                         early_stop)
+    # 'layered'/'layered_wire': the gather-based formulation (CPU default).
+    # _wire applies the reference-production semantics (±64 load clamp,
+    # ±120 v2c saturation, truncating scale) for int8-wire-domain inputs.
+    wire = schedule == "layered_wire"
     plan = get_decode_plan(bg, zc)
     b = llrs.shape[0]
     zc_, rows, max_deg = plan.zc, plan.rows, plan.max_deg
@@ -161,8 +183,10 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
     mask = jnp.asarray(plan.mask[None, :, :, None])    # (1, rows, max_deg, 1)
 
     # One dummy slot at the end absorbs padded gathers.
-    l0 = jnp.concatenate([llrs.astype(jnp.float32),
-                          jnp.zeros((b, 1), jnp.float32)], axis=-1)
+    l_in = llrs.astype(jnp.float32)
+    if wire:
+        l_in = jnp.clip(l_in, -64.0, 64.0)       # soft_bits_clamp at load
+    l0 = jnp.concatenate([l_in, jnp.zeros((b, 1), jnp.float32)], axis=-1)
     r0 = jnp.zeros((b, rows, max_deg, zc_), jnp.float32)
 
     def layer_step(r_idx, state):
@@ -171,8 +195,22 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
         lmask = mask[:, r_idx]                         # (1, max_deg, 1)
         lg = l[:, idx].reshape(b, max_deg, zc_)
         t = lg - r_msgs[:, r_idx]
-        r_new = _minsum(t, lmask, scaling, deg_axis=1)
+        if wire:
+            t = jnp.clip(t, -120.0, 120.0)       # v2c saturation
+            frozen = jnp.abs(lg) > 120.0         # ±127-pinned posteriors
+            t = jnp.where(frozen, lg, t)
+        r_new = _minsum(t, lmask, scaling, deg_axis=1, scale_floor=wire)
         l_new = t + r_new
+        if wire:
+            # promotion_sum incl. infinite addends (avx2 compute_soft_bits):
+            # |sum| > 120 pins at ±127; an infinite t or c2v forces its
+            # sign unless both are infinite with opposite signs.
+            t_p, t_n = t > 120.0, t < -120.0
+            r_p, r_n = r_new > 120.0, r_new < -120.0
+            l_new = jnp.where(l_new > 120.0, 127.0,
+                              jnp.where(l_new < -120.0, -127.0, l_new))
+            l_new = jnp.where((t_p & ~r_n) | (r_p & ~t_n), 127.0, l_new)
+            l_new = jnp.where((t_n & ~r_p) | (r_n & ~t_p), -127.0, l_new)
         l = l.at[:, idx].set(l_new.reshape(b, -1), mode="drop")
         r_msgs = r_msgs.at[:, r_idx].set(r_new)
         return l, r_msgs
@@ -181,7 +219,9 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
         return jax.lax.fori_loop(0, rows, layer_step, state)
 
     def hard_of(l):
-        return (l[:, :n_full] < 0).astype(jnp.int8)
+        # Hard decision maps LLR == 0 to bit 1 (srsran hard_decision:
+        # cmpgt(1, soft) — integer-domain posteriors hit exact zero).
+        return (l[:, :n_full] <= 0).astype(jnp.int8)
 
     l = _iterate(sweep, (l0, r0), num_iters, early_stop,
                  lambda s: check_parity(hard_of(s[0]), bg, zc))[0]
@@ -231,18 +271,40 @@ def _record_trips(i):
 
 
 def _minsum(t: jnp.ndarray, lmask: jnp.ndarray, scaling: float,
-            deg_axis: int) -> jnp.ndarray:
-    """Normalized min-sum check update along ``deg_axis``."""
+            deg_axis: int, scale_floor: bool = False) -> jnp.ndarray:
+    """Normalized min-sum check update along ``deg_axis``.
+
+    ``scale_floor`` replicates the reference avx2 scale_epi8 exactly in
+    float: floor(mag * floor(scaling * 2^16) / 2^16) — a truncating scale
+    whose implicit offset (vs rounding) measures ~0.3-0.5 dB of BLER at
+    the QPSK r0.30 waterfall (avx2 0.031 vs generic 0.375 at 6 iters).
+    Only meaningful when the inputs are in the reference's integer wire
+    domain (magnitudes are then exact in f32/bf16)."""
     big = jnp.float32(1e30)
     at = jnp.where(lmask, jnp.abs(t), big)
+    if scale_floor:
+        # The reference resets its min/second-min trackers to LLR_MAX=120
+        # (update_check_to_variable_messages srsvec::fill), so a tracked
+        # magnitude can never exceed 120 — a ±127 frozen message competes
+        # (and is emitted) as 120.
+        at = jnp.where(lmask, jnp.minimum(at, jnp.asarray(120.0, at.dtype)),
+                       big)
     st = jnp.where(t < 0, -1.0, 1.0)
     m1 = jnp.min(at, axis=deg_axis, keepdims=True)
     is_min = at == m1
     first_min = is_min & (jnp.cumsum(is_min, axis=deg_axis) == 1)
     m2 = jnp.min(jnp.where(first_min, big, at), axis=deg_axis, keepdims=True)
     mag = jnp.where(first_min, m2, m1)
+    if scale_floor:
+        # scale_epi8 semantics incl. its a > max passthrough: an infinite
+        # (±127-frozen) message rides through unscaled.
+        sf16 = np.float32(int(scaling * 65536))
+        mag = jnp.where(mag > 120.0,
+                        mag, jnp.floor(mag * sf16 * np.float32(1.0 / 65536.0)))
+    else:
+        mag = scaling * mag
     sign_all = jnp.prod(jnp.where(lmask, st, 1.0), axis=deg_axis, keepdims=True)
-    return jnp.where(lmask, scaling * (sign_all * st) * mag, 0.0)
+    return jnp.where(lmask, (sign_all * st) * mag, 0.0)
 
 
 def _decode_flooding(llrs, bg, zc, num_iters, scaling):
@@ -273,7 +335,7 @@ def _decode_flooding(llrs, bg, zc, num_iters, scaling):
     r_final = jax.lax.fori_loop(0, num_iters, iteration, r0)
     l = lch.at[:, flat_idx].add(r_final.reshape(b, -1), mode="drop")[:, :n_full]
 
-    hard = (l < 0).astype(jnp.int8)
+    hard = (l <= 0).astype(jnp.int8)
     ok = check_parity(hard, bg, zc)
     return hard[:, :plan.kb * zc_], ok
 
@@ -402,7 +464,7 @@ def _decode_layered_waves(llrs, bg, zc, num_iters, scaling,
         for r in range(g.rows):
             row_par = None
             for (_, c, s) in row_edges[r]:
-                bit = jnp.roll(l[:, c], -s, axis=-1) < 0
+                bit = jnp.roll(l[:, c], -s, axis=-1) <= 0
                 row_par = bit if row_par is None else row_par ^ bit
             if row_par is not None:
                 viol = row_par if viol is None else viol | row_par
@@ -412,7 +474,7 @@ def _decode_layered_waves(llrs, bg, zc, num_iters, scaling,
     done0 = jnp.all(parity(state)) if early_stop else None
     l, _ = _iterate(sweep, state, num_iters - 1, early_stop, parity, done0)
     l = l.reshape(b, g.cols * zc)
-    hard = (l < 0).astype(jnp.int8)
+    hard = (l <= 0).astype(jnp.int8)
     ok = check_parity(hard, bg, zc)
     return hard[:, :plan.kb * zc], ok
 
@@ -420,7 +482,7 @@ def _decode_layered_waves(llrs, bg, zc, num_iters, scaling,
 def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
                           early_stop: bool = True,
                           msg_dtype=jnp.float32, post_dtype=None,
-                          sat_limits=None):
+                          sat_limits=None, scale_floor: bool = False):
     """Layered min-sum with NO gathers: the lifted-graph cyclic shifts become
     static `jnp.roll` lane rotations and block accesses become static slices.
 
@@ -469,15 +531,33 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
         r_out = [None] * g.num_edges if first else None
         for r in range(rows):
             edges = row_edges[r]
-            t = jnp.stack(
-                [jnp.roll(l[:, c], -s, axis=-1) if first
-                 else jnp.roll(l[:, c], -s, axis=-1) - r_msgs[:, eid]
-                 for (eid, c, s) in edges], axis=1)          # (B, deg, Zc)
+            le = jnp.stack([jnp.roll(l[:, c], -s, axis=-1)
+                            for (_, c, s) in edges], axis=1)  # (B, deg, Zc)
+            t = le if first else le - jnp.stack(
+                [r_msgs[:, eid] for (eid, _, _) in edges], axis=1)
             if sat_limits is not None:
                 t = jnp.clip(t, -sat_limits[1], sat_limits[1])
-            r_new = _minsum(t, jnp.bool_(True), scaling,
-                            deg_axis=1).astype(msg_dtype)
+                # Promotion freezing (log_likelihood_ratio promotion_sum):
+                # a posterior pinned at ±127 broadcasts its certainty
+                # unclipped, exactly like the reference int8 semantics.
+                frozen = jnp.abs(le) > sat_limits[1]
+                t = jnp.where(frozen, le, t)
+            r_new = _minsum(t, jnp.bool_(True), scaling, deg_axis=1,
+                            scale_floor=scale_floor).astype(msg_dtype)
             v = t + r_new
+            if sat_limits is not None:
+                # promotion_sum: |sum| > 120 pins at ±127, and an INFINITE
+                # addend (frozen posterior OR ±127 c2v message) forces the
+                # sum infinite with its sign — unless both are infinite
+                # with opposite signs (then the plain saturating sum
+                # stands).  avx2 compute_soft_bits mask logic.
+                lim = jnp.asarray(sat_limits[1], v.dtype)
+                pin = jnp.asarray(127.0, v.dtype)
+                t_p, t_n = t > lim, t < -lim
+                r_p, r_n = r_new > lim, r_new < -lim
+                v = jnp.where(v > lim, pin, jnp.where(v < -lim, -pin, v))
+                v = jnp.where((t_p & ~r_n) | (r_p & ~t_n), pin, v)
+                v = jnp.where((t_n & ~r_p) | (r_n & ~t_p), -pin, v)
             for j, (eid, c, s) in enumerate(edges):
                 l = l.at[:, c].set(jnp.roll(v[:, j], s, axis=-1))
                 if first:
@@ -500,7 +580,7 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
         for r in range(rows):
             row_par = None
             for (_, c, s) in row_edges[r]:
-                bit = jnp.roll(l[:, c], -s, axis=-1) < 0
+                bit = jnp.roll(l[:, c], -s, axis=-1) <= 0
                 row_par = bit if row_par is None else row_par ^ bit
             if row_par is not None:
                 viol = row_par if viol is None else viol | row_par
@@ -510,7 +590,7 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
     done0 = jnp.all(parity(state)) if early_stop else None
     l, _ = _iterate(sweep, state, num_iters - 1, early_stop, parity, done0)
     l = l.reshape(b, g.cols * zc)
-    hard = (l < 0).astype(jnp.int8)
+    hard = (l <= 0).astype(jnp.int8)
     ok = check_parity(hard, bg, zc)
     return hard[:, :plan.kb * zc], ok
 
@@ -610,7 +690,7 @@ def _decode_layered_rolls_cr(llrs, bg, zc, num_iters, scaling,
         for r in range(rows):
             row_par = None
             for (_, c, s) in row_edges[r]:
-                bit = jnp.roll(l[:, c], -s, axis=-1) < 0
+                bit = jnp.roll(l[:, c], -s, axis=-1) <= 0
                 row_par = bit if row_par is None else row_par ^ bit
             if row_par is not None:
                 viol = row_par if viol is None else viol | row_par
@@ -620,7 +700,7 @@ def _decode_layered_rolls_cr(llrs, bg, zc, num_iters, scaling,
     done0 = jnp.all(parity(state)) if early_stop else None
     l, _ = _iterate(sweep, state, num_iters - 1, early_stop, parity, done0)
     l = l.reshape(b, g.cols * zc)
-    hard = (l < 0).astype(jnp.int8)
+    hard = (l <= 0).astype(jnp.int8)
     ok = check_parity(hard, bg, zc)
     return hard[:, :plan.kb * zc], ok
 
@@ -664,11 +744,26 @@ def _decode_layered_rolls_i8(llrs, bg, zc, num_iters, scaling,
                      -LLR_MAX, LLR_MAX).astype(jnp.int32)
     q = jnp.clip(q, -64, 64)                 # soft_bits_clamp at load
 
-    scale_num = int(round(scaling * 256))
+    # avx2_support.h scale_epi8: fixed-point multiply by sf * 2^16, TRUNCATED
+    # (mulhi_epu16) — NOT rounded like the generic impl's scale_llr.  The
+    # truncation matters: floor(0.8 * m) kills magnitude-1 messages and
+    # shaves ~0.4 off every message on average — an implicit offset-min-sum
+    # that measures ~0.3-0.5 dB BETTER than the rounded form at the QPSK
+    # r0.30 waterfall (reference avx2 BLER 0.031 vs generic 0.375 at the
+    # same 6 iterations, identical inputs).  We follow the reference's
+    # PRODUCTION (avx2) semantics.
+    scale16 = int(scaling * 65536)
     maxv = jnp.int32(120)                    # LLR_MAX
     inf = jnp.int32(127)                     # LLR_INFTY (fixed bit)
-    l0 = q.reshape(b, g.cols, zc).astype(jnp.int8)
-    r0 = jnp.zeros((b, g.num_edges, zc), jnp.int8)
+    # Storage dtype int32, not int8: XLA:CPU's narrow-int vectorized
+    # roll/select path MISCOMPILES at some batch shapes (observed:
+    # identical inputs decode differently at B=4 vs B=1 — bits flipped
+    # only in some batch rows; int16 reduces but does not eliminate it).
+    # Values stay in int8 range; this schedule is the reference-parity
+    # oracle, not the production path (layered_rolls_wire keeps the bf16
+    # storage win with the same reference-exact arithmetic).
+    l0 = q.reshape(b, g.cols, zc).astype(jnp.int32)
+    r0 = jnp.zeros((b, g.num_edges, zc), jnp.int32)
 
     def sweep(state):
         l, r_msgs = state
@@ -682,26 +777,30 @@ def _decode_layered_rolls_i8(llrs, bg, zc, num_iters, scaling,
             l_inf = jnp.abs(le) >= inf
             t = jnp.clip(le - re_old, -maxv, maxv)
             t = jnp.where(l_inf, le, t)                      # inf propagates
-            at = jnp.abs(t)
+            at = jnp.minimum(jnp.abs(t), maxv)   # min trackers init at 120
             m1 = jnp.min(at, axis=1, keepdims=True)
             is_min = at == m1
             first_min = is_min & (jnp.cumsum(is_min, axis=1) == 1)
             m2 = jnp.min(jnp.where(first_min, inf, at), axis=1, keepdims=True)
             mag = jnp.where(first_min, m2, m1)
             mag = jnp.where(mag >= inf, inf,
-                            (mag * scale_num + 128) >> 8)    # scale_llr
+                            (mag * scale16) >> 16)    # scale_epi8 (floor)
             neg = t < 0
             sign_all = (jnp.sum(neg, axis=1, keepdims=True) & 1) == 1
             r_new = jnp.where(sign_all ^ neg, -mag, mag)
             # promotion_sum: beyond +-120 the bit freezes at +-127; an
             # already-fixed v2c stays fixed regardless of the message.
             v = t + r_new
+            t_p, t_n = t > maxv, t < -maxv
+            r_p, r_n = r_new > maxv, r_new < -maxv
             v = jnp.where(v > maxv, inf, jnp.where(v < -maxv, -inf, v))
-            v = jnp.where(l_inf, t, v)
+            v = jnp.where((t_p & ~r_n) | (r_p & ~t_n), inf, v)
+            v = jnp.where((t_n & ~r_p) | (r_n & ~t_p), -inf, v)
             for j, (eid, c, s) in enumerate(edges):
                 l = l.at[:, c].set(
-                    jnp.roll(v[:, j].astype(jnp.int8), s, axis=-1))
-                r_msgs = r_msgs.at[:, eid].set(r_new[:, j].astype(jnp.int8))
+                    jnp.roll(v[:, j].astype(jnp.int32), s, axis=-1))
+                r_msgs = r_msgs.at[:, eid].set(
+                    r_new[:, j].astype(jnp.int32))
         return l, r_msgs
 
     def parity(state):
@@ -710,7 +809,7 @@ def _decode_layered_rolls_i8(llrs, bg, zc, num_iters, scaling,
         for r in range(rows):
             row_par = None
             for (_, c, s) in row_edges[r]:
-                bit = jnp.roll(l[:, c], -s, axis=-1) < 0
+                bit = jnp.roll(l[:, c], -s, axis=-1) <= 0
                 row_par = bit if row_par is None else row_par ^ bit
             if row_par is not None:
                 viol = row_par if viol is None else viol | row_par
@@ -718,7 +817,7 @@ def _decode_layered_rolls_i8(llrs, bg, zc, num_iters, scaling,
 
     l, _ = _iterate(sweep, (l0, r0), num_iters, early_stop, parity)
     l = l.reshape(b, g.cols * zc)
-    hard = (l < 0).astype(jnp.int8)
+    hard = (l <= 0).astype(jnp.int8)
     ok = check_parity(hard, bg, zc)
     return hard[:, :plan.kb * zc], ok
 

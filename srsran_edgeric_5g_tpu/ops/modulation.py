@@ -178,6 +178,18 @@ def demodulate_soft(symbols: jnp.ndarray, noise_var: jnp.ndarray,
     return quantize_llrs(llrs, RANGE_LIMIT_PSK if qm <= 2 else RANGE_LIMIT)
 
 
+def wire_quantize(llrs: jnp.ndarray, modulation: str) -> jnp.ndarray:
+    """Reference int8 wire quantisation kept in FLOAT dtype: clip to the
+    constellation's range limit, scale to ±120 integer steps.  The decoder's
+    'wire' schedules expect this domain (integer values are exact in
+    f32/bf16); float dtype keeps the descramble/demux/HARQ stream ops
+    unchanged."""
+    qm = QM[modulation]
+    rl = RANGE_LIMIT_PSK if qm <= 2 else RANGE_LIMIT
+    scale = np.float32(LLR_MAX / rl)
+    return jnp.clip(jnp.round(llrs * scale), -LLR_MAX, LLR_MAX)
+
+
 def quantize_llrs(llrs: jnp.ndarray,
                   range_limit: float = RANGE_LIMIT) -> jnp.ndarray:
     """Reference-compatible int8 quantisation: clip to +-range_limit, scale

@@ -377,6 +377,9 @@ def _ul_front(rx_samples: jnp.ndarray, rntis: jnp.ndarray, cell: CellConfig,
     llr = modulation.demodulate_soft(x_hat.reshape(s * u, -1),
                                      nv_out.reshape(s * u, -1),
                                      cell.modulation, quantize=False)
+    # Reference int8 wire domain (float dtype): pairs with the decoder's
+    # 'wire_auto' schedule for bit-identical reference-avx2 decode.
+    llr = modulation.wire_quantize(llr, cell.modulation)
     if ci is None:
         ci_row = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
         # Per-row Gold sequences (see the layout note in _dl_code: hoisting
@@ -418,7 +421,7 @@ def _ul_back(llr: jnp.ndarray, cell: CellConfig, rv: int = 0,
     full = shard(full, mesh, cb_axes)
     new_soft = full[:, 2 * zc:2 * zc + rm.n_cb]
     hard, cb_ok = decoder.decode(full, seg.bg, seg.zc, num_iters=num_iters,
-                                 early_stop=early_stop)
+                                 early_stop=early_stop, schedule="wire_auto")
     payload, tb_ok = segmenter.desegment_tb(hard, seg)
     payload = shard(payload, mesh, row_axes)
     return payload, tb_ok, new_soft
@@ -709,6 +712,7 @@ def _ul_front_mimo(rx_samples: jnp.ndarray | None, rntis: jnp.ndarray,
                             ).reshape(s * u, L, ndata * w)
     llr = modulation.demodulate_soft(x, nv_x, cell.modulation,
                                      quantize=False)       # (B, L, nw*Qm)
+    llr = modulation.wire_quantize(llr, cell.modulation)   # int8 wire domain
     llr = llr.reshape(s * u, L, ndata * w, qm).transpose(0, 2, 1, 3)
     llr = llr.reshape(s * u, -1)
     ci_row = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)

@@ -87,7 +87,11 @@ def test_loopback_qam64_20mhz_full_band():
     tbs = cfg.derived_tbs()
     assert tbs > 30000, tbs  # a real multi-codeblock TB (C=5 at BG1)
     payload = jnp.asarray(rng.integers(0, 2, (1, tbs), dtype=np.int8))
-    grid = pdsch.process(payload, cfg, t.nsymb, t.nof_subc)
+    # Proper UL pair (pusch.transmit's 3 dB DM-RS boost matches the
+    # receiver's beta): the old DL-TX-into-PUSCH-RX mismatch survived only
+    # because the unquantized float decode had ~3 dB of slack the
+    # reference's int8 wire (now replicated exactly) does not.
+    grid = pusch.transmit(payload, cfg, t.nsymb, t.nof_subc)
     td = ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
     sig_power = float(jnp.mean(jnp.abs(td) ** 2))
     nv_time = sig_power * 10 ** (-22.0 / 10)

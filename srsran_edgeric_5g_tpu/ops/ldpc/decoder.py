@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -109,6 +110,10 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
       * 'flooding': all rows parallel per iteration; needs ~2x iterations
         for equal BLER.
     """
+    if os.environ.get("SRSRAN_TPU_DECODE_SCHEDULE"):
+        # Perf A/B: force a schedule regardless of the caller's request
+        # (e.g. =layered_rolls_bf16 to measure the wire-semantics cost).
+        schedule = os.environ["SRSRAN_TPU_DECODE_SCHEDULE"]
     if schedule == "auto":
         if jax.default_backend() == "tpu":
             # Measured on v5e at the pipeline decode shape (512 CBs, BG1
@@ -149,6 +154,16 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
         return _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
                                      early_stop, msg_dtype=jnp.bfloat16,
                                      sat_limits=(64, 120), scale_floor=True)
+    if schedule == "layered_rolls_wire_i8s":
+        # Wire semantics with int8 STORAGE, bf16 compute: every wire value
+        # is an integer (|R| <= floor(120*alpha) = 96, |L| <= 127), so the
+        # int8 round-trip is lossless and halves the HBM traffic of the
+        # dominant (B, edges, Zc) R tensor vs bf16 — still BIT-IDENTICAL
+        # to the reference avx2 decoder.
+        return _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
+                                     early_stop, msg_dtype=jnp.bfloat16,
+                                     sat_limits=(64, 120), scale_floor=True,
+                                     store_dtype=jnp.int8)
     if schedule == "layered_rolls_mixed":
         # bf16 R storage (the bandwidth win) + f32 posterior (the accuracy).
         return _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
@@ -482,7 +497,8 @@ def _decode_layered_waves(llrs, bg, zc, num_iters, scaling,
 def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
                           early_stop: bool = True,
                           msg_dtype=jnp.float32, post_dtype=None,
-                          sat_limits=None, scale_floor: bool = False):
+                          sat_limits=None, scale_floor: bool = False,
+                          store_dtype=None):
     """Layered min-sum with NO gathers: the lifted-graph cyclic shifts become
     static `jnp.roll` lane rotations and block accesses become static slices.
 
@@ -521,6 +537,13 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
     # input scale is normalized (the ±120 int8 wire domain).
     if sat_limits is not None:
         l0 = jnp.clip(l0, -sat_limits[0], sat_limits[0])
+    # ``store_dtype`` (int8 with wire semantics): L and R live in HBM as
+    # int8 — every wire value is an integer (|R| <= floor(alpha*120),
+    # |L| <= 127), so the round-trip is exact — and the compute widens to
+    # msg_dtype per row.  Halves the dominant R stream vs bf16.
+    cdt = post_dtype or msg_dtype
+    if store_dtype is not None:
+        l0 = l0.astype(store_dtype)
 
     def sweep_body(l, r_msgs, first):
         """One layered sweep.  ``first=True`` specializes R==0: no R reads
@@ -533,8 +556,11 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
             edges = row_edges[r]
             le = jnp.stack([jnp.roll(l[:, c], -s, axis=-1)
                             for (_, c, s) in edges], axis=1)  # (B, deg, Zc)
+            if store_dtype is not None:
+                le = le.astype(cdt)
             t = le if first else le - jnp.stack(
-                [r_msgs[:, eid] for (eid, _, _) in edges], axis=1)
+                [r_msgs[:, eid] for (eid, _, _) in edges],
+                axis=1).astype(cdt)
             if sat_limits is not None:
                 t = jnp.clip(t, -sat_limits[1], sat_limits[1])
                 # Promotion freezing (log_likelihood_ratio promotion_sum):
@@ -558,6 +584,9 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
                 v = jnp.where(v > lim, pin, jnp.where(v < -lim, -pin, v))
                 v = jnp.where((t_p & ~r_n) | (r_p & ~t_n), pin, v)
                 v = jnp.where((t_n & ~r_p) | (r_n & ~t_p), -pin, v)
+            if store_dtype is not None:
+                v = v.astype(store_dtype)
+                r_new = r_new.astype(store_dtype)
             for j, (eid, c, s) in enumerate(edges):
                 l = l.at[:, c].set(jnp.roll(v[:, j], s, axis=-1))
                 if first:

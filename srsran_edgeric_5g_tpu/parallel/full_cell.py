@@ -455,33 +455,48 @@ def gnb_dl_slot_batch(pay_norm: jnp.ndarray, pay_ssb: jnp.ndarray,
     crows = (jnp.asarray(_csi_rs_rows_np(fc, s_total))      # (S, nsubc)
              if use_csirs else None)
 
-    def mod_norm(sy, prow, crow=None):
+    # Grid assembly per sub-batch; the SSB/norm re-interleave happens at
+    # the GRID level (clean row-major c64), and ONE modulate_slot runs
+    # over the merged (S, nsymb, nsubc) batch.  Merging the time-domain
+    # SAMPLES instead (the r3 form, A/B below) made XLA materialise the
+    # matmul-DFT's transposed output layout through the merge reshapes —
+    # two full-tensor strided copies, 36% of the DL program's device time
+    # at S=256 (xplane: copy+reshape f32[225,1920,12]->[25,9,23040]).
+    def grid_norm(sy, prow, crow=None):
         rows = {0: prow}
         if crow is not None:
             rows[fc.csi_rs_symbol] = crow
-        return sp._dl_grid_ofdm(sy, cell_n, dmrs_scale=1.0, add_rows=rows)
+        return sp._dl_grid(sy, cell_n, dmrs_scale=1.0, add_rows=rows)
 
-    def mod_ssb(sy, prow, blk, crow=None):
+    def grid_ssb(sy, prow, blk, crow=None):
         rows = {0: prow}
         if crow is not None:
             rows[fc.csi_rs_symbol] = crow
         for j in range(4):
             rows[2 + j] = rows.get(2 + j, 0) + jnp.concatenate(
                 [left, blk[j], right])
-        return sp._dl_grid_ofdm(sy, cell_s, dmrs_scale=1.0, add_rows=rows)
+        return sp._dl_grid(sy, cell_s, dmrs_scale=1.0, add_rows=rows)
 
     k = fc.ssb_period
+    merge_samples = os.environ.get("SRSRAN_TPU_MERGE_SAMPLES") == "1"
     if use_csirs:
-        td_n = jax.vmap(mod_norm)(syms_n, _slot_drop_period(prows, k),
+        g_n = jax.vmap(grid_norm)(syms_n, _slot_drop_period(prows, k),
                                   _slot_drop_period(crows, k))
-        td_s = jax.vmap(mod_ssb)(syms_s, _slot_take(prows, ssb_idx),
+        g_s = jax.vmap(grid_ssb)(syms_s, _slot_take(prows, ssb_idx),
                                  blocks, _slot_take(crows, ssb_idx))
     else:
-        td_n = jax.vmap(mod_norm)(syms_n, _slot_drop_period(prows, k))
-        td_s = jax.vmap(mod_ssb)(syms_s, _slot_take(prows, ssb_idx),
+        g_n = jax.vmap(grid_norm)(syms_n, _slot_drop_period(prows, k))
+        g_s = jax.vmap(grid_ssb)(syms_s, _slot_take(prows, ssb_idx),
                                  blocks)
-    # Static re-interleave to slot order: reshape + concat, no gather.
-    td = _slot_merge_period(td_s, td_n, k, s_total)
+    if merge_samples:
+        # A/B: the r3 formulation — modulate the sub-batches separately
+        # and re-interleave the time-domain samples.
+        td_n = ofdm.modulate_slot(g_n, t, scale=1.0 / t.nfft)
+        td_s = ofdm.modulate_slot(g_s, t, scale=1.0 / t.nfft)
+        td = _slot_merge_period(td_s, td_n, k, s_total)
+    else:
+        grid = _slot_merge_period(g_s, g_n, k, s_total)
+        td = ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
     # TX amplitude controller tail (every transmit passes through it, like
     # the reference's per-symbol lower-PHY scale/clip).
     from ..ops import amplitude

@@ -114,6 +114,11 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
         # Perf A/B: force a schedule regardless of the caller's request
         # (e.g. =layered_rolls_bf16 to measure the wire-semantics cost).
         schedule = os.environ["SRSRAN_TPU_DECODE_SCHEDULE"]
+    if os.environ.get("SRSRAN_TPU_DECODE_FIXED"):
+        # Perf A/B: fixed sweep count, no early-stop while (bounds the
+        # while-loop's carry overhead vs its saved sweeps).
+        num_iters = int(os.environ["SRSRAN_TPU_DECODE_FIXED"])
+        early_stop = False
     if schedule == "auto":
         if jax.default_backend() == "tpu":
             # Measured on v5e at the pipeline decode shape (512 CBs, BG1
@@ -616,8 +621,43 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
         return jnp.logical_not(jnp.any(viol, axis=-1))
 
     state = sweep_body(l0, None, first=True)
+    # Head-unroll: run the first few sweeps OUTSIDE the early-stop while.
+    # The while's (L, R) carry is ~300 MB at the pipeline decode shape and
+    # each trip pays carry bookkeeping the unrolled form doesn't (measured
+    # 0.077 -> 0.071 ms/slot on the full-gNB bench when the batch needs 2
+    # sweeps); at good SNR the while then usually runs zero trips and only
+    # backstops bad slots.  Parity is checked once after the unrolled head
+    # (a batch converged at sweep 1 thus runs one extra sweep vs stopping
+    # there -- same batch-granularity semantics as the while's all-CB exit).
+    refine = int(os.environ.get("SRSRAN_TPU_DECODE_REFINE", "128"))
+    use_refine = early_stop and refine > 0 and b > 2 * refine
+    head = min(int(os.environ.get("SRSRAN_TPU_DECODE_UNROLL",
+                                  "1" if use_refine else "2")),
+               num_iters) - 1
+    for _ in range(head):
+        state = sweep(state)
+    left = num_iters - 1 - head
+    if use_refine and left > 0:
+        # Convergence COMPACTION — the TPU answer to the reference's
+        # per-CB early stop (ldpc_decoder_impl.cpp:125-133).  At operating
+        # SNR ~99% of the batch satisfies parity after the first sweep;
+        # the full-batch while would keep sweeping EVERYONE (B/refine x
+        # the work) until the last straggler converges.  Instead: gather
+        # the `refine` least-converged CBs into a fixed-shape sub-batch
+        # (static K -- no dynamic shapes under jit), run the early-stop
+        # while there at K/B of the sweep cost, scatter L AND R back
+        # (message state stays exactly "this CB ran more sweeps").  The
+        # full-batch while below remains as a backstop for genuinely bad
+        # batches (> `refine` stragglers) and usually runs zero trips.
+        par = parity(state)                           # (B,) True=converged
+        order = jnp.argsort(par)                      # stragglers first
+        idx = order[:refine]
+        sub = tuple(x[idx] for x in state)
+        done_s = jnp.all(parity(sub))
+        sub = _iterate(sweep, sub, left, True, parity, done_s)
+        state = tuple(x.at[idx].set(v) for x, v in zip(state, sub))
     done0 = jnp.all(parity(state)) if early_stop else None
-    l, _ = _iterate(sweep, state, num_iters - 1, early_stop, parity, done0)
+    l, _ = _iterate(sweep, state, left, early_stop, parity, done0)
     l = l.reshape(b, g.cols * zc)
     hard = (l <= 0).astype(jnp.int8)
     ok = check_parity(hard, bg, zc)

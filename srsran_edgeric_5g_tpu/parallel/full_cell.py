@@ -920,11 +920,25 @@ def gnb_dl_slot_batch_mimo(pay_norm: jnp.ndarray, pay_ssb: jnp.ndarray,
     ex_s = _slot_take(extra, ssb_idx)
     ex_s = ex_s.at[:, 2:6, sc0:sc0 + 240].add(blocks)
 
-    td_n = sp.dl_slot_batch_mimo(pay_norm, rntis, cell_n, mesh=mesh,
-                                 extra_rows=_slot_drop_period(extra, k))
-    td_s = sp.dl_slot_batch_mimo(pay_ssb, rntis, cell_s, mesh=mesh,
-                                 extra_rows=ex_s)
-    td = _slot_merge_period(td_s, td_n, k, s_total)
+    if os.environ.get("SRSRAN_TPU_MERGE_SAMPLES") == "1":
+        # A/B: the r3 form — per-sub-batch modulate + sample interleave.
+        td_n = sp.dl_slot_batch_mimo(pay_norm, rntis, cell_n, mesh=mesh,
+                                     extra_rows=_slot_drop_period(extra, k))
+        td_s = sp.dl_slot_batch_mimo(pay_ssb, rntis, cell_s, mesh=mesh,
+                                     extra_rows=ex_s)
+        td = _slot_merge_period(td_s, td_n, k, s_total)
+    else:
+        # Merge at the GRID level and modulate once (see gnb_dl_slot_batch:
+        # the sample-level interleave materialised the matmul-DFT's
+        # transposed layout through two full-tensor copies).
+        g_n = sp.dl_slot_batch_mimo(pay_norm, rntis, cell_n, mesh=mesh,
+                                    extra_rows=_slot_drop_period(extra, k),
+                                    return_grid=True)
+        g_s = sp.dl_slot_batch_mimo(pay_ssb, rntis, cell_s, mesh=mesh,
+                                    extra_rows=ex_s, return_grid=True)
+        grid = _slot_merge_period(g_s, g_n, k, s_total)
+        t = fc.timing
+        td = ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)
     from ..ops import amplitude
     if fc.tx_ceiling > 0:
         td, _ = amplitude.clip(td, fc.tx_gain, fc.tx_ceiling)

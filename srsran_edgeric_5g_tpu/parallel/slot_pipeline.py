@@ -504,7 +504,8 @@ def _span_dmrs(cell: CellConfig, port: int):
 def dl_slot_batch_mimo(payloads: jnp.ndarray, rntis: jnp.ndarray,
                        cell: CellConfig, rv: int = 0,
                        mesh=None,
-                       extra_rows: jnp.ndarray | None = None) -> jnp.ndarray:
+                       extra_rows: jnp.ndarray | None = None,
+                       return_grid: bool = False) -> jnp.ndarray:
     """Multi-layer DL/UE-TX: (S, U, TBS_L) payloads -> (S, L, total)
     per-port baseband samples.
 
@@ -576,6 +577,10 @@ def dl_slot_batch_mimo(payloads: jnp.ndarray, rntis: jnp.ndarray,
             row = jnp.concatenate([row[:, :1] + ex, row[:, 1:]], axis=1)
         rows.append(row)
     grid = jnp.stack(rows, axis=2)                  # (S, L, nsymb, nsubc)
+    if return_grid:
+        # Caller merges grids (clean row-major) and runs ONE modulate over
+        # the full slot batch — see gnb_dl_slot_batch's layout note.
+        return grid
     return ofdm.modulate_slot(grid, t, scale=1.0 / t.nfft)  # (S, L, total)
 
 

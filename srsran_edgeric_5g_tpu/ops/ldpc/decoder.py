@@ -39,6 +39,19 @@ from .graph import get_graph
 DEFAULT_SCALING = 0.8
 DEFAULT_ITERS = 6  # reference default (ldpc_decoder_impl.h:216)
 
+# Every schedule name decode() accepts (incl. the dispatch aliases); the
+# SRSRAN_TPU_DECODE_SCHEDULE A/B override is validated against this set so
+# a typo'd env var errors instead of silently decoding with the gather
+# fallback's different semantics.
+_KNOWN_SCHEDULES = frozenset({
+    "auto", "wire_auto", "pallas", "flooding",
+    "layered", "layered_wire",
+    "layered_rolls", "layered_rolls_bf16", "layered_rolls_wire",
+    "layered_rolls_wire_i8s", "layered_rolls_mixed", "layered_rolls_i8",
+    "layered_rolls_cr", "layered_rolls_cr_f32",
+    "layered_waves", "layered_waves_bf16",
+})
+
 
 @dataclasses.dataclass(frozen=True)
 class DecodePlan:
@@ -113,7 +126,14 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
     if os.environ.get("SRSRAN_TPU_DECODE_SCHEDULE"):
         # Perf A/B: force a schedule regardless of the caller's request
         # (e.g. =layered_rolls_bf16 to measure the wire-semantics cost).
-        schedule = os.environ["SRSRAN_TPU_DECODE_SCHEDULE"]
+        # Read at TRACE time: set it before the first decode of a process —
+        # changing it after jit caching has no effect on cached programs.
+        forced = os.environ["SRSRAN_TPU_DECODE_SCHEDULE"]
+        if forced not in _KNOWN_SCHEDULES:
+            raise ValueError(
+                f"SRSRAN_TPU_DECODE_SCHEDULE={forced!r} is not a known "
+                f"schedule; valid: {sorted(_KNOWN_SCHEDULES)}")
+        schedule = forced
     if os.environ.get("SRSRAN_TPU_DECODE_FIXED"):
         # Perf A/B: fixed sweep count, no early-stop while (bounds the
         # while-loop's carry overhead vs its saved sweeps).
@@ -189,6 +209,9 @@ def decode(llrs: jnp.ndarray, bg: int, zc: int,
     if schedule == "layered_rolls_i8":
         return _decode_layered_rolls_i8(llrs, bg, zc, num_iters, scaling,
                                         early_stop)
+    if schedule not in ("layered", "layered_wire"):
+        raise ValueError(f"unknown decode schedule {schedule!r}; valid: "
+                         f"{sorted(_KNOWN_SCHEDULES)}")
     # 'layered'/'layered_wire': the gather-based formulation (CPU default).
     # _wire applies the reference-production semantics (±64 load clamp,
     # ±120 v2c saturation, truncating scale) for int8-wire-domain inputs.
@@ -656,6 +679,36 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
         done_s = jnp.all(parity(sub))
         sub = _iterate(sweep, sub, left, True, parity, done_s)
         state = tuple(x.at[idx].set(v) for x, v in zip(state, sub))
+        # The sub-batch CBs have now had their FULL iteration budget
+        # (head + sub while ≤ num_iters): freeze them through the backstop
+        # so no codeblock ever exceeds the reference's max-iteration cap
+        # (ldpc_decoder_impl.cpp — over-iterating stragglers decoded CBs
+        # the reference declares failed and skewed low-SNR BLER parity).
+        # Non-sub stragglers (> `refine` of them, i.e. a genuinely bad
+        # batch) still get their full remaining budget here, and the exit
+        # condition ignores frozen CBs so a failed sub CB can't keep the
+        # backstop spinning.
+        frozen = jnp.zeros((b,), bool).at[idx].set(True)
+        fmask = frozen.reshape((b,) + (1,) * (state[0].ndim - 1))
+
+        def bs_cond(carry):
+            i, done, _ = carry
+            return jnp.logical_and(i < left, jnp.logical_not(done))
+
+        def bs_body(carry):
+            i, _, s = carry
+            s_new = sweep(s)
+            s = tuple(jnp.where(fmask, x, xn) for x, xn in zip(s, s_new))
+            return i + 1, jnp.all(parity(s) | frozen), s
+
+        done0 = jnp.all(parity(state) | frozen)
+        carry = jax.lax.while_loop(
+            bs_cond, bs_body, (jnp.int32(0), done0, state))
+        _record_trips(carry[0])
+        l = carry[2][0].reshape(b, g.cols * zc)
+        hard = (l <= 0).astype(jnp.int8)
+        ok = check_parity(hard, bg, zc)
+        return hard[:, :plan.kb * zc], ok
     done0 = jnp.all(parity(state)) if early_stop else None
     l, _ = _iterate(sweep, state, left, early_stop, parity, done0)
     l = l.reshape(b, g.cols * zc)

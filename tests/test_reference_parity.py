@@ -1379,7 +1379,8 @@ def test_prach_format_breadth_parity(harness, fmt_code, fmt, root, zcz, pre,
     assert abs(ours_ta - dets[0][1]) < 2.0 * t_sample, (ours_ta, dets[0][1])
 
 
-@pytest.mark.parametrize("sched", ["layered_rolls_wire", "layered_wire"])
+@pytest.mark.parametrize("sched", ["layered_rolls_wire", "layered_wire",
+                                   "layered_rolls_wire_i8s"])
 def test_ldpc_decoder_wire_schedule_matches_avx2_at_waterfall(harness, sched):
     """The production 'wire' schedules replicate the reference's PRODUCTION
     decoder (ldpc_decoder_avx2) bit-for-bit AT THE WATERFALL, where the

@@ -189,6 +189,12 @@ class DlGrant:
     pid: int = 0
     rv: int = 0
     is_retx: bool = False
+    # UCI allocation for the DL grant's HARQ-ACK (filled when the cell has
+    # a UciAllocator): ACK slot offset, PUCCH resource indicator (None =
+    # UCI multiplexed on that slot's PUSCH), DAI bit index.
+    k1: int = 0
+    pucch_res: int | None = None
+    harq_bit_idx: int = 0
 
     @property
     def modulation(self) -> str:
@@ -286,12 +292,19 @@ class CellScheduler:
         agent.send_metrics(sched.ue_reports())   # EdgeRIC send
     """
 
-    def __init__(self, cfg: SchedulerConfig, rntis: list[int]):
+    def __init__(self, cfg: SchedulerConfig, rntis: list[int],
+                 uci_allocator=None):
         self.cfg = cfg
         self.ues = {r: SchedUe(rnti=r) for r in rntis}
         self._rr_next = 0
         self.slot = 0
         self._ul_slot = 0
+        # Optional mac.uci_allocator.UciAllocator: when present, every DL
+        # grant gets its HARQ-ACK opportunity allocated (k1 + PUCCH
+        # resource indicator or UCI-on-PUSCH) and UL grants register their
+        # PUSCH so later ACKs multiplex onto it —
+        # uci_allocator_impl.cpp:alloc_uci_harq_ue.
+        self.uci = uci_allocator
         # Auto-ACK until the caller proves it plumbs CRC/ACK indications
         # (the reference's mac_test_mode_adapter auto-acks HARQ for
         # test-mode UEs): policy-only users never strand processes.
@@ -350,6 +363,28 @@ class CellScheduler:
         default policy decides everything — edgeric.cpp:289-295).
         """
         grants = self._run_pass("dl", weights, mcs_overrides)
+        if self.uci is not None:
+            self.uci.slot_indication(self.slot)
+            alloc_grants = []
+            for g in grants:
+                a = self.uci.alloc_harq_ack(self.slot, g.rnti)
+                if a is None:
+                    # No UCI opportunity for the ACK -> the grant cannot be
+                    # scheduled this slot (the reference drops the PDSCH
+                    # allocation when alloc_uci_harq_ue fails,
+                    # ue_cell_grid_allocator.cpp).  A new tx releases its
+                    # HARQ process; a retx goes back to pending for the
+                    # next slot's retx-first pass.
+                    p = self.ues[g.rnti].dl_harq.procs[g.pid]
+                    if g.is_retx:
+                        p.pending_retx = True
+                    else:
+                        p.free()
+                    continue
+                alloc_grants.append(dataclasses.replace(
+                    g, k1=a.k1, pucch_res=a.pucch_res_indicator,
+                    harq_bit_idx=a.harq_bit_idx))
+            grants = alloc_grants
         self.slot += 1
         return grants
 
@@ -364,6 +399,12 @@ class CellScheduler:
         a retx grant keeps the original PRB count / MCS / TBS and advances
         the redundancy version."""
         grants = self._run_pass("ul", None, None)
+        if self.uci is not None:
+            # Register the PUSCH grants so HARQ-ACK/CSI landing on this
+            # slot multiplexes onto the PUSCH instead of claiming a PUCCH
+            # resource (multiplex_uci_on_pusch).
+            for g in grants:
+                self.uci.on_pusch_grant(self._ul_slot, g.rnti)
         self._ul_slot += 1
         return grants
 

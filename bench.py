@@ -135,7 +135,7 @@ def bench_full_cell(s_batch: int, snr_db: float | None):
     eps = jnp.int8(0)
     flip = jnp.float32(1.0)
     soft = jnp.zeros((s * u * seg_u.c, sp._plans(cell_u, 0)[1].n_cb),
-                     jnp.float32)
+                     jnp.int8)
 
     res, eps, flip = step(pay_n, pay_s, eps, flip, soft)
     ok = np.asarray(res["tb_ok"])
@@ -233,7 +233,7 @@ def bench_streaming(s_batch: int, snr_db: float | None, depth: int = 2,
 
     eps = jnp.int8(0)
     flip = jnp.float32(1.0)
-    soft = jnp.zeros((s * u * seg_u.c, rm_u.n_cb), jnp.float32)
+    soft = jnp.zeros((s * u * seg_u.c, rm_u.n_cb), jnp.int8)
     res, eps, flip = step(pay_n, eps, flip, soft)
     assert np.asarray(res["tb_ok"]).all()
 
@@ -427,7 +427,7 @@ def bench_full_cell_mimo(s_batch: int, n_layers: int, snr_db: float | None):
     eps = jnp.int8(0)
     flip = jnp.float32(1.0)
     soft = jnp.zeros((s * u * seg_u.c, sp._plans(cell_u, 0)[1].n_cb),
-                     jnp.float32)
+                     jnp.int8)
     res, eps, flip = step(pay_n, pay_s, eps, flip, soft)
     ok = np.asarray(res["tb_ok"])
     assert ok.all(), f"MIMO PUSCH CRC failed: {ok.sum()}/{ok.size}"

@@ -163,25 +163,35 @@ def rate_match(full_codeword: jnp.ndarray, plan: RateMatchPlan,
 def rate_dematch(llrs: jnp.ndarray, plan: RateMatchPlan,
                  soft_buffer: jnp.ndarray | None = None,
                  use_runs: bool = False,
-                 use_gather: bool = False) -> jnp.ndarray:
+                 use_gather: bool = False,
+                 dtype=jnp.float32,
+                 saturate: bool = False) -> jnp.ndarray:
     """(B, E) LLRs -> (B, cols*Zc) decoder input, soft-combining into
     ``soft_buffer`` (HARQ) when given.
 
     Repeated buffer positions accumulate (matching the reference's
     accumulate-on-wrap), punctured systematic positions stay 0, fillers get
     +FILLER_LLR (known zero).
+
+    ``dtype``/``saturate``: the int8-wire-domain pipeline path runs the
+    combine in bf16 (every value is an integer; |llr| <= 120, |soft| <= 127,
+    so sums <= 247 are bf16-exact) and clips the combined buffer to ±127 —
+    the reference's SATURATED LLR sum (log_likelihood_ratio.h:98-109, used
+    by ldpc_rate_dematcher_impl::combine_softbits) — which also makes the
+    (B, cols*Zc) decoder input and the HARQ carry half/quarter the HBM
+    bytes of the f32 form.
     """
     g = get_graph(plan.bg, plan.zc)
     b = llrs.shape[0]
     zc = plan.zc
-    buf = jnp.zeros((b, plan.n_cb), jnp.float32) if soft_buffer is None \
-        else soft_buffer.astype(jnp.float32)
+    buf = jnp.zeros((b, plan.n_cb), dtype) if soft_buffer is None \
+        else soft_buffer.astype(dtype)
     if use_runs and len(plan.runs) <= _MAX_RUNS:
         # Deinterleave = one transpose; un-select = static slice adds (the
         # accumulate across wrap runs is the reference's soft combine on
         # repeated positions).
         rows = plan.e // plan.qm
-        deint = llrs.astype(jnp.float32).reshape(b, rows, plan.qm) \
+        deint = llrs.astype(dtype).reshape(b, rows, plan.qm) \
             .transpose(0, 2, 1).reshape(b, plan.e)
         for (s, d, ln) in plan.runs:
             buf = buf.at[:, d:d + ln].add(deint[:, s:s + ln])
@@ -194,7 +204,7 @@ def rate_dematch(llrs: jnp.ndarray, plan: RateMatchPlan,
         # transpose copy of the demapper output (29% of device time on v5e;
         # the scatter tolerates the demapper's native layout).
         ext = jnp.concatenate(
-            [llrs.astype(jnp.float32), jnp.zeros((b, 1), jnp.float32)],
+            [llrs.astype(dtype), jnp.zeros((b, 1), dtype)],
             axis=-1)
         for k in range(plan.inv_idx.shape[0]):
             buf = buf + ext[:, jnp.asarray(plan.inv_idx[k])]
@@ -206,14 +216,19 @@ def rate_dematch(llrs: jnp.ndarray, plan: RateMatchPlan,
         uniq = plan.inv_idx.shape[0] == 1
         idx = jnp.asarray(plan.select_idx)
         if uniq and soft_buffer is None:
-            buf = buf.at[:, idx].set(llrs.astype(jnp.float32),
+            buf = buf.at[:, idx].set(llrs.astype(dtype),
                                      unique_indices=True,
                                      mode="promise_in_bounds")
         else:
-            buf = buf.at[:, idx].add(llrs.astype(jnp.float32),
+            buf = buf.at[:, idx].add(llrs.astype(dtype),
                                      unique_indices=uniq,
                                      mode="promise_in_bounds")
 
+    if saturate:
+        # Reference saturated LLR sum: one clip per combine event (each
+        # slot-batch step combines ONE new transmission into the buffer,
+        # the same granularity as the reference's per-retx combine).
+        buf = jnp.clip(buf, -FILLER_LLR, FILLER_LLR)
     f_begin = plan.k_prime - 2 * zc
     f_end = g.k - 2 * zc
     pos = np.arange(plan.n_cb)
@@ -221,5 +236,5 @@ def rate_dematch(llrs: jnp.ndarray, plan: RateMatchPlan,
     buf = jnp.where(filler, FILLER_LLR, buf)
 
     return jnp.concatenate(
-        [jnp.zeros((b, 2 * zc), jnp.float32), buf,
-         jnp.zeros((b, g.n_full - 2 * zc - plan.n_cb), jnp.float32)], axis=-1)
+        [jnp.zeros((b, 2 * zc), dtype), buf,
+         jnp.zeros((b, g.n_full - 2 * zc - plan.n_cb), dtype)], axis=-1)

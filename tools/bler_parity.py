@@ -96,26 +96,25 @@ def decode_ref(buf_i8, seg, iters, impl):
     return hards
 
 
-def decode_ours(buf_i8, seg, iters, schedule, chunk=512):
-    """Chunked decode: one multi-thousand-CB batch makes XLA-CPU's LLVM JIT
-    run out of code-section mappings at the MCS-24 shapes (observed
-    'Unable to allocate section memory'); <=512-CB calls compile once and
-    reuse.
+_RUN_CACHE = {}
 
-    Wire format through the (slow, single-client) axon relay: int8 LLRs
-    packed 4-per-uint32 up (int8 transfers are unimplemented on that
-    backend and f32 would be 4x the bytes), hard bits packed 32-per-uint32
-    down — together ~25x less relay traffic per point than the naive
-    f32-up/f32-down form."""
+
+def _decode_program(seg_bg, seg_zc, n_full, iters, schedule):
+    """Build (and memoize) the jitted unpack->decode->pack program: tracing
+    the unrolled 46-row decode costs minutes per call at the 512-CB case
+    shapes — the per-(point, schedule) rebuild dominated the sweep's wall
+    time before this cache."""
     import functools
 
     import jax
     import jax.numpy as jnp
     from srsran_edgeric_5g_tpu.ops.ldpc import decoder
 
-    n_full = buf_i8.shape[1]
-    n4 = -(-n_full // 4) * 4
-    k = (22 if seg.bg == 1 else 10) * seg.zc
+    key = (seg_bg, seg_zc, n_full, iters, schedule)
+    if key in _RUN_CACHE:
+        return _RUN_CACHE[key]
+
+    k = (22 if seg_bg == 1 else 10) * seg_zc
     k32 = -(-k // 32) * 32
 
     @functools.partial(jax.jit, static_argnums=())
@@ -132,13 +131,36 @@ def decode_ours(buf_i8, seg, iters, schedule, chunk=512):
         # +-120-domain values directly (min-sum is scale-invariant).
         llr = (llr.astype(jnp.int8) if schedule.endswith("_i8")
                else llr.astype(jnp.float32))
-        hard, _ = decoder.decode(llr, seg.bg, seg.zc,
+        hard, _ = decoder.decode(llr, seg_bg, seg_zc,
                                  num_iters=iters, schedule=schedule)
         # pack hard bits 32/word for the downlink
         hp = jnp.pad(hard.astype(jnp.uint32), ((0, 0), (0, k32 - k)))
         w = jnp.asarray(1, jnp.uint32) << jnp.arange(32, dtype=jnp.uint32)
         return jnp.sum(hp.reshape(hard.shape[0], -1, 32) * w[None, None, :],
                        axis=-1, dtype=jnp.uint32)
+
+    _RUN_CACHE[key] = run
+    return run
+
+
+def decode_ours(buf_i8, seg, iters, schedule, chunk=512):
+    """Chunked decode: one multi-thousand-CB batch makes XLA-CPU's LLVM JIT
+    run out of code-section mappings at the MCS-24 shapes (observed
+    'Unable to allocate section memory'); <=512-CB calls compile once and
+    reuse.
+
+    Wire format through the (slow, single-client) axon relay: int8 LLRs
+    packed 4-per-uint32 up (int8 transfers are unimplemented on that
+    backend and f32 would be 4x the bytes), hard bits packed 32-per-uint32
+    down — together ~25x less relay traffic per point than the naive
+    f32-up/f32-down form."""
+    import jax.numpy as jnp
+
+    n_full = buf_i8.shape[1]
+    n4 = -(-n_full // 4) * 4
+    k = (22 if seg.bg == 1 else 10) * seg.zc
+    k32 = -(-k // 32) * 32
+    run = _decode_program(seg.bg, seg.zc, n_full, iters, schedule)
 
     outs = []
     for i in range(0, buf_i8.shape[0], chunk):

@@ -334,8 +334,14 @@ def _minsum(t: jnp.ndarray, lmask: jnp.ndarray, scaling: float,
                        big)
     st = jnp.where(t < 0, -1.0, 1.0)
     m1 = jnp.min(at, axis=deg_axis, keepdims=True)
-    is_min = at == m1
-    first_min = is_min & (jnp.cumsum(is_min, axis=deg_axis) == 1)
+    # First-min selection via argmin (ties -> lowest index, same semantics
+    # as the old is_min & cumsum(is_min)==1 form): the cumsum materialized
+    # a full s32 (B, deg, Zc) scan per row — ~5% of the slot step in the
+    # xplane profile — while the argmin is one reduce and the iota compare
+    # fuses into the surrounding elementwise blob.
+    amin = jnp.argmin(at, axis=deg_axis)
+    iota = jax.lax.broadcasted_iota(jnp.int32, at.shape, deg_axis)
+    first_min = iota == jnp.expand_dims(amin, deg_axis)
     m2 = jnp.min(jnp.where(first_min, big, at), axis=deg_axis, keepdims=True)
     mag = jnp.where(first_min, m2, m1)
     if scale_floor:
@@ -652,7 +658,16 @@ def _decode_layered_rolls(llrs, bg, zc, num_iters, scaling,
     # backstops bad slots.  Parity is checked once after the unrolled head
     # (a batch converged at sweep 1 thus runs one extra sweep vs stopping
     # there -- same batch-granularity semantics as the while's all-CB exit).
-    refine = int(os.environ.get("SRSRAN_TPU_DECODE_REFINE", "128"))
+    # Convergence compaction default: OFF.  Measured on the v5e chip at the
+    # production bench point (25 dB, B=2048, stragglers ~0): the refine
+    # machinery (argsort + R gather/scatter + two extra parity sweeps + the
+    # sub while) costs 0.069 vs 0.060 ms/slot with the plain head-unroll +
+    # full-batch-while form — at operating SNR the whole batch converges in
+    # the unrolled head sweeps and the while runs zero trips, so there is
+    # nothing for the compaction to save.  Set SRSRAN_TPU_DECODE_REFINE=K
+    # for low-SNR workloads where a small straggler set needs many sweeps
+    # (K least-converged CBs then re-iterate at K/B of the sweep cost).
+    refine = int(os.environ.get("SRSRAN_TPU_DECODE_REFINE", "0"))
     use_refine = early_stop and refine > 0 and b > 2 * refine
     head = min(int(os.environ.get("SRSRAN_TPU_DECODE_UNROLL",
                                   "1" if use_refine else "2")),

@@ -59,12 +59,13 @@ def test_refine_compaction_matches_per_cb_semantics(monkeypatch):
 
 
 def test_refine_compaction_default_shape_on_off(monkeypatch):
-    """Exercise the DEFAULT refine=128 path at a production-like batch
-    (B > 256 — the argsort/gather/scatter merge) and A/B against
-    SRSRAN_TPU_DECODE_REFINE=0: identical ok sets and payloads at an SNR
-    where every CB converges within budget."""
+    """Exercise the refine=128 path at a production-like batch (B > 256 —
+    the argsort/gather/scatter merge) and A/B against
+    SRSRAN_TPU_DECODE_REFINE=0 (the default): identical ok sets and
+    payloads at an SNR where every CB converges within budget."""
     bg, zc, b, iters = 2, 16, 288, 8
     msgs, llr = _awgn_batch(bg, zc, b, snr_db=4.0, seed=7)
+    monkeypatch.setenv("SRSRAN_TPU_DECODE_REFINE", "128")
     hard_on, ok_on = decoder.decode(jnp.asarray(llr), bg, zc,
                                     num_iters=iters,
                                     schedule="layered_rolls_bf16")

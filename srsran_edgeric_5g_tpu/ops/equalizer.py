@@ -296,6 +296,49 @@ def mmse_equalize_timeinv(y: jnp.ndarray, h: jnp.ndarray,
     return x_hat, nv_out
 
 
+def mmse_equalize_timeinv_grid(y: jnp.ndarray, h: jnp.ndarray,
+                               noise_var: jnp.ndarray
+                               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`mmse_equalize_timeinv` consuming the receive grid's NATIVE layout.
+
+    Args:
+      y: (S, P, n, U, w) received data REs exactly as sliced from the
+         per-antenna OFDM grid — no (P, S*U, n, w) regrouping.  The two
+         strided transpose copies that regrouping cost were 14% of the 2x2
+         full-slot step on v5e (xplane profile); the channel tensors are
+         n-fold smaller than the data, so the P/L-major permutes this
+         variant does instead are noise.
+      h: (S, P, L, U, w) channel estimate (constant over n).
+      noise_var: broadcastable to (S, P, U, w).
+
+    Returns (x_hat (S, n, U, w, L) complex64, nv_out (S, U, w, L) f32).
+    With the layer axis MINOR, flattening (n, w, L) per (S, U) row and
+    qm-expanding the last axis IS the TS 38.211 layer interleave
+    d(L*i+l) — the caller needs one transpose of the (small) complex
+    tensor instead of the old y-regroup + LLR-tensor interleave.
+    """
+    nof_layers = h.shape[2]
+    nv = jnp.broadcast_to(noise_var, h.shape[:2] + h.shape[3:])  # (S,P,U,w)
+    w_n = (1.0 / jnp.maximum(nv, 1e-30)).astype(jnp.float32)
+    hw = h * w_n[:, :, None]
+    ht = h.transpose(1, 2, 0, 3, 4)       # (P, L, S, U, w) — small tensors
+    hwt = hw.transpose(1, 2, 0, 3, 4)
+    binv, g = _binv_scalars(ht, hwt, nof_layers)       # entries (S, U, w)
+    xs, nvs = [], []
+    for l in range(nof_layers):
+        acc = None
+        for p in range(h.shape[1]):
+            w_lp = sum(binv[(l, m)] * jnp.conj(hwt[p, m])
+                       for m in range(nof_layers)) / g[l]     # (S, U, w)
+            term = w_lp[:, None] * y[:, p]                    # (S, n, U, w)
+            acc = term if acc is None else acc + term
+        xs.append(acc)
+        nvs.append(jnp.maximum(binv[(l, l)].real, 1e-30) / g[l])
+    x_hat = jnp.stack(xs, axis=-1).astype(jnp.complex64)  # (S, n, U, w, L)
+    nv_out = jnp.stack(nvs, axis=-1).astype(jnp.float32)  # (S, U, w, L)
+    return x_hat, nv_out
+
+
 def _binv_scalars(h: jnp.ndarray, hw: jnp.ndarray, nof_layers: int):
     """(A + I)^-1 of the whitened Gram as a dict of (...,) scalar arrays.
 

@@ -692,41 +692,41 @@ def _ul_front_mimo(rx_samples: jnp.ndarray | None, rntis: jnp.ndarray,
     cfo = (jnp.angle(jnp.sum(sum(cfos), axis=1))     # (S, U)
            / np.float32(2.0 * np.pi) / dt).astype(jnp.float32)
 
-    # y: (S, P, ndata, span) -> (P, S*U, ndata, w)
+    # y stays in the grid's NATIVE (S, P, n, U, w) layout: the old
+    # (P, S*U, n, w) regroup cost two strided transpose copies of the full
+    # data tensor — 14% of the 2x2 full-slot step on v5e (xplane profile).
     y = jnp.stack([band[:, :, l] for l in cell.data_symbols], axis=2)
-    y = y.reshape(s, p_rx, ndata, u, w).transpose(1, 0, 3, 2, 4)
-    y = y.reshape(p_rx, s * u, ndata, w)
+    y = y.reshape(s, p_rx, ndata, u, w)
     # CFO compensation of the data symbols (see the SISO _ul_front note;
     # port_channel_estimator_average_impl.cpp:245-253).
     if ndmrs > 1:
         t_data = np.asarray([t.cp.data_starts[l] for l in cell.data_symbols],
                             np.float32) / np.float32(t.srate)
-        ph = np.float32(-2.0 * np.pi) * cfo.reshape(s * u)[:, None] \
-            * jnp.asarray(t_data)
-        y = y * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))[None, :, :, None]
-    hh = h.transpose(1, 2, 0, 3, 4).reshape(p_rx, L, s * u, w)
+        ph = np.float32(-2.0 * np.pi) * cfo[:, None, :] * \
+            jnp.asarray(t_data)[None, :, None]             # (S, n, U)
+        y = y * jax.lax.complex(jnp.cos(ph),
+                                jnp.sin(ph))[:, None, :, :, None]
     # Noise floor: a zero noise estimate (noiseless loopback) would blow
     # up the whitening weights into degenerate all-zero equalizer outputs
     # (whose all-zero codeword PASSES parity) — same role as the 1xN
     # path's abnormal-input semantics.
-    nv_p = jnp.maximum(nv.transpose(1, 0, 2).reshape(p_rx, s * u, 1), 1e-9)
+    nv_p = jnp.maximum(nv[..., None], 1e-9)                # (S, P, U, 1)
     # The channel estimate is per-subcarrier, constant across data symbols:
     # compute the MMSE combining weights ONCE per (slot-UE, subcarrier) and
     # apply them to all ndata symbols as fused per-layer multiply-adds (the
     # Gram/inverse per data-symbol RE was ~90% of the 4x4 step's device
-    # time; the einsum application's layout copy another ~10%).
-    x_hat, nv_out = equalizer.mmse_equalize_timeinv(y, hh, nv_p)
-    # Demap in the wide LAYER-MAJOR layout (B, L, n*w), then perform the
-    # TS 38.211 layer interleave d(Li+l) <- layer l ONCE on the LLR tensor
-    # (RE-major, layer-minor, Qm bits per symbol).
-    qm = cell.qm
-    x = x_hat.reshape(s * u, L, ndata * w)
-    nv_x = jnp.broadcast_to(nv_out[:, :, None, :], x_hat.shape
-                            ).reshape(s * u, L, ndata * w)
-    llr = modulation.demodulate_soft(x, nv_x, cell.modulation,
-                                     quantize=False)       # (B, L, nw*Qm)
+    # time).
+    x_hat, nv_out = equalizer.mmse_equalize_timeinv_grid(y, h, nv_p)
+    # One transpose of the (complex, qm-fold smaller than the LLR tensor)
+    # equalizer output groups each (slot, UE) row; with the layer axis
+    # minor, qm-expanding the last axis IS the TS 38.211 layer interleave
+    # d(L*i+l) — no LLR-tensor transpose.
+    x5 = x_hat.transpose(0, 2, 1, 3, 4)                    # (S, U, n, w, L)
+    nv5 = nv_out[:, :, None, :, :]                         # (S, U, 1, w, L)
+    llr = modulation.demodulate_soft(x5, jnp.broadcast_to(nv5, x5.shape),
+                                     cell.modulation,
+                                     quantize=False)       # (S,U,n,w,L*Qm)
     llr = modulation.wire_quantize(llr, cell.modulation)   # int8 wire domain
-    llr = llr.reshape(s * u, L, ndata * w, qm).transpose(0, 2, 1, 3)
     llr = llr.reshape(s * u, -1)
     ci_row = (rntis.astype(jnp.uint32) << 15) + jnp.uint32(cell.n_id)
     llr = sequences.scramble_llrs(llr, jnp.tile(ci_row, s))
